@@ -1,0 +1,205 @@
+"""IO adapters: FileType dispatch + real and fake wrappers.
+
+Reference shape (src/polars_pipe/adapters/io_pl.py:18-133 and
+io_funcs.py:12-43): an ``IOBase`` ABC dispatching read/write over a
+``{FileType: fn}`` table, raising NotImplementedError on unsupported
+combos; YAML writes go direct, tabular writes go through a ~1 GB chunked
+sink; ``FakeIOWrapper`` swaps both tables for in-memory dict access.
+
+Spark design decisions:
+- Reads return a (lazy) DataFrame: ``spark.read.parquet/csv/json``.
+- The reference's manual chunked sink (io_pl.py:65-92: sample 10k rows,
+  estimate row width, slice+collect per ~1 GB chunk) is replaced by
+  Spark's distributed writer + ``maxRecordsPerFile``: we estimate average
+  row size from a 10k-row sample written to a temp parquet file, derive
+  rows-per-file for the target size, and let every executor write its own
+  part files in parallel — no driver materialisation, works at 100 TB.
+  Part-file naming (part-00000-<uuid>) matches the reference's scheme.
+- Writes of plain dicts (the enriched config) go to YAML driver-side.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import shutil
+import tempfile
+from abc import ABC, abstractmethod
+from enum import Enum
+from pathlib import Path
+from typing import Any
+from uuid import uuid4
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+
+class FileType(Enum):
+    JSON = "json"
+    PARQUET = "parquet"
+    CSV = "csv"
+    YAML = "yaml"
+
+    @classmethod
+    def from_str(cls, inp_str: str) -> "FileType":
+        return cls.__members__[inp_str.strip().upper()]
+
+
+DEFAULT_TARGET_FILE_GB = 1.0
+_SAMPLE_ROWS = 10_000
+
+
+def estimate_rows_per_file(
+    df: DataFrame, target_size_gb: float = DEFAULT_TARGET_FILE_GB
+) -> int:
+    """Estimate rows per ~target_size_gb parquet file from a 10k-row sample.
+
+    Writes the sample to a temp parquet dir and measures on-disk bytes —
+    the estimate therefore reflects parquet encoding + compression, which
+    is what actually lands in the sink (the reference samples in-memory
+    size instead, io_pl.py:77-79)."""
+    sample_dir = Path(tempfile.mkdtemp(prefix="pps_sample_")) / "sample"
+    try:
+        sample = df.limit(_SAMPLE_ROWS)
+        sample.coalesce(1).write.mode("overwrite").parquet(str(sample_dir))
+        n = sample.count()
+        if n == 0:
+            return 1_000_000
+        size = sum(f.stat().st_size for f in sample_dir.rglob("*.parquet"))
+        avg_row = max(size / n, 1e-9)
+        return max(int((target_size_gb * 1e9) / avg_row), 1)
+    finally:
+        shutil.rmtree(sample_dir.parent, ignore_errors=True)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str | Path,
+    target_size_gb: float | None = DEFAULT_TARGET_FILE_GB,
+    mode: str = "overwrite",
+) -> None:
+    """Distributed parquet sink targeting ~target_size_gb part files."""
+    writer = df.write.mode(mode)
+    if target_size_gb:
+        rows_per_file = estimate_rows_per_file(df, target_size_gb)
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.parquet(str(path))
+
+
+def write_yaml(data: dict, path: str | Path) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(yaml.safe_dump(data, sort_keys=False))
+
+
+class IOBase(ABC):
+    """Read/write dispatch keyed by FileType; NotImplementedError on
+    unsupported combos (same contract as reference io_pl.py:28-56)."""
+
+    def __init__(self, spark: SparkSession, guid: str | None = None) -> None:
+        self.spark = spark
+        self.guid = guid
+
+    # -- dispatch tables (overridden by the fake) ---------------------------
+
+    def _read_parquet(self, path: str, **kw: Any) -> DataFrame:
+        return self.spark.read.parquet(path, **kw)
+
+    def _read_csv(self, path: str, **kw: Any) -> DataFrame:
+        kw.setdefault("header", True)
+        kw.setdefault("inferSchema", True)
+        return self.spark.read.csv(path, **kw)
+
+    def _read_json(self, path: str, **kw: Any) -> DataFrame:
+        return self.spark.read.json(path, **kw)
+
+    @property
+    def _read_funcs(self) -> dict[FileType, Any]:
+        return {
+            FileType.PARQUET: self._read_parquet,
+            FileType.CSV: self._read_csv,
+            FileType.JSON: self._read_json,
+        }
+
+    def _write_parquet(self, df: DataFrame, path: str, **kw: Any) -> None:
+        write_parquet_sized(df, path, **kw)
+
+    def _write_csv(self, df: DataFrame, path: str, **kw: Any) -> None:
+        df.write.mode("overwrite").option("header", True).csv(str(path), **kw)
+
+    def _write_yaml(self, data: dict, path: str, **kw: Any) -> None:
+        write_yaml(data, path)
+
+    @property
+    def _write_funcs(self) -> dict[FileType, Any]:
+        return {
+            FileType.PARQUET: self._write_parquet,
+            FileType.CSV: self._write_csv,
+            FileType.YAML: self._write_yaml,
+        }
+
+    # -- public API ---------------------------------------------------------
+
+    def read(self, path: str | Path, file_type: FileType | str, **kwargs: Any) -> DataFrame:
+        file_type = self._get_file_type(file_type)
+        if file_type not in self._read_funcs:
+            raise NotImplementedError(f"`read` is not implemented for {file_type}")
+        return self._read_funcs[file_type](str(path), **kwargs)
+
+    def write(
+        self, data: DataFrame | dict, path: str | Path, file_type: FileType | str, **kwargs: Any
+    ) -> None:
+        file_type = self._get_file_type(file_type)
+        if file_type not in self._write_funcs:
+            raise NotImplementedError(f"`write` is not implemented for {file_type}")
+        self._write_funcs[file_type](data, str(path), **kwargs)
+
+    @staticmethod
+    def _get_file_type(file_type: FileType | str) -> FileType:
+        return file_type if isinstance(file_type, FileType) else FileType.from_str(file_type)
+
+    @abstractmethod
+    def new_guid(self) -> str: ...
+
+    @abstractmethod
+    def get_datetime(self) -> _dt.datetime: ...
+
+
+class IOWrapper(IOBase):
+    def new_guid(self) -> str:
+        self.guid = str(uuid4())
+        return self.guid
+
+    def get_datetime(self) -> _dt.datetime:
+        return _dt.datetime.now(_dt.timezone.utc)
+
+
+class FakeIOWrapper(IOBase):
+    """In-memory test double: ``files`` maps path → DataFrame | dict.
+    Fixed guid/datetime for hermetic golden tests (reference
+    io_pl.py:113-133)."""
+
+    def __init__(self, spark: SparkSession, files: dict[str, Any] | None = None) -> None:
+        super().__init__(spark)
+        self.files: dict[str, Any] = dict(files or {})
+
+    def _fake_read(self, path: str, **kw: Any) -> DataFrame:
+        return self.files[path]
+
+    def _fake_write(self, data: Any, path: str, **kw: Any) -> None:
+        self.files[str(path)] = data
+
+    @property
+    def _read_funcs(self) -> dict[FileType, Any]:
+        return dict.fromkeys(FileType, self._fake_read)
+
+    @property
+    def _write_funcs(self) -> dict[FileType, Any]:
+        return dict.fromkeys(FileType, self._fake_write)
+
+    def new_guid(self) -> str:
+        self.guid = "abc-123"
+        return self.guid
+
+    def get_datetime(self) -> _dt.datetime:
+        return _dt.datetime(2025, 10, 16, 12, tzinfo=_dt.timezone.utc)

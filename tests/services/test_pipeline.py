@@ -1,0 +1,141 @@
+"""Golden end-to-end pipeline tests (model: reference
+tests/services/test_basic_pipeline.py — FakeIOWrapper over an in-memory
+table, full run, exact file-set + row assertions; goldens regenerated
+under this engine's declared semantics: xxhash64 hashes, clean
+error_reason join, exact percentiles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_pipe_spark.adapters.io import FakeIOWrapper
+from polars_pipe_spark.services import run_pipeline
+
+SRC = "/fake/employees.parquet"
+DST = "/fake/out"
+
+
+@pytest.fixture()
+def io(spark, employees):
+    return FakeIOWrapper(spark, files={SRC: employees})
+
+
+def full_config():
+    return {
+        "process_name": "proc",
+        "src_path": SRC,
+        "src_file_type": "parquet",
+        "dst_root": DST,
+        "dst_file_type": "parquet",
+        "validation": {
+            "age is not null": ["age", "is_not_null", None],
+            "salary gt 45000": ["salary", "gt", 45000],
+        },
+        "transformations": {
+            "fill_map": {"bonus": 0},
+            "recast_map": {"salary": "Int64"},
+            "clip_map": {"bonus": [1000, 6000]},
+            "new_col_map": {
+                "comp": {"fn_name": "add_cols", "fn_kwargs": {"cols": ["salary", "bonus"]}},
+                "mean_salary": {"fn_name": "mean", "fn_kwargs": {"col": "salary"}},
+            },
+            "rename_map": {"name": "employee"},
+            "drop_cols": ["projects"],
+        },
+        "select_cols": "*",
+    }
+
+
+def out_paths(io):
+    return {p.replace(f"{DST}/abc-123", "") for p in io.files if p.startswith(DST)}
+
+
+class TestFullRun:
+    def test_artifact_set(self, io):
+        run_pipeline(io, full_config())
+        assert out_paths(io) == {
+            "/config/proc_20251016_1200.yaml",
+            "/desc_stats/pre_transform",
+            "/desc_stats/post_transform",
+            "/transformed_data",
+            "/error_records",
+        }
+
+    def test_transformed_rows(self, io):
+        run_pipeline(io, full_config())
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        rows = {r.employee: r for r in out.collect()}
+        # valid = alice, charlie, eve (bob fails salary rule, dave null age)
+        assert set(rows) == {"alice", "charlie", "eve"}  # normalised strings
+        a = rows["alice"]
+        assert a.salary == 50000 and isinstance(a.salary, int)
+        assert a.bonus == 5000.0
+        assert a.comp == 55000.0
+        assert a.mean_salary == (50000 + 71000 + 53000) / 3
+        # charlie bonus clipped 2000 (in range), comp = 73000
+        assert rows["charlie"].comp == 73000.0
+        # eve bonus clipped down to 6000
+        assert rows["eve"].bonus == 6000.0
+        # sys cols at the end, data cols first
+        assert out.columns[:5] == ["employee", "age", "salary", "bonus", "comp"]
+        assert [c for c in out.columns if c.startswith("sys_col")] == [
+            "sys_col_row_hash",
+            "sys_col_proc_guid",
+            "sys_col_proc_src_path",
+            "sys_col_proc_datetime",
+        ]
+
+    def test_error_records(self, io):
+        run_pipeline(io, full_config())
+        err = io.files[f"{DST}/abc-123/error_records"]
+        reasons = {r.name: r.error_reason for r in err.collect()}
+        assert reasons == {"Bob": "salary gt 45000", "dave": "age is not null"}
+
+    def test_config_artifact_has_plan(self, io):
+        parsed = run_pipeline(io, full_config())
+        cfg = io.files[f"{DST}/abc-123/config/proc_20251016_1200.yaml"]
+        assert cfg["guid"] == "abc-123"
+        assert cfg["pipeline_plan"] == parsed.pipeline_plan
+        assert len(parsed.pipeline_plan) > 0
+
+    def test_empty_config_all_stages_skip(self, io, employees):
+        cfg = {
+            "process_name": "noop",
+            "src_path": SRC,
+            "src_file_type": "parquet",
+            "dst_root": DST,
+            "dst_file_type": "parquet",
+        }
+        run_pipeline(io, cfg)
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        assert out.count() == employees.count()
+        # no error records written when validation is empty
+        assert f"{DST}/abc-123/error_records" not in io.files
+
+    def test_preexisting_hash_col_kept(self, io, spark, employees):
+        from pyspark.sql import functions as F
+
+        io.files[SRC] = employees.withColumn("sys_col_row_hash", F.lit(7))
+        run_pipeline(io, full_config())
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        assert {r.sys_col_row_hash for r in out.collect()} == {7}
+
+    def test_select_cols_subset(self, io):
+        cfg = full_config()
+        cfg["select_cols"] = ["employee", "salary"]
+        run_pipeline(io, cfg)
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        assert out.columns == [
+            "employee",
+            "salary",
+            "sys_col_row_hash",
+            "sys_col_proc_guid",
+            "sys_col_proc_src_path",
+            "sys_col_proc_datetime",
+        ]
+
+    def test_missing_expected_col_raises(self, io):
+        cfg = full_config()
+        cfg["validation"]["ghost rule"] = ["ghost_col", "is_not_null", None]
+        with pytest.raises(ValueError, match="ghost_col"):
+            run_pipeline(io, cfg)
