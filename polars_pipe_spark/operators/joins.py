@@ -1,0 +1,110 @@
+"""Join operators Spark lacks natively: as-of join, range join.
+
+No reference implementation exists (the reference has no joins at all —
+SURVEY.md §2.9); these are Spark-native extension operators designed for
+scale.
+
+As-of join strategy — union-merge, NOT a range cross-join:
+both sides are unioned with a side tag, one hash shuffle on the key
+partitions the merged stream, and a single ordered window carries the
+most recent right-side row forward onto each left row
+(``last(..., ignorenulls=True)``). Cost: one shuffle + one sort — the
+same asymptotics as a sort-merge join, no candidate-pair explosion,
+skew-safe under AQE. The per-key window never collapses to a single
+partition because it is partitioned by the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` (``< left_ts`` when ``strict``) within the same
+    ``on`` key — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics,
+    left-outer (unmatched left rows keep nulls).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_cols = right_cols or [c for c in right.columns if c not in keys]
+    left_cols = [c for c in left.columns]
+
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof_payload")
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        payload,
+    )
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        F.lit(None).cast(r.schema["__asof_payload"].dataType).alias("__asof_payload"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    # At equal timestamps the right row sorts first (side 0) for <=
+    # semantics; sorts last for strict <.
+    side_order = F.col("__asof_side").asc() if not strict else F.col("__asof_side").desc()
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__asof_ts").asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+    )
+    carried = merged.withColumn(
+        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__asof_side") == 1).select(
+        *left_cols,
+        *[F.col(f"__asof_match.{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    on: str | list[str] | None = None,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right rows where
+    ``right_lo <= left_point < right_hi``.
+
+    With ``bucket_width`` set, both sides are bucketised so the join is an
+    equi-join on (keys…, bucket) + a residual filter — Catalyst gets a
+    hash join instead of a nested-loop range join. Right intervals are
+    exploded across the buckets they span; choose bucket_width near the
+    typical interval width so the explosion factor stays ~1-2.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    cond = (F.col(right_lo) <= F.col(left_point)) & (F.col(left_point) < F.col(right_hi))
+    if bucket_width is None:
+        for k in keys:
+            cond = cond & (left[k] == right[k])
+        return left.join(right, cond)
+
+    lb = left.withColumn("__rj_bucket", F.floor(F.col(left_point) / bucket_width))
+    rb = right.withColumn(
+        "__rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor((F.col(right_hi) - 1e-309) / bucket_width),
+            )
+        ),
+    )
+    joined = lb.join(rb, [*keys, "__rj_bucket"]).filter(cond)
+    return joined.drop("__rj_bucket")

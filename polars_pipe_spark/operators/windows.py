@@ -1,0 +1,55 @@
+"""Window-based operators: sessionization, top-k per group.
+
+Spark-native extension surface (no reference implementation — SURVEY.md
+§2.9). All windows are PARTITIONED (never a bare global orderBy window),
+so they scale: cost is one hash shuffle on the partition key + per-key
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float = 30.0,
+    tiebreak_cols: list[str] | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign 1-based session ids per user: a new session starts when the
+    gap since the previous event exceeds ``gap_minutes``.
+
+    Classic two-window formulation: lag to detect gaps, running sum of
+    new-session flags to number sessions. Deterministic given a total
+    order — pass ``tiebreak_cols`` when ``ts_col`` can tie.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_sec = gap_minutes * 60.0
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("double") - prev_ts.cast("double") > gap_sec)
+    ).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(session_col, F.sum(new_session).over(wsum))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """k best rows per group by the given ordering (must be total for
+    determinism — include a unique tiebreaker column)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

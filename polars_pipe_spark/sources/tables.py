@@ -1,0 +1,52 @@
+"""Parquet table loading with nanosecond-timestamp compatibility.
+
+Some writers (pandas/polars defaults) produce parquet TIMESTAMP(NANOS)
+columns, which Spark's vectorized reader rejects
+(PARQUET_TYPE_ILLEGAL). Strategy: inspect the parquet footer schema
+driver-side (pyarrow — metadata only, no data read), and when a
+timestamp[ns] column is present, read it as raw nanos
+(``spark.sql.legacy.parquet.nanosAsLong``) and rebuild the timestamp with
+exact integer division to microseconds (``ts div 1000`` — no double
+round-trip, so no precision loss). DuckDB truncates ns→µs the same way,
+keeping oracle parity.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_cols(path: str) -> list[str]:
+    """Names of timestamp[ns] columns, from the parquet footer (no scan)."""
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if isinstance(typ, pa.TimestampType) and typ.unit == "ns"
+    ]
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    ns = _nanos_cols(path)
+    if not ns:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumns(
+        {c: F.expr(f"timestamp_micros(`{c}` div 1000)") for c in ns}
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str]) -> dict[str, DataFrame]:
+    return {n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names}
