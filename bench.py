@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (format("noop")) so timings
+reflect full distributed execution without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_filter_pushdown",
+    "q05_derive_arith",
+    "q08_dedupe_exact",
+    "q10_describe_stats",
+    "q13_tpch_q1",
+    "q14_join_revenue_by_nation",
+    "q16_window_topk",
+    "q17_running_sum",
+    "q21_asof_join",
+    "q22_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+    from polars_pipe_spark import get_spark
+
+    spark = get_spark(app_name="bench")
+    qmap = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qmap]
+    # extension queries registered after this file was written run too
+    names += [n for n in qmap if n.startswith("x") and n not in names]
+
+    # warm up the JVM/codegen path once with a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures as negative sentinel
+            sys.stderr.write(f"bench {name} failed: {type(e).__name__}: {e}\n")
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
