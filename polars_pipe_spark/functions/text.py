@@ -1,0 +1,162 @@
+"""Text analysis for training-data pipelines: tokenisation, quality
+scoring, language-ID heuristic, fingerprinting.
+
+All pure ``F.*`` column expressions — JVM-side, whole-stage-codegen'd, no
+Python UDFs — so they run at full scan speed over a 100 TB documents
+table. Each has an exact SQL equivalent for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deterministic, documented marker sets for the language-ID heuristic.
+# (A real pipeline would plug a fastText-style model in via pandas_udf —
+# the *shape* here is the scale-relevant part: pure column expressions.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "es": ["el", "la", "los", "de", "y", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+# BPE-ish pre-tokeniser: letter runs, digit runs, single non-space symbols
+# (the classic GPT-2 pre-tokenisation shape, expressible as a regex).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """lower + strip edges + collapse inner whitespace runs to one space."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of the normalised text (empty string → [])."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / symbols)."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_TOKEN_RE), 0))
+
+
+def avg_word_len(col: str | Column) -> Column:
+    t = tokens(col)
+    total_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(
+        F.size(t) > 0, total_chars.cast("double") / F.size(t)
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    c = _c(col)
+    n = F.length(c)
+    puncts = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(n > 0, puncts.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs and
+    stopword presence, penalises extreme punctuation density.
+
+    score = 0.4*min(n_tokens/100, 1) + 0.4*min(stopword_ratio*5, 1)
+          + 0.2*(1 - min(punct_ratio*10, 1))
+    """
+    ntok = token_count(col).cast("double")
+    return F.round(
+        F.least(ntok / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stopword_ratio(col) * 5.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio(col) * 10.0, F.lit(1.0))) * 0.2,
+        6,
+    )
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token array."""
+    t = tokens(col)
+
+    def _in_markers(markers: list[str]):
+        # closure (NOT a default-arg lambda — a 2-arg lambda would receive
+        # the array index as its second argument)
+        return lambda x: x.isin(*markers)
+
+    return {
+        lang: F.size(F.filter(t, _in_markers(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: str | Column, default: str = "unknown") -> Column:
+    """argmax language by marker hits; ties broken by language-name order;
+    all-zero → default."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # explicit left-fold keeps the FIRST language among equal max scores
+    # (array_max on structs would keep the last)
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang")),
+        lambda acc, p: F.when(p.score > acc.score, p).otherwise(acc),
+    )
+    return F.when(best.score > 0, best.lang).otherwise(F.lit(default))
+
+
+def doc_fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the normalised text (content-defined,
+    whitespace/case-insensitive). md5 is available in both Spark and
+    DuckDB → oracle-checkable."""
+    return F.md5(normalize_text(col))
+
+
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalised text (fewer than k words → one
+    shingle of the whole text)."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n <= k, F.array(F.array_join(t, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, k), " "))
+    )
+
+
+def text_stats(col: str | Column) -> dict[str, Column]:
+    """The full per-document stat bundle, one pass."""
+    return {
+        "n_tokens": token_count(col),
+        "n_bpe_tokens": bpe_token_count(col),
+        "avg_word_len": F.round(avg_word_len(col), 6),
+        "punct_ratio": F.round(punct_ratio(col), 6),
+        "stopword_ratio": F.round(stopword_ratio(col), 6),
+        "quality": quality_score(col),
+        "lang_pred": lang_id(col),
+        "fingerprint": doc_fingerprint(col),
+    }

@@ -1,0 +1,90 @@
+"""Structured Streaming surface.
+
+The reference is batch-only with manual 1 GB chunking (SURVEY.md §2.9);
+the streaming extension maps its pipeline shape onto Structured
+Streaming:
+
+- ``streaming_pipeline``: readStream → the SAME batch stage chain via
+  ``foreachBatch`` (validate → transform → sink + error sink). foreachBatch
+  reuses every batch operator unchanged and gives exactly-once file sinks
+  with checkpointing.
+- ``windowed_event_counts``: watermarked tumbling-window aggregation —
+  the canonical late-data-tolerant streaming agg.
+- ``streaming_dedupe``: dropDuplicates on the lineage row-hash within the
+  watermark — streaming exact dedup keyed the same way as batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_dur: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) window counts/sums with a watermark. Works on
+    both batch and streaming frames (same expression — Spark unifies)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window_dur, slide) if slide else F.window(ts_col, window_dur)
+    return (
+        df.groupBy(win.alias("w"), *(group_cols or []))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(group_cols or []),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedupe(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exact dedupe within the watermark horizon (state is bounded by the
+    watermark — required for unbounded streams)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
+
+
+def streaming_pipeline(
+    source_dir: str,
+    schema,
+    checkpoint_dir: str,
+    batch_fn: Callable[[DataFrame, int], None],
+    file_format: str = "parquet",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """File-source streaming run of an arbitrary batch stage chain.
+
+    ``batch_fn(batch_df, epoch_id)`` receives each micro-batch; pass a
+    closure that applies ``services.pipeline.build_transform_chain`` and
+    writes — the whole batch operator library is reusable here.
+    """
+    from polars_pipe_spark.session import get_spark
+
+    spark = get_spark()
+    stream = (
+        spark.readStream.format(file_format).schema(schema).load(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
