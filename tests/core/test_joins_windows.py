@@ -1,0 +1,98 @@
+"""as-of join / range join / sessionize / top-k unit tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.operators.joins import asof_join, range_join
+from polars_pipe_spark.operators.windows import sessionize, top_k_per_group
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+class TestAsofJoin:
+    @pytest.fixture()
+    def trades_quotes(self, spark):
+        trades = spark.createDataFrame(
+            [("A", ts(5), 100.0), ("A", ts(10), 101.0), ("B", ts(3), 50.0), ("C", ts(1), 9.0)],
+            "sym string, t timestamp, price double",
+        )
+        quotes = spark.createDataFrame(
+            [("A", ts(4), 99.5), ("A", ts(10), 100.5), ("B", ts(4), 49.5)],
+            "sym string, qt timestamp, quote double",
+        )
+        return trades, quotes
+
+    def test_backward_match(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(trades, quotes, on="sym", left_ts="t", right_ts="qt").collect()
+        by = {(r.sym, r.t): (r.qt, r.quote) for r in out}
+        assert by[("A", ts(5))] == (ts(4), 99.5)
+        assert by[("A", ts(10))] == (ts(10), 100.5)  # equal ts matches (<=)
+        assert by[("B", ts(3))] == (None, None)  # no quote before
+        assert by[("C", ts(1))] == (None, None)  # key missing entirely
+        assert len(out) == 4  # left join: every left row exactly once
+
+    def test_strict_excludes_equal(self, trades_quotes):
+        trades, quotes = trades_quotes
+        out = asof_join(
+            trades, quotes, on="sym", left_ts="t", right_ts="qt", strict=True
+        ).collect()
+        by = {(r.sym, r.t): (r.qt, r.quote) for r in out}
+        assert by[("A", ts(10))] == (ts(4), 99.5)  # equal ts now excluded
+
+
+class TestRangeJoin:
+    def test_point_in_interval(self, spark):
+        points = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "pid int, x double")
+        ivals = spark.createDataFrame(
+            [(10, 0.0, 10.0), (20, 10.0, 20.0)], "iid int, lo double, hi double"
+        )
+        out = range_join(points, ivals, "x", "lo", "hi").select("pid", "iid").collect()
+        assert {(r.pid, r.iid) for r in out} == {(1, 10), (2, 20)}
+
+    def test_bucketed_equals_naive(self, spark):
+        points = spark.createDataFrame(
+            [(i, float(i)) for i in range(30)], "pid int, x double"
+        )
+        ivals = spark.createDataFrame(
+            [(1, 2.0, 7.0), (2, 6.5, 20.0), (3, 25.0, 26.0)],
+            "iid int, lo double, hi double",
+        )
+        naive = {(r.pid, r.iid) for r in range_join(points, ivals, "x", "lo", "hi").collect()}
+        bucketed = {
+            (r.pid, r.iid)
+            for r in range_join(points, ivals, "x", "lo", "hi", bucket_width=5.0).collect()
+        }
+        assert naive == bucketed and len(naive) > 0
+
+
+class TestSessionize:
+    def test_sessions_split_on_gap(self, spark):
+        rows = [
+            (1, ts(0)), (1, ts(10)), (1, ts(50)),  # gap 40 > 30 → 2 sessions
+            (2, ts(5)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = sessionize(df, "user_id", "ts", gap_minutes=30)
+        got = {(r.user_id, r.ts): r.session_id for r in out.collect()}
+        assert got[(1, ts(0))] == 1
+        assert got[(1, ts(10))] == 1
+        assert got[(1, ts(50))] == 2
+        assert got[(2, ts(5))] == 1
+
+
+class TestTopK:
+    def test_topk(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+            "g string, id int, v double",
+        )
+        out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
+        got = {(r.g, r.id): r.rk for r in out.collect()}
+        assert got == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}

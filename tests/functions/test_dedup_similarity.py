@@ -1,0 +1,115 @@
+"""Dedup + similarity unit tests: known duplicates/neighbors recovered."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.functions import dedup as dd
+from polars_pipe_spark.functions import similarity as sim
+
+
+@pytest.fixture()
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("today", "tomorrow")),  # near dup
+        (4, "completely different words about spark query engines at scale"),
+        (5, "yet another unrelated document mentioning parquet files only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, near_dup_docs):
+        g = dd.exact_dedup_groups(near_dup_docs, "text", "doc_id")
+        rows = {r.canonical_id: r.n_copies for r in g.collect()}
+        assert rows[1] == 2  # docs 1+2 identical
+        assert g.count() == 4
+
+    def test_dedup_keeps_min_id(self, near_dup_docs):
+        out = dd.exact_dedup(near_dup_docs, "text", "doc_id")
+        assert {r.doc_id for r in out.collect()} == {1, 3, 4, 5}
+
+
+class TestMinHash:
+    def test_near_dups_found(self, near_dup_docs):
+        pairs = dd.minhash_near_dups(
+            near_dup_docs, "text", "doc_id", threshold=0.3
+        ).collect()
+        got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+        assert got[(1, 2)] == 1.0  # exact dup
+        assert (1, 3) in got and got[(1, 3)] > 0.5  # near dup
+        assert all(a < b for a, b in got)  # ordered pairs, no self
+
+    def test_signature_deterministic(self, near_dup_docs):
+        s1 = near_dup_docs.select(dd.minhash_signature("text").alias("s")).collect()
+        s2 = near_dup_docs.select(dd.minhash_signature("text").alias("s")).collect()
+        assert [r.s for r in s1] == [r.s for r in s2]
+
+
+class TestSimHash:
+    def test_identical_docs_same_hash(self, near_dup_docs):
+        out = {r.doc_id: r.h for r in near_dup_docs.select(
+            "doc_id", dd.simhash("text").alias("h")).collect()}
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**16
+
+    def test_near_docs_close_hamming(self, near_dup_docs, spark):
+        out = {r.doc_id: r.h for r in near_dup_docs.select(
+            "doc_id", dd.simhash("text").alias("h")).collect()}
+        df = spark.createDataFrame(
+            [(out[1], out[3]), (out[1], out[4])], "a long, b long"
+        )
+        d = df.select(dd.hamming_distance(F.col("a"), F.col("b")).alias("d")).collect()
+        near, far = d[0].d, d[1].d
+        assert near <= far  # near-dup is no farther than unrelated doc
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+        (5, [0.7, 0.7, 0.0, 0.0]),    # diagonal
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_brute_force_topk_order(self, vectors):
+        out = sim.brute_force_topk(
+            vectors, vectors.filter(F.col("vec_id") == 1), "embedding", "vec_id", "vec_id", k=4
+        ).collect()
+        order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)]
+        assert order == [2, 5, 3, 4]
+        cos = {r.neighbor_id: r.cosine for r in out}
+        assert cos[4] == -1.0 and cos[3] == 0.0
+
+    def test_no_self_match(self, vectors):
+        out = sim.brute_force_topk(vectors, vectors, "embedding", "vec_id", "vec_id", k=10)
+        assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+    def test_lsh_bucket_deterministic(self, vectors):
+        b1 = vectors.select(sim.hyperplane_bucket("embedding", 8).alias("b")).collect()
+        b2 = vectors.select(sim.hyperplane_bucket("embedding", 8).alias("b")).collect()
+        assert [r.b for r in b1] == [r.b for r in b2]
+        assert all(0 <= r.b < 256 for r in b1)
+
+    def test_lsh_same_vector_same_bucket(self, spark):
+        rows = [(1, [0.5, 0.5, 0.1, -0.2]), (2, [0.5, 0.5, 0.1, -0.2])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        b = [r.b for r in df.select(sim.hyperplane_bucket("embedding", 6).alias("b")).collect()]
+        assert b[0] == b[1]
+
+    def test_ivf_topk_shape(self, vectors):
+        out = sim.ivf_topk(
+            vectors, vectors.filter(F.col("vec_id") == 1), "embedding", "vec_id", "vec_id",
+            k=3, n_centroids=2, n_probe=2,
+        ).collect()
+        assert len(out) <= 3
+        assert all(r.query_id == 1 for r in out)

@@ -1,0 +1,116 @@
+"""Multimodal plumbing + streaming smoke tests."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.functions import multimodal as mm
+
+
+@pytest.fixture()
+def media_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "short text"), (2, "x" * 400)], "doc_id long, text string"
+    )
+    return mm.media_from_text_column(docs, "text")
+
+
+class TestMultimodal:
+    def test_pack_schema_and_hash(self, media_df):
+        rows = {r.doc_id: r.media for r in media_df.collect()}
+        m = rows[1]
+        assert bytes(m.payload).decode() == "short text"
+        assert m.n_bytes == 10
+        assert m.mime == "image/jpeg"
+        assert len(m.content_hash) == 32
+        assert rows[2].mime == "image/png"
+
+    def test_feature_extraction_deterministic(self, media_df):
+        a = {r.doc_id: r for r in mm.extract_image_features(media_df).collect()}
+        b = {r.doc_id: r for r in mm.extract_image_features(media_df).collect()}
+        for k in a:
+            assert (a[k].width, a[k].height, a[k].mean_luma) == (
+                b[k].width, b[k].height, b[k].mean_luma,
+            )
+        assert 1 <= a[1].width <= 1920
+        assert 1 <= a[1].height <= 1080
+        assert a[1].n_channels in (3, 4)
+        assert 0.0 <= a[1].mean_luma <= 1.0
+
+    def test_real_decoder_raises(self, media_df):
+        with pytest.raises(Exception, match="NotImplementedError|image codec"):
+            mm.extract_image_features(media_df, use_fake_decoder=False).collect()
+
+    def test_frame_sampling_explodes(self, media_df):
+        out = mm.sample_frames(media_df, every_n=100, max_frames=3).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert len(by_doc[2]) == 3  # 400 bytes // 100 = 4 → capped at 3
+        assert [r.frame_idx for r in sorted(by_doc[2], key=lambda r: r.frame_idx)] == [0, 1, 2]
+        # frame hashes differ per frame
+        assert len({r.frame_hash for r in by_doc[2]}) == 3
+
+
+class TestStreaming:
+    def test_windowed_counts_streaming_equals_batch(self, spark):
+        import datetime as dt
+
+        from polars_pipe_spark.streaming.pipeline import windowed_event_counts
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, h, 10), "t", 1.0)
+            for i, h in enumerate([0, 0, 1, 2, 2, 2])
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+        src = tempfile.mkdtemp(prefix="pps_stream_test_") + "/events"
+        df.write.mode("overwrite").parquet(src)
+
+        batch = windowed_event_counts(
+            spark.read.parquet(src), "ts", "1 hour", group_cols=["event_type"]
+        )
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        agg = windowed_event_counts(stream, "ts", "1 hour", group_cols=["event_type"])
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_stream_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        got_stream = {
+            (r.window_start, r.n_events) for r in spark.table("t_stream_out").collect()
+        }
+        got_batch = {(r.window_start, r.n_events) for r in batch.collect()}
+        assert got_stream == got_batch and len(got_batch) == 3
+
+    def test_streaming_dedupe(self, spark):
+        import datetime as dt
+
+        from polars_pipe_spark.streaming.pipeline import streaming_dedupe
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 0)),
+            (1, dt.datetime(2024, 1, 1, 0, 0)),  # dup key+ts
+            (1, dt.datetime(2024, 1, 1, 0, 5)),
+        ]
+        df = spark.createDataFrame(rows, "k long, ts timestamp")
+        src = tempfile.mkdtemp(prefix="pps_dedup_test_") + "/src"
+        df.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = streaming_dedupe(stream, ["k"], "ts", "1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_dedup_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        assert spark.table("t_dedup_out").count() == 2
