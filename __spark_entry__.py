@@ -31,6 +31,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan + round-robin repartition to full parallelism. Small testdata
+    tables arrive as ONE file -> one scan partition; compute-heavy
+    expression work (shingling, md5, per-pair set ops) would serialize on
+    that single task. A cheap repartition of the raw rows (a few MB)
+    parallelises everything downstream. At 100 TB the scan has thousands
+    of splits and this becomes a no-op choice -- explicit repartition is
+    still respected over AQE coalescing either way."""
+    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query (driver smoke check at sf0.001)
 # ---------------------------------------------------------------------------
@@ -447,7 +458,7 @@ def _q23_text_stats(spark, sf):
     fingerprint — all JVM-side expressions."""
     from polars_pipe_spark.functions.text import text_stats
 
-    df = _t(spark, sf, "documents")
+    df = _t_par(spark, sf, "documents")
     return df.select("doc_id", *[e.alias(n) for n, e in text_stats("text").items()])
 
 
@@ -455,7 +466,7 @@ def _q24_exact_dedup(spark, sf):
     """Exact dedup groups by content fingerprint (hash-groupBy)."""
     from polars_pipe_spark.functions.dedup import exact_dedup_groups
 
-    return exact_dedup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+    return exact_dedup_groups(_t_par(spark, sf, "documents"), "text", "doc_id")
 
 
 def _q25_minhash_neardup(spark, sf):
@@ -464,7 +475,7 @@ def _q25_minhash_neardup(spark, sf):
     from polars_pipe_spark.functions.dedup import minhash_near_dups
 
     return minhash_near_dups(
-        _t(spark, sf, "documents"), "text", "doc_id",
+        _t_par(spark, sf, "documents"), "text", "doc_id",
         shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
     )
 
@@ -473,7 +484,7 @@ def _q26_simhash(spark, sf):
     """16-bit SimHash signature per document (portable md5-nibble bits)."""
     from polars_pipe_spark.functions.dedup import simhash
 
-    return _t(spark, sf, "documents").select(
+    return _t_par(spark, sf, "documents").select(
         "doc_id", simhash("text", bits=16).alias("simhash16")
     )
 
@@ -483,21 +494,29 @@ def _q27_ngram_jaccard(spark, sf):
     (blocking join on source, then exact set similarity ≥ 0.25)."""
     from polars_pipe_spark.functions.text import normalize_text
 
-    df = _t(spark, sf, "documents")
+    df = _t_par(spark, sf, "documents")
     n = 4
-    norm = normalize_text("text")
+    # materialise the normalised text first: the gram lambda references it
+    # once PER GRAM, and inlining would re-run the regex normalisation
+    # hundreds of times per document (same CSE pitfall as minhash bands)
+    normed = df.select(
+        F.col("doc_id").alias("id"), F.col("source"), normalize_text("text").alias("norm")
+    )
+    norm = F.col("norm")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
             lambda i: F.substring(norm, i, F.lit(n)),
         )
     )
-    g = df.select(F.col("doc_id").alias("id"), F.col("source"), grams.alias("grams"))
+    g = normed.select("id", "source", grams.alias("grams"))
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
         .withColumn("n_inter", F.size(F.array_intersect("a.grams", "b.grams")))
-        .withColumn("n_union", F.size(F.array_union("a.grams", "b.grams")))
+        .withColumn(
+            "n_union", F.size("a.grams") + F.size("b.grams") - F.col("n_inter")
+        )
         .withColumn("jaccard", F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6))
         .filter(F.col("jaccard") >= 0.25)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
@@ -536,7 +555,7 @@ def _q30_multimodal_features(spark, sf):
         media_from_text_column,
     )
 
-    df = media_from_text_column(_t(spark, sf, "documents"), "text")
+    df = media_from_text_column(_t_par(spark, sf, "documents"), "text")
     return extract_image_features(df, "media", "doc_id", use_fake_decoder=True)
 
 
@@ -598,7 +617,7 @@ def _q34_embedding_neardup(spark, sf):
     from polars_pipe_spark.functions.dedup import embedding_near_dups
 
     return embedding_near_dups(
-        _t(spark, sf, "embeddings"), "embedding", "vec_id",
+        _t_par(spark, sf, "embeddings"), "embedding", "vec_id",
         threshold=0.4, n_planes=8,
     )
 

@@ -29,6 +29,14 @@ HEADLINE = [
     "q17_running_sum",
     "q21_asof_join",
     "q22_sessionize",
+    "q23_text_stats",
+    "q25_minhash_neardup",
+    "q26_simhash",
+    "q27_ngram_jaccard",
+    "q28_cosine_topk",
+    "q30_multimodal_features",
+    "q31_windowed_events",
+    "q34_embedding_neardup",
 ]
 
 

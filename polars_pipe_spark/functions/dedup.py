@@ -103,9 +103,19 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing at least one LSH band.
     Returns (id_a, id_b) with id_a < id_b, distinct."""
     rows_per_band = sig_k // n_bands
-    sig = minhash_signature(text_col, shingle_k, sig_k)
+    # Materialise the signature as a column BEFORE banding: the band
+    # expression references the signature 2×sig_k times, and inlining it
+    # would re-run the whole shingle+md5+sort pipeline once per reference
+    # (no CSE through F.get). The explode (Generate) node below keeps the
+    # projects from collapsing back together — signature runs once per row.
+    sig_df = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, shingle_k, sig_k).alias("sig"),
+    )
     banded = (
-        df.select(F.col(id_col).alias("id"), F.explode(lsh_bands(sig, n_bands, rows_per_band)).alias("band"))
+        sig_df.select(
+            "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
+        )
         .distinct()
     )
     a = banded.alias("a")
@@ -135,7 +145,9 @@ def jaccard_pairs(
         candidates.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        # |A∪B| = |A|+|B|-|A∩B| (sets are distinct) — skips a second
+        # O(n+m) hash pass that array_union would cost
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
         .withColumn(
             "jaccard",
             F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6),
