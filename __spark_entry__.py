@@ -623,6 +623,123 @@ def _q34_embedding_neardup(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Wider Spark-native surface: cube, unpivot, JSON, dates, strings,
+# approx sketches, SQL entry point, having
+# ---------------------------------------------------------------------------
+
+
+def _q35_cube(spark, sf):
+    """CUBE grouping sets over orders."""
+    return (
+        _t(spark, sf, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+def _q36_unpivot(spark, sf):
+    """Unpivot / melt wide columns to long (stack)."""
+    return _t(spark, sf, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
+        "AS (metric, value)",
+    )
+
+
+def _q37_json_extract(spark, sf):
+    """JSON field extraction from the events props column (regexp-based so
+    the oracle is engine-portable; F.get_json_object is the Spark-native
+    alternative for nested docs)."""
+    ev = _t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.when(k != "", k).cast("long").alias("k_value"),
+        )
+        .filter(F.col("k_value") > 80)
+    )
+
+
+def _q38_date_parts(spark, sf):
+    """Date/time part extraction + truncation + day arithmetic."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_1998"
+        ),
+    )
+
+
+def _q39_string_funcs(spark, sf):
+    """String function battery: case, substring, concat, pad, replace,
+    position, length."""
+    c = _t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.substring("c_name", 10, 5).alias("name_part"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.regexp_replace("c_name", "0+", "#").alias("squashed"),
+        F.instr(F.col("c_name"), "1").alias("pos_one"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+def _q40_approx_sketches(spark, sf):
+    """Scale-mode approximate aggregates: HLL distinct + quantile sketch.
+    Sketch algorithms differ across engines -> rows-only check; the exact
+    counterparts are oracle-checked in q10/q13."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q41_grouping_sets_sql(spark, sf):
+    """GROUPING SETS through the SQL entry point (spark.sql)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM li_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def _q42_having(spark, sf):
+    """Aggregate + HAVING shape: orders with >= 5 lineitems and a 45+
+    quantity line."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .filter((F.col("n_lines") >= 5) & (F.col("max_qty") > 45))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -661,6 +778,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_streaming_windowed": _q32_streaming_windowed,
     "q33_ivf_topk": _q33_ivf_topk,
     "q34_embedding_neardup": _q34_embedding_neardup,
+    "q35_cube": _q35_cube,
+    "q36_unpivot": _q36_unpivot,
+    "q37_json_extract": _q37_json_extract,
+    "q38_date_parts": _q38_date_parts,
+    "q39_string_funcs": _q39_string_funcs,
+    "q40_approx_sketches": _q40_approx_sketches,
+    "q41_grouping_sets_sql": _q41_grouping_sets_sql,
+    "q42_having": _q42_having,
 }
 
 
@@ -1083,6 +1208,59 @@ _ORACLES["q34_embedding_neardup"] = f"""
 _ORACLES["q34_embedding_neardup"] = (
     "SELECT * FROM (" + _ORACLES["q34_embedding_neardup"] + ") WHERE cosine >= 0.4"
 )
+
+_ORACLES["q35_cube"] = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+_ORACLES["q36_unpivot"] = """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+"""
+
+_ORACLES["q37_json_extract"] = """
+    SELECT event_id, event_type,
+           CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT) > 80
+"""
+
+_ORACLES["q38_date_parts"] = """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+           date_trunc('month', o_orderdate) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_1998
+    FROM orders
+"""
+
+_ORACLES["q39_string_funcs"] = """
+    SELECT c_custkey,
+           upper(c_name) AS upper_name,
+           substr(c_name, 10, 5) AS name_part,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           regexp_replace(c_name, '0+', '#', 'g') AS squashed,
+           strpos(c_name, '1') AS pos_one,
+           length(c_name) AS name_len
+    FROM customer
+"""
+
+_ORACLES["q41_grouping_sets_sql"] = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+_ORACLES["q42_having"] = """
+    SELECT l_orderkey, COUNT(*) AS n_lines, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING COUNT(*) >= 5 AND MAX(l_quantity) > 45
+"""
 
 
 def oracle_sql() -> dict[str, str]:

