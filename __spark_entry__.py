@@ -28,6 +28,9 @@ from pyspark.sql import functions as F
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_pipe_spark.sources import read_parquet_table
 
+    # the driver may hand us a session it built itself — pin the confs the
+    # oracle comparison depends on (both are runtime-settable)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 
@@ -739,6 +742,78 @@ def _q42_having(spark, sf):
     )
 
 
+def _q43_csv_source(spark, sf):
+    """S2: CSV source path — stage a CSV copy of lineitem columns via the
+    IO adapter, read it back (header + schema inference), aggregate."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import IOWrapper
+
+    io = IOWrapper(spark)
+    staged = tempfile.mkdtemp(prefix="pps_csv_") + "/lineitem_csv"
+    _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    ).write.mode("overwrite").option("header", True).csv(staged)
+    df = io.read(staged, "csv")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def _q44_json_source(spark, sf):
+    """S3: JSON source path — stage an NDJSON copy of orders columns, read
+    through the IO adapter, filter + project."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import IOWrapper
+
+    io = IOWrapper(spark)
+    staged = tempfile.mkdtemp(prefix="pps_json_") + "/orders_json"
+    _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").json(staged)
+    df = io.read(staged, "json")
+    return df.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _q45_pipeline_service(spark, sf):
+    """The run_pipeline SERVICE end-to-end as an oracle-checked query:
+    contract check -> lineage -> validation split -> normalise -> filter ->
+    clip -> derive -> rename -> select, artifacts to in-memory IO; returns
+    the transformed table minus engine-specific sys cols."""
+    from polars_pipe_spark.adapters.io import FakeIOWrapper
+    from polars_pipe_spark.services import run_pipeline
+
+    io = FakeIOWrapper(spark, files={"/src": _t(spark, sf, "customer")})
+    run_pipeline(
+        io,
+        {
+            "process_name": "svc",
+            "src_path": "/src",
+            "src_file_type": "parquet",
+            "dst_root": "/dst",
+            "dst_file_type": "parquet",
+            "validation": {"positive balance": ["c_acctbal", "gt", 0.0]},
+            "transformations": {
+                "filter_exprs": {"not machinery": ["c_mktsegment", "ne", "machinery"]},
+                "clip_map": {"c_acctbal": [100.0, 8000.0]},
+                "new_col_map": {
+                    "bal_round": {"fn_name": "round", "fn_kwargs": {"col": "c_acctbal", "decimals": -2}},
+                    "mean_bal": {"fn_name": "mean", "fn_kwargs": {"col": "c_acctbal"}},
+                },
+                "rename_map": {"c_name": "customer_name"},
+            },
+        },
+    )
+    out = io.files["/dst/abc-123/transformed_data"]
+    out = out.drop(*[c for c in out.columns if c.startswith("sys_col")])
+    return out.withColumn("mean_bal", F.round("mean_bal", 6))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -786,6 +861,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_approx_sketches": _q40_approx_sketches,
     "q41_grouping_sets_sql": _q41_grouping_sets_sql,
     "q42_having": _q42_having,
+    "q43_csv_source": _q43_csv_source,
+    "q44_json_source": _q44_json_source,
+    "q45_pipeline_service": _q45_pipeline_service,
 }
 
 
@@ -1260,6 +1338,42 @@ _ORACLES["q42_having"] = """
     SELECT l_orderkey, COUNT(*) AS n_lines, MAX(l_quantity) AS max_qty
     FROM lineitem GROUP BY l_orderkey
     HAVING COUNT(*) >= 5 AND MAX(l_quantity) > 45
+"""
+
+_ORACLES["q43_csv_source"] = """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+_ORACLES["q44_json_source"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_totalprice > 400000
+"""
+
+_ORACLES["q45_pipeline_service"] = """
+    WITH validated AS (
+      SELECT c_custkey,
+             lower(trim(c_name)) AS customer_name,
+             c_nationkey, c_acctbal,
+             lower(trim(c_mktsegment)) AS c_mktsegment
+      FROM customer WHERE c_acctbal > 0.0
+    ), filtered AS (
+      SELECT * FROM validated WHERE c_mktsegment != 'machinery'
+    ), clipped AS (
+      SELECT c_custkey, customer_name, c_nationkey,
+             LEAST(GREATEST(c_acctbal, 100.0), 8000.0) AS c_acctbal,
+             c_mktsegment
+      FROM filtered
+    ), m AS (
+      SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS mean_bal
+      FROM clipped
+    )
+    SELECT c_custkey, customer_name, c_nationkey, c_acctbal, c_mktsegment,
+           ROUND(c_acctbal, -2) AS bal_round, mean_bal
+    FROM clipped CROSS JOIN m
 """
 
 
