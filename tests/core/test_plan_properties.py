@@ -1,0 +1,109 @@
+"""Plan-property tests (SURVEY.md §5: assert properties, not plan text —
+robust across Spark versions). These encode the scale guarantees the
+README claims."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+
+
+class TestPushdown:
+    def test_filter_and_projection_reach_scan(self, lineitem):
+        df = lineitem.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 45)
+        p = physical(df)
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in p
+        m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+        assert m and set(m.group(1).split(",")) == {
+            "l_orderkey:bigint", "l_quantity:double",
+        }
+
+    def test_stage_chain_prunes_columns(self, spark, lineitem):
+        """Column pruning travels through the whole transform chain to the
+        scan (the reference's golden plans show the same — SURVEY §4.1)."""
+        from polars_pipe_spark.config import TransformConfig
+        from polars_pipe_spark.services import build_transform_chain
+
+        cfg = TransformConfig.from_dict(
+            {"filter_exprs": {"q": ["l_quantity", "gt", 5]}}
+        )
+        out = build_transform_chain(lineitem, cfg, select_cols=["l_orderkey", "l_quantity"])
+        m = re.search(r"ReadSchema: struct<([^>]*)>", physical(out))
+        assert m and len(m.group(1).split(",")) == 2  # only 2 of 11 columns read
+
+
+class TestJoinStrategies:
+    def test_small_dim_broadcasts(self, spark, lineitem):
+        nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        j = lineitem.join(F.broadcast(nation), lineitem.l_suppkey == nation.n_nationkey)
+        assert "BroadcastHashJoin" in physical(j)
+
+    def test_agg_broadcast_derive_is_bnlj(self, spark, lineitem):
+        from polars_pipe_spark.operators.transform import derive_new_cols
+
+        out = derive_new_cols(
+            lineitem, {"m": {"fn_name": "mean", "fn_kwargs": {"col": "l_quantity"}}}
+        )
+        p = physical(out)
+        assert "BroadcastNestedLoopJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_asof_join_single_shuffle(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        l = spark.createDataFrame([(1, 1.0, "x")], "k int, t double, v string")
+        r = spark.createDataFrame([(1, 0.5, 9.9)], "k int, rt double, q double")
+        out = asof_join(l, r, on="k", left_ts="t", right_ts="rt")
+        p = physical(out)
+        # one hash-partition exchange for the window, no join node at all
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "Join" not in p
+
+
+class TestAggregation:
+    def test_partial_aggregation_present(self, lineitem):
+        g = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+        # partial (map-side) + final aggregate pair around the exchange
+        assert physical(g).count("HashAggregate") >= 2
+
+    def test_describe_is_single_job(self, spark, employees):
+        """describe_df computes every cell in ONE aggregation (the
+        reference re-evaluates per custom statistic)."""
+        from polars_pipe_spark.operators.inspect import describe_df
+
+        sc = spark.sparkContext
+        sc.setJobGroup("describe_test", "describe_df job-count check")
+        try:
+            describe_df(employees)
+            jobs = sc.statusTracker().getJobIdsForGroup("describe_test")
+        finally:
+            sc.setJobGroup(None, None)
+        # the whole stats table = one aggregation job (AQE may add a
+        # handful of tiny result-stage jobs, never one per statistic)
+        assert 1 <= len(jobs) <= 4
+
+
+class TestPartitionedWindows:
+    def test_sessionize_has_no_global_window(self, spark):
+        import datetime as dt
+
+        from polars_pipe_spark.operators.windows import sessionize
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+        )
+        p = physical(sessionize(df, "user_id", "ts"))
+        # every Window node partitions by user_id — no single-partition sort
+        assert "Window" in p
+        assert "SinglePartition" not in p
