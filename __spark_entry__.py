@@ -814,6 +814,24 @@ def _q45_pipeline_service(spark, sf):
     return out.withColumn("mean_bal", F.round("mean_bal", 6))
 
 
+def _q46_salted_agg(spark, sf):
+    """Skew-safe two-stage (salted) aggregation — result identical to a
+    direct groupBy, but no reducer ever sees all rows of a hot key."""
+    from polars_pipe_spark.operators.aggregates import salted_agg
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n_rows": ("count", "l_orderkey"), "sum_qty": ("sum", "qty_dec"),
+         "min_qty": ("min", "l_quantity"), "max_qty": ("max", "l_quantity")},
+        n_salts=16,
+    )
+    return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -864,6 +882,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_csv_source": _q43_csv_source,
     "q44_json_source": _q44_json_source,
     "q45_pipeline_service": _q45_pipeline_service,
+    "q46_salted_agg": _q46_salted_agg,
 }
 
 
@@ -1374,6 +1393,13 @@ _ORACLES["q45_pipeline_service"] = """
     SELECT c_custkey, customer_name, c_nationkey, c_acctbal, c_mktsegment,
            ROUND(c_acctbal, -2) AS bal_round, mean_bal
     FROM clipped CROSS JOIN m
+"""
+
+_ORACLES["q46_salted_agg"] = """
+    SELECT l_returnflag, COUNT(l_orderkey) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
 """
 
 

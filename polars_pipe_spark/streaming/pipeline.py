@@ -61,6 +61,42 @@ def streaming_dedupe(
     return events.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
 
 
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum) maintained in explicit group state across
+    micro-batches — the Spark-native shape for operators the built-in
+    windowed aggregates can't express (counters, sessions with custom
+    close rules, CDC folds).
+
+    Output (per batch, update semantics): one row per key seen in the
+    batch with the post-batch running totals.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [s]})
+
+    timeout_conf = getattr(GroupStateTimeout, timeout)
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout_conf
+    )
+
+
 def streaming_pipeline(
     source_dir: str,
     schema,

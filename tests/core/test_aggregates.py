@@ -1,0 +1,97 @@
+"""Salted aggregation: identical results to direct groupBy, plus
+hypothesis property tests for the expression compiler's declared
+semantics (the reference declares hypothesis but never uses it —
+SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.operators.aggregates import salted_agg
+
+SPARK = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global SPARK
+    SPARK = spark
+    yield
+
+
+class TestSaltedAgg:
+    def test_matches_direct_groupby(self, spark):
+        rows = [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)]
+        df = spark.createDataFrame(rows, "k string, v double")
+        direct = {
+            (r.k): (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("k")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("total"),
+                F.min("v").alias("lo"),
+                F.max("v").alias("hi"),
+            )
+            .collect()
+        }
+        salted = {
+            (r.k): (r.n, r.total, r.lo, r.hi)
+            for r in salted_agg(
+                df,
+                ["k"],
+                {"n": ("count", "v"), "total": ("sum", "v"),
+                 "lo": ("min", "v"), "hi": ("max", "v")},
+                n_salts=8,
+            ).collect()
+        }
+        assert direct == salted
+
+    def test_spreads_hot_key(self, spark):
+        df = spark.createDataFrame([("hot", 1.0)] * 200, "k string, v double")
+        plan = salted_agg(df, ["k"], {"n": ("count", "v")})._jdf.queryExecution()
+        # two-stage: two distinct grouping exchanges in the plan
+        assert plan.executedPlan().toString().count("HashAggregate") >= 3
+
+    def test_non_algebraic_rejected(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+        with pytest.raises(KeyError, match="non-algebraic"):
+            salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
+# --- hypothesis property tests --------------------------------------------
+# One small Spark job per example is expensive — cap examples and disable
+# the too-slow health check; the properties target DECLARED semantics
+# (null-preserving clip, rule compiler vs python model).
+
+_vals = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000)),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestExpressionProperties:
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vals=_vals, lo=st.integers(-100, 0), hi=st.integers(1, 100))
+    def test_clip_matches_python_model(self, vals, lo, hi):
+        from polars_pipe_spark.expressions import clip_expr
+
+        df = SPARK.createDataFrame([(v,) for v in vals], "x int")
+        got = [r.c for r in df.select(clip_expr("x", lo, hi).alias("c")).collect()]
+        expected = [None if v is None else max(lo, min(v, hi)) for v in vals]
+        assert sorted(got, key=str) == sorted(expected, key=str)
+
+    @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(vals=_vals, threshold=st.integers(-1000, 1000))
+    def test_gt_rule_matches_python_model(self, vals, threshold):
+        from polars_pipe_spark.expressions import build_rule_expr
+
+        df = SPARK.createDataFrame([(v,) for v in vals], "x int")
+        got = sorted(
+            r.x for r in df.filter(build_rule_expr("x", "gt", threshold)).collect()
+        )
+        expected = sorted(v for v in vals if v is not None and v > threshold)
+        assert got == expected
