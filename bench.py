@@ -54,8 +54,10 @@ def main() -> None:
     # extension queries registered after this file was written run too
     names += [n for n in qmap if n.startswith("x") and n not in names]
 
-    # warm up the JVM/codegen path once with a trivial job
+    # warm up the JVM/codegen path and the Python worker pool (Pandas-UDF
+    # queries pay worker-spawn cost on first use otherwise)
     spark.range(1000).count()
+    spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -243,6 +243,50 @@ SCALAR_FNS: dict[str, Callable[..., Column]] = {
     "md5_hex": _f_func(F.md5),
     "shrink_dtype": lambda col: F.col(col),  # no-op: Spark types are fixed
     "not": lambda col: ~F.col(col),
+    # additional Polars Expr surface (flattened names)
+    "mod": lambda col, other: F.col(col) % other,
+    "floordiv": lambda col, other: F.floor(F.col(col) / other).cast("long"),
+    "clip_min": lambda col, lower_bound: clip_expr(col, lower_bound, None),
+    "clip_max": lambda col, upper_bound: clip_expr(col, None, upper_bound),
+    "is_finite": lambda col: ~F.isnan(col) & F.col(col).isNotNull()
+    & (F.abs(F.col(col)) != float("inf")),
+    "is_infinite": lambda col: F.abs(F.col(col)) == float("inf"),
+    "exp_m1": _f_func(F.expm1),
+    "arctanh": _f_func(F.atanh),
+    "arcsinh": _f_func(F.asinh),
+    "arccosh": _f_func(F.acosh),
+    "to_titlecase": _f_func(F.initcap),
+    "len_bytes": _f_func(F.octet_length),
+    "strip_chars_start": lambda col: F.regexp_replace(F.col(col), r"^\s+", ""),
+    "strip_chars_end": lambda col: F.regexp_replace(F.col(col), r"\s+$", ""),
+    "str_head": lambda col, n: F.col(col).substr(1, n),
+    "str_tail": lambda col, n: F.substring(F.col(col), -n, n),
+    "extract": lambda col, pattern, group_index=1: F.regexp_extract(
+        F.col(col), pattern, group_index
+    ),
+    "count_matches": lambda col, pattern: F.size(
+        F.regexp_extract_all(F.col(col), F.lit(pattern), 0)
+    ),
+    "encode_base64": _f_func(F.base64),
+    "decode_base64": _f_func(F.unbase64),
+    "repeat_str": lambda col, n: F.repeat(F.col(col), n),
+    "epoch_seconds": lambda col: F.unix_timestamp(F.col(col)),
+    "millisecond": lambda col: (F.unix_micros(F.col(col)) % 1_000_000 / 1000).cast("int"),
+    "days_in_month": lambda col: F.dayofmonth(F.last_day(F.col(col))),
+    "month_start": lambda col: F.date_trunc("month", F.col(col)).cast("date"),
+    "month_end": _f_func(F.last_day),
+    "add_days": lambda col, n: F.date_add(F.col(col), n),
+    "list_first": lambda col: F.get(F.col(col), 0),
+    "list_last": lambda col: F.element_at(F.col(col), -1),
+    "list_reverse": _f_func(F.reverse),
+    "list_slice": lambda col, offset, length: F.slice(F.col(col), offset + 1, length),
+    "list_get": lambda col, index: F.get(F.col(col), index),
+    "struct_field": lambda col, name: F.col(col).getField(name),
+    "when_then_otherwise": lambda col, value, other: F.when(
+        F.col(col), F.lit(value)
+    ).otherwise(F.lit(other)),
+    "least_of": lambda col, other: F.least(F.col(col), F.lit(other)),
+    "greatest_of": lambda col, other: F.greatest(F.col(col), F.lit(other)),
 }
 
 # --- aggregate functions, attached as broadcast columns ---------------------
