@@ -401,14 +401,18 @@ def _q19_rollup(spark, sf):
 
 
 def _q20_pivot(spark, sf):
-    """Pivot: order counts per priority × status (explicit pivot values)."""
-    orders = _t(spark, sf, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count(F.lit(1)))
-        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
-        .na.fill(0, ["n_open", "n_filled", "n_partial"])
+    """Pivot: order counts per priority × status (explicit pivot values —
+    no distinct-discovery scan)."""
+    from polars_pipe_spark.operators.reshape import pivot_table
+
+    return pivot_table(
+        _t(spark, sf, "orders"),
+        ["o_orderpriority"],
+        "o_orderstatus",
+        ["O", "F", "P"],
+        F.count(F.lit(1)),
+        rename={"O": "n_open", "F": "n_filled", "P": "n_partial"},
+        fill_value=0,
     )
 
 
@@ -646,11 +650,14 @@ def _q35_cube(spark, sf):
 
 
 def _q36_unpivot(spark, sf):
-    """Unpivot / melt wide columns to long (stack)."""
-    return _t(spark, sf, "part").selectExpr(
-        "p_partkey",
-        "stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) "
-        "AS (metric, value)",
+    """Unpivot / melt wide columns to long (stack — generate node, no
+    shuffle)."""
+    from polars_pipe_spark.operators.reshape import unpivot
+
+    return unpivot(
+        _t(spark, sf, "part"), ["p_partkey"],
+        {"p_size": "size", "p_retailprice": "retailprice"},
+        var_name="metric", value_name="value",
     )
 
 

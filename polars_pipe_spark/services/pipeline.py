@@ -30,6 +30,11 @@ from polars_pipe_spark.operators import transform as tf
 from polars_pipe_spark.operators import validation as vl
 
 
+from polars_pipe_spark.plans.introspect import optimized_plan_lines  # noqa: E402
+
+__all__ = ["build_transform_chain", "optimized_plan_lines", "run_pipeline"]
+
+
 def build_transform_chain(
     df: DataFrame,
     tf_config: TransformConfig,
@@ -59,12 +64,6 @@ def build_transform_chain(
         .transform(tf.select_with_sys_cols_last, select_cols=select_cols)
         .transform(tf.standardise_col_names_if_no_case_insensitive_dupes)
     )
-
-
-def optimized_plan_lines(df: DataFrame) -> list[str]:
-    """Catalyst optimized logical plan as text lines (the artifact the
-    reference stores at basic_pipeline.py:79)."""
-    return df._jdf.queryExecution().optimizedPlan().toString().splitlines()
 
 
 def run_pipeline(
