@@ -521,11 +521,15 @@ def _q27_ngram_jaccard(spark, sf):
     return (
         a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
         .withColumn("n_inter", F.size(F.array_intersect("a.grams", "b.grams")))
+        # integer-form threshold: j = i/(|A|+|B|-i) >= 1/4  <=>  5i >= |A|+|B|.
+        # Exactly equivalent to round(j,6) >= 0.25 for these set sizes (the
+        # nearest rational below 1/4 is > 5e-7 away), and the filter stage
+        # now compares ints instead of re-deriving the float ratio.
+        .filter(5 * F.col("n_inter") >= F.size("a.grams") + F.size("b.grams"))
         .withColumn(
             "n_union", F.size("a.grams") + F.size("b.grams") - F.col("n_inter")
         )
         .withColumn("jaccard", F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6))
-        .filter(F.col("jaccard") >= 0.25)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
     )
 
