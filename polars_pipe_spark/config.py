@@ -45,6 +45,10 @@ class GeneralConfig:
     config_dst_stem: str = "config"
     desc_stats_stem: str = "desc_stats"
     select_cols: list | str = "*"
+    # scale_mode=True switches statistics to sketch algorithms
+    # (approx_percentile / approx_count_distinct) — the 100 TB path where
+    # exact percentiles would need a full sort per column.
+    scale_mode: bool = False
 
     def __post_init__(self) -> None:
         if isinstance(self.date_time, datetime):

@@ -104,7 +104,7 @@ def run_pipeline(
 
     dst = Path(parsed.dst_root) / parsed.guid
     io_wrapper.write(
-        ins.describe_df(valid_df),
+        ins.describe_df(valid_df, approx=parsed.scale_mode),
         dst / parsed.desc_stats_stem / "pre_transform",
         file_type=FileType.PARQUET,
     )
@@ -135,7 +135,7 @@ def run_pipeline(
         io_wrapper.write(invalid_df, dst / parsed.invalid_dst_stem, file_type=dst_file_type)
 
     io_wrapper.write(
-        ins.describe_df(transformed),
+        ins.describe_df(transformed, approx=parsed.scale_mode),
         dst / parsed.desc_stats_stem / "post_transform",
         file_type=FileType.PARQUET,
     )

@@ -89,6 +89,49 @@ class TestStreaming:
         got_batch = {(r.window_start, r.n_events) for r in batch.collect()}
         assert got_stream == got_batch and len(got_batch) == 3
 
+    def test_foreachbatch_pipeline_reuses_batch_stages(self, spark):
+        """streaming_pipeline: the batch transform chain applied per
+        micro-batch via foreachBatch, writing an exactly-once file sink."""
+        import datetime as dt
+
+        from polars_pipe_spark.config import TransformConfig
+        from polars_pipe_spark.services import build_transform_chain
+        from polars_pipe_spark.streaming.pipeline import streaming_pipeline
+
+        rows = [(i, dt.datetime(2024, 1, 1, 0, i), float(i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+        base = tempfile.mkdtemp(prefix="pps_fb_test_")
+        src, out_dir, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        df.write.mode("overwrite").parquet(src)
+
+        tf_config = TransformConfig.from_dict(
+            {"filter_exprs": {"big": ["v", "ge", 5.0]},
+             "new_col_map": {"v2": {"fn_name": "mul_cols", "fn_kwargs": {"cols": ["v", "v"]}}}}
+        )
+
+        def run_batch(batch_df, epoch_id):
+            build_transform_chain(batch_df, tf_config).write.mode("append").parquet(out_dir)
+
+        q = streaming_pipeline(src, df.schema, ckpt, run_batch)
+        q.awaitTermination(120)
+        q.stop()
+        got = spark.read.parquet(out_dir)
+        assert got.count() == 5  # v in 5..9
+        assert {r.v2 for r in got.collect()} == {25.0, 36.0, 49.0, 64.0, 81.0}
+
+    def test_scale_mode_switches_stats_to_sketches(self, spark, employees):
+        from polars_pipe_spark.adapters.io import FakeIOWrapper
+        from polars_pipe_spark.services import run_pipeline
+
+        io = FakeIOWrapper(spark, files={"/src": employees})
+        run_pipeline(
+            io,
+            {"process_name": "p", "src_path": "/src", "src_file_type": "parquet",
+             "dst_root": "/d", "dst_file_type": "parquet", "scale_mode": True},
+        )
+        stats = io.files["/d/abc-123/desc_stats/pre_transform"]
+        assert {r.statistic for r in stats.collect()} >= {"count", "25%", "max"}
+
     def test_streaming_dedupe(self, spark):
         import datetime as dt
 
