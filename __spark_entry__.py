@@ -843,6 +843,38 @@ def _q46_salted_agg(spark, sf):
     return out.withColumn("sum_qty", F.col("sum_qty").cast("double"))
 
 
+def _q47_window_analytics(spark, sf):
+    """Analytic window battery: lag/lead/ntile/percent_rank per customer,
+    deterministic ordering."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def _q48_correlated_subquery(spark, sf):
+    """Correlated scalar subquery through the SQL entry point — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution)."""
+    _t(spark, sf, "orders").createOrReplaceTempView("ord_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM ord_v o
+        WHERE o_totalprice > 2 * (
+          SELECT ROUND(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*), 6)
+          FROM ord_v i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -894,6 +926,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_json_source": _q44_json_source,
     "q45_pipeline_service": _q45_pipeline_service,
     "q46_salted_agg": _q46_salted_agg,
+    "q47_window_analytics": _q47_window_analytics,
+    "q48_correlated_subquery": _q48_correlated_subquery,
 }
 
 
@@ -1411,6 +1445,26 @@ _ORACLES["q46_salted_agg"] = """
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
     FROM lineitem GROUP BY l_returnflag
+"""
+
+_ORACLES["q47_window_analytics"] = """
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+_ORACLES["q48_correlated_subquery"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT ROUND(CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 6)
+      FROM orders i WHERE i.o_custkey = o.o_custkey
+    )
 """
 
 
