@@ -875,6 +875,74 @@ def _q48_correlated_subquery(spark, sf):
     )
 
 
+def _q49_tpch_q3(spark, sf):
+    """TPC-H Q3 shape: shipping priority — 3-way join, filtered on both
+    sides, grouped revenue, deterministic top-10."""
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+    return out
+
+
+def _q50_tpch_q6(spark, sf):
+    """TPC-H Q6 shape: single-scan predicate aggregation (the canonical
+    pushdown + codegen microbenchmark)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _q51_tpch_q18(spark, sf):
+    """TPC-H Q18 shape: large-order customers — aggregate subquery feeding
+    a semi-join, then re-aggregation."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("tot_qty"))
+        .filter(F.col("tot_qty") > 250)
+        .select("l_orderkey", "tot_qty")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("cust_name"),
+            "o_orderkey",
+            "o_totalprice",
+            F.col("tot_qty").cast("double").alias("tot_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -928,6 +996,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_salted_agg": _q46_salted_agg,
     "q47_window_analytics": _q47_window_analytics,
     "q48_correlated_subquery": _q48_correlated_subquery,
+    "q49_tpch_q3": _q49_tpch_q3,
+    "q50_tpch_q6": _q50_tpch_q6,
+    "q51_tpch_q18": _q51_tpch_q18,
 }
 
 
@@ -1465,6 +1536,43 @@ _ORACLES["q48_correlated_subquery"] = """
                    / COUNT(*), 6)
       FROM orders i WHERE i.o_custkey = o.o_custkey
     )
+"""
+
+_ORACLES["q49_tpch_q3"] = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+_ORACLES["q50_tpch_q6"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+"""
+
+_ORACLES["q51_tpch_q18"] = """
+    SELECT c_custkey, c_name AS cust_name, o_orderkey, o_totalprice,
+           CAST(tot_qty AS DOUBLE) AS tot_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tot_qty
+      FROM lineitem GROUP BY l_orderkey HAVING tot_qty > 250
+    )
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
 """
 
 

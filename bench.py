@@ -37,6 +37,8 @@ HEADLINE = [
     "q30_multimodal_features",
     "q31_windowed_events",
     "q34_embedding_neardup",
+    "q49_tpch_q3",
+    "q50_tpch_q6",
 ]
 
 
