@@ -97,6 +97,24 @@ class TestRealIO:
         n = estimate_rows_per_file(employees, target_size_gb=0.001)
         assert n >= 1
 
+    def test_read_yaml_not_implemented(self, spark):
+        io = IOWrapper(spark)
+        with pytest.raises(NotImplementedError, match="read"):
+            io.read("/x.yaml", "yaml")
+
+    def test_sized_sink_splits_files(self, spark, tmp_path):
+        """S8: a tiny target size must yield multiple part files —
+        the distributed replacement for the reference's chunked sink."""
+        df = spark.createDataFrame(
+            [(i, "x" * 500) for i in range(2000)], "id int, payload string"
+        ).coalesce(1)
+        io = IOWrapper(spark)
+        dst = str(tmp_path / "chunks")
+        io.write(df, dst, "parquet", target_size_gb=0.00001)
+        parts = list((tmp_path / "chunks").glob("*.parquet"))
+        assert len(parts) > 1
+        assert spark.read.parquet(dst).count() == 2000
+
     def test_unsupported_write_raises(self, spark, employees):
         io = IOWrapper(spark)
 

@@ -87,6 +87,37 @@ class TestSessionize:
         assert got[(2, ts(5))] == 1
 
 
+class TestSessionWindowParity:
+    def test_sessionize_matches_builtin_session_window(self, spark):
+        """Gap-based sessionize must group events exactly like Spark's
+        built-in session_window (merged gap windows)."""
+        import random
+
+        import pyspark.sql.functions as F
+
+        random.seed(7)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for uid in range(5):
+            t = t0
+            for _ in range(40):
+                t += dt.timedelta(minutes=random.choice([1, 5, 50]))
+                rows.append((uid, t))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+        mine = (
+            sessionize(df, "user_id", "ts", gap_minutes=30)
+            .groupBy("user_id", "session_id")
+            .count()
+        )
+        builtin = (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id").count()
+        )
+        mine_sizes = sorted((r.user_id, r["count"]) for r in mine.collect())
+        builtin_sizes = sorted((r.user_id, r["count"]) for r in builtin.collect())
+        assert mine_sizes == builtin_sizes
+
+
 class TestTopK:
     def test_topk(self, spark):
         df = spark.createDataFrame(
