@@ -29,8 +29,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_pipe_spark.sources import read_parquet_table
 
     # the driver may hand us a session it built itself — pin the confs the
-    # oracle comparison depends on (both are runtime-settable)
+    # oracle comparison depends on, and size shuffles for the testdata
+    # scale (all runtime-settable)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
 
 

@@ -95,3 +95,46 @@ class TestExpressionProperties:
         )
         expected = sorted(v for v in vals if v is not None and v > threshold)
         assert got == expected
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.integers(-100, 100)),
+                st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        threshold=st.integers(-100, 100),
+        allowed=st.sets(st.sampled_from(["a", "b", "c"]), min_size=1),
+    )
+    def test_validate_split_matches_python_model(self, rows, threshold, allowed):
+        """Differential test: validate_df vs a pure-Python rule model —
+        partition totality (valid+invalid == input) and per-row reasons."""
+        from polars_pipe_spark.operators.validation import (
+            parse_validation_config,
+            validate_df,
+        )
+
+        df = SPARK.createDataFrame(rows, "x int, s string")
+        rules = parse_validation_config(
+            {"x big": ["x", "gt", threshold], "s ok": ["s", "is_in", sorted(allowed)]}
+        )
+        valid, invalid = validate_df(df, rules)
+        v_rows = [(r.x, r.s) for r in valid.collect()]
+        i_rows = {(r.x, r.s, r.error_reason) for r in invalid.collect()}
+
+        def model(x, s):
+            fails = []
+            if not (x is not None and x > threshold):
+                fails.append("x big")
+            if not (s is not None and s in allowed):
+                fails.append("s ok")
+            return ",".join(fails)
+
+        exp_valid = sorted((x, s) for x, s in rows if model(x, s) == "")
+        exp_invalid = {(x, s, model(x, s)) for x, s in rows if model(x, s)}
+        assert sorted(v_rows) == exp_valid
+        assert i_rows == exp_invalid
+        assert len(v_rows) + invalid.count() == len(rows)
