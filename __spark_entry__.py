@@ -946,6 +946,72 @@ def _q51_tpch_q18(spark, sf):
     )
 
 
+def _q52_merge_upsert(spark, sf):
+    """CDC merge/upsert emulation (anti-join + union): a deterministic
+    'changed orders' batch replaces matching rows and inserts new keys."""
+    from polars_pipe_spark.operators.cdc import merge_upsert
+
+    base = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit("1.1").cast("decimal(3,2)"),
+                2,
+            ).cast("double"),
+        )
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    new_keys = spark.range(3).select(
+        (F.col("id") - 10).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(0.0).alias("o_totalprice"),
+    )
+    return merge_upsert(base, updates.unionByName(new_keys), ["o_orderkey"])
+
+
+def _q53_hash_split(spark, sf):
+    """Deterministic train/test split + hash sampling by key content
+    (portable md5 buckets — rows never migrate between splits)."""
+    from polars_pipe_spark.functions.sampling import md5_bucket, train_test_split
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    out = train_test_split(docs, "doc_id", test_fraction=0.1)
+    return out.withColumn("bucket", md5_bucket("doc_id", 100))
+
+
+def _q54_vocab_topk(spark, sf):
+    """Vocabulary statistics: explode tokens, global top-20 by frequency
+    (deterministic ties by token)."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("token", "n", "rk")
+    )
+
+
+def _q55_length_histogram(spark, sf):
+    """Document-length histogram: 50-char buckets with per-bucket stats."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.withColumn("bucket", F.floor(F.col("n_chars") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1002,6 +1068,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_tpch_q3": _q49_tpch_q3,
     "q50_tpch_q6": _q50_tpch_q6,
     "q51_tpch_q18": _q51_tpch_q18,
+    "q52_merge_upsert": _q52_merge_upsert,
+    "q53_hash_split": _q53_hash_split,
+    "q54_vocab_topk": _q54_vocab_topk,
+    "q55_length_histogram": _q55_length_histogram,
 }
 
 
@@ -1576,6 +1646,44 @@ _ORACLES["q51_tpch_q18"] = """
     )
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
+"""
+
+_ORACLES["q52_merge_upsert"] = """
+    WITH updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT CAST(x - 10 AS BIGINT), 'N', 0.0 FROM range(3) t(x)
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+"""
+
+_ORACLES["q53_hash_split"] = """
+    SELECT doc_id, source, n_chars,
+           CASE WHEN ((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 < 10 THEN 'test' ELSE 'train' END AS split,
+           ((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+    FROM documents
+"""
+
+_ORACLES["q54_vocab_topk"] = """
+    WITH tok AS (
+      SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') != ''
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    )
+    SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS rk
+    FROM counts QUALIFY rk <= 20
+"""
+
+_ORACLES["q55_length_histogram"] = """
+    SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
 """
 
 
