@@ -1012,6 +1012,123 @@ def _q55_length_histogram(spark, sf):
     )
 
 
+def _q56_winsorize(spark, sf):
+    """Outlier clipping at exact p01/p99 (percentiles via one agg,
+    broadcast to every row, null-preserving clip)."""
+    from polars_pipe_spark.expressions import clip_expr
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", 0.01).alias("p01"),
+        F.percentile("l_extendedprice", 0.99).alias("p99"),
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "price_winsorized",
+            F.round(
+                F.when(F.col("l_extendedprice").isNull(), F.lit(None)).otherwise(
+                    F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+                ),
+                6,
+            ),
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.round("p01", 6).alias("p01"), F.round("p99", 6).alias("p99"),
+            "price_winsorized",
+        )
+    )
+
+
+def _q57_group_zscore(spark, sf):
+    """Per-group z-score normalisation with decimal-exact moments
+    (sum and sum-of-squares in DECIMAL so the group stats are
+    order-independent; std derived from exact sums)."""
+    li = _t(spark, sf, "lineitem")
+    xd = F.col("l_extendedprice").cast("decimal(18,4)")
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(xd).alias("s1"),
+            F.sum(xd * xd).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("mean", F.col("s1").cast("double") / F.col("n"))
+        .withColumn(
+            "std",
+            F.sqrt(
+                (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .select("l_returnflag", "mean", "std")
+    )
+    return (
+        li.join(F.broadcast(stats), "l_returnflag")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber",
+            F.round((F.col("l_extendedprice") - F.col("mean")) / F.col("std"), 6).alias("zscore"),
+        )
+    )
+
+
+def _q58_tfidf(spark, sf):
+    """TF-IDF: term frequency per doc × inverse document frequency,
+    top-3 terms per document (deterministic ties)."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rk")
+    )
+
+
+def _q59_label_centroids(spark, sf):
+    """Per-label embedding centroids in long format (label, dim, mean):
+    posexplode + decimal-exact element sums — the distributed way to
+    average vectors without driver collection."""
+    emb = _t(spark, sf, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("vd", F.round(F.col("v").cast("double"), 6).cast("decimal(12,6)"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.sum("vd").cast("double") / F.count(F.lit(1)), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def _q60_trailing_window(spark, sf):
+    """Time-range window: 7-day trailing quantity per supplier
+    (rangeBetween on epoch seconds — includes all ties, order-free)."""
+    li = _t(spark, sf, "lineitem")
+    epoch = F.unix_timestamp("l_shipdate")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(epoch)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum("l_quantity").over(w).alias("qty_7d"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1072,6 +1189,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_hash_split": _q53_hash_split,
     "q54_vocab_topk": _q54_vocab_topk,
     "q55_length_histogram": _q55_length_histogram,
+    "q56_winsorize": _q56_winsorize,
+    "q57_group_zscore": _q57_group_zscore,
+    "q58_tfidf": _q58_tfidf,
+    "q59_label_centroids": _q59_label_centroids,
+    "q60_trailing_window": _q60_trailing_window,
 }
 
 
@@ -1684,6 +1806,79 @@ _ORACLES["q55_length_histogram"] = """
     SELECT CAST(FLOOR(n_chars / 50) AS BIGINT) AS bucket, COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY 1
+"""
+
+_ORACLES["q56_winsorize"] = """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           ROUND(p01, 6) AS p01, ROUND(p99, 6) AS p99,
+           ROUND(LEAST(GREATEST(l_extendedprice, p01), p99), 6) AS price_winsorized
+    FROM lineitem CROSS JOIN b
+"""
+
+_ORACLES["q57_group_zscore"] = """
+    WITH s AS (
+      SELECT l_returnflag,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS s1,
+             SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS s2,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+      FROM s
+    )
+    SELECT l.l_returnflag, l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - mean) / std, 6) AS zscore
+    FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+"""
+
+_ORACLES["q58_tfidf"] = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents WHERE regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') != ''
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dft AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+             ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN nd
+    )
+    SELECT doc_id, token, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS INT) AS rk
+    FROM scored QUALIFY rk <= 3
+"""
+
+_ORACLES["q59_label_centroids"] = """
+    WITH e AS (
+      SELECT label, i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS vd
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS mean_val,
+           COUNT(*) AS n_vecs
+    FROM e GROUP BY label, dim
+"""
+
+_ORACLES["q60_trailing_window"] = """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           SUM(l_quantity) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
+           ) AS qty_7d
+    FROM lineitem
 """
 
 
