@@ -1129,6 +1129,49 @@ def _q60_trailing_window(spark, sf):
     )
 
 
+def _q61_fuzzy_join(spark, sf):
+    """Fuzzy record linkage: customer names against corrupted probe names
+    by Levenshtein distance <= 2, blocked on name length band (the
+    blocking join bounds the candidate pairs — no all-pairs product)."""
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
+    )
+    probes = (
+        cust.filter(F.col("cust_id") % 97 == 0)
+        .select(
+            F.col("cust_id").alias("probe_id"),
+            # deterministic corruption: drop the 3rd character
+            F.concat(
+                F.substring("name", 1, 2), F.substring("name", 4, 100)
+            ).alias("probe_name"),
+        )
+    )
+    blocked = cust.withColumn("blk", F.floor(F.length("name") / 4))
+    probes_b = probes.withColumn("blk", F.floor(F.length("probe_name") / 4))
+    cand = blocked.join(F.broadcast(probes_b), "blk").drop("blk")
+    cand = cand.unionByName(
+        blocked.withColumn("blk", F.col("blk") - 1)
+        .join(F.broadcast(probes_b), "blk")
+        .drop("blk")
+    ).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("name", "probe_name"))
+        .filter(F.col("dist") <= 2)
+        .select("probe_id", "cust_id", "name", "probe_name", "dist")
+    )
+
+
+def _q62_group_percentiles(spark, sf):
+    """Exact per-group percentiles (median + p90) — the grouped form of
+    the describe statistics."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1194,6 +1237,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_tfidf": _q58_tfidf,
     "q59_label_centroids": _q59_label_centroids,
     "q60_trailing_window": _q60_trailing_window,
+    "q61_fuzzy_join": _q61_fuzzy_join,
+    "q62_group_percentiles": _q62_group_percentiles,
 }
 
 
@@ -1879,6 +1924,40 @@ _ORACLES["q60_trailing_window"] = """
              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW
            ) AS qty_7d
     FROM lineitem
+"""
+
+_ORACLES["q61_fuzzy_join"] = """
+    WITH cust AS (
+      SELECT c_custkey AS cust_id, lower(c_name) AS name FROM customer
+    ), probes AS (
+      SELECT cust_id AS probe_id,
+             substr(name, 1, 2) || substr(name, 4) AS probe_name
+      FROM cust WHERE cust_id % 97 = 0
+    ), blocked AS (
+      SELECT *, CAST(FLOOR(length(name) / 4) AS BIGINT) AS blk FROM cust
+    ), probes_b AS (
+      SELECT *, CAST(FLOOR(length(probe_name) / 4) AS BIGINT) AS blk FROM probes
+    ), cand AS (
+      SELECT DISTINCT cust_id, name, probe_id, probe_name FROM (
+        SELECT b.cust_id, b.name, p.probe_id, p.probe_name
+        FROM blocked b JOIN probes_b p USING (blk)
+        UNION ALL
+        SELECT b.cust_id, b.name, p.probe_id, p.probe_name
+        FROM (SELECT cust_id, name, blk - 1 AS blk FROM blocked) b
+        JOIN probes_b p USING (blk)
+      )
+    )
+    SELECT probe_id, cust_id, name, probe_name,
+           levenshtein(name, probe_name) AS dist
+    FROM cand WHERE levenshtein(name, probe_name) <= 2
+"""
+
+_ORACLES["q62_group_percentiles"] = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 

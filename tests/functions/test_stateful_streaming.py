@@ -8,6 +8,57 @@ import tempfile
 from polars_pipe_spark.streaming.pipeline import stateful_running_totals
 
 
+class TestStreamStreamJoin:
+    def test_interval_join_between_two_streams(self, spark):
+        """Stream-stream inner join with watermarks + time-interval
+        condition (purchases matched to clicks within the prior hour)."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, 7, dt.datetime(2024, 1, 1, 10, 0), "click", 1.0),
+            (2, 7, dt.datetime(2024, 1, 1, 10, 30), "purchase", 9.0),  # joins click@10:00
+            (3, 7, dt.datetime(2024, 1, 1, 13, 0), "purchase", 5.0),   # no click within 1h
+            (4, 8, dt.datetime(2024, 1, 1, 10, 15), "purchase", 2.0),  # other user: no click
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        )
+        src = tempfile.mkdtemp(prefix="pps_ssj_test_") + "/src"
+        df.write.mode("overwrite").parquet(src)
+
+        def stream():
+            return spark.readStream.schema(df.schema).parquet(src)
+
+        purchases = stream().filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        ).withWatermark("p_ts", "2 hours")
+        clicks = stream().filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("event_id").alias("c_id"),
+            F.col("ts").alias("c_ts"),
+        ).withWatermark("c_ts", "2 hours")
+
+        # stream-stream joins REQUIRE an equality predicate (state keying);
+        # the interval condition bounds state via both watermarks
+        joined = purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ssj_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        got = {(r.p_id, r.c_id) for r in spark.table("t_ssj_out").collect()}
+        assert got == {(2, 1)}
+
+
 class TestStatefulRunningTotals:
     def test_totals_accumulate_across_batches(self, spark):
         rows = [
