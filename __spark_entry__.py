@@ -1172,6 +1172,20 @@ def _q62_group_percentiles(spark, sf):
     )
 
 
+def _q63_dedup_clusters(spark, sf):
+    """Connected components over MinHash near-dup pairs: (A,B),(B,C)
+    collapse into one cluster keyed by min doc id — iterative min-label
+    propagation, oracle-checked against a recursive CTE."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(
+        _t_par(spark, sf, "documents"), "text", "doc_id",
+        shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
+    ).select("id_a", "id_b").persist()
+    out = dedup_clusters(pairs)
+    return out.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1239,6 +1253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_trailing_window": _q60_trailing_window,
     "q61_fuzzy_join": _q61_fuzzy_join,
     "q62_group_percentiles": _q62_group_percentiles,
+    "q63_dedup_clusters": _q63_dedup_clusters,
 }
 
 
@@ -1958,6 +1973,26 @@ _ORACLES["q62_group_percentiles"] = """
            ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
            COUNT(*) AS n_rows
     FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+# q63 oracle: same pair generation as q25, then recursive-CTE connected
+# components (min reachable id per node)
+_Q25_BODY = _ORACLES["q25_minhash_neardup"]
+_ORACLES["q63_dedup_clusters"] = f"""
+    WITH RECURSIVE prs AS (
+      {_Q25_BODY}
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM edges
+    ), walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    )
+    SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n
 """
 
 

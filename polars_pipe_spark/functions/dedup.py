@@ -220,6 +220,74 @@ def hamming_distance(a: Column, b: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (node, cluster_id) where
+    cluster_id = min node id in the connected component. The canonical
+    last step of near-dedup: pairs (A,B),(B,C) must collapse to ONE
+    cluster {A,B,C}, not two.
+
+    Iterative min-label propagation (the Spark-idiomatic connected
+    components): each round joins labels across edges and keeps the
+    per-node minimum; converges in O(component diameter) rounds — near-dup
+    clusters are shallow, so a handful. Each round is one shuffle; the
+    label frame is persisted per round and the loop stops early on a
+    fixpoint (count of changed labels = 0).
+    """
+    # localCheckpoint (not persist): iterative self-joins grow the LOGICAL
+    # plan every round even when data is cached, and Catalyst re-analyzes
+    # the whole history each iteration — minutes of driver time by round
+    # ~10. Checkpointing truncates the lineage so every round plans
+    # against a flat scan.
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (delegates to similarity module)
 # ---------------------------------------------------------------------------
 

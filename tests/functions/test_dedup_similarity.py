@@ -68,6 +68,26 @@ class TestSimHash:
         assert near <= far  # near-dup is no farther than unrelated doc
 
 
+class TestDedupClusters:
+    def test_transitive_closure(self, spark):
+        """(1,2),(2,3) and (5,6) → clusters {1,2,3} and {5,6}; chain
+        collapses transitively even though (1,3) was never a pair."""
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        out = {r.node: r.cluster_id for r in dd.dedup_clusters(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    def test_long_chain_converges(self, spark):
+        n = 12
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+        )
+        out = {r.node: r.cluster_id for r in dd.dedup_clusters(pairs, max_iterations=20).collect()}
+        assert set(out.values()) == {0}
+        assert len(out) == n + 1
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
