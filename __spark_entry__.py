@@ -1186,6 +1186,28 @@ def _q63_dedup_clusters(spark, sf):
     return out.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+def _q64_frame_sampling(spark, sf):
+    """Multimodal frame sampling: one row per sampled frame (row explosion
+    via mapInPandas; frame hashes content-derived and portable)."""
+    from polars_pipe_spark.functions.multimodal import media_from_text_column, sample_frames
+
+    docs = media_from_text_column(_t_par(spark, sf, "documents"), "text")
+    return sample_frames(docs, every_n=100, max_frames=3)
+
+
+def _q65_orc_source(spark, sf):
+    """S-extension: ORC source/sink round-trip through the IO adapter."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import IOWrapper
+
+    io = IOWrapper(spark)
+    staged = tempfile.mkdtemp(prefix="pps_orc_") + "/nation_orc"
+    _t(spark, sf, "nation").write.mode("overwrite").orc(staged)
+    df = io.read(staged, "orc")
+    return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1254,6 +1276,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_fuzzy_join": _q61_fuzzy_join,
     "q62_group_percentiles": _q62_group_percentiles,
     "q63_dedup_clusters": _q63_dedup_clusters,
+    "q64_frame_sampling": _q64_frame_sampling,
+    "q65_orc_source": _q65_orc_source,
 }
 
 
@@ -1993,6 +2017,18 @@ _ORACLES["q63_dedup_clusters"] = f"""
       SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
     )
     SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n
+"""
+
+_ORACLES["q64_frame_sampling"] = """
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_hash
+    FROM documents,
+         (SELECT unnest(range(0, 3)) AS i)
+    WHERE i < LEAST(3, GREATEST(1, octet_length(encode(text)) // 100))
+"""
+
+_ORACLES["q65_orc_source"] = """
+    SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey
 """
 
 

@@ -38,6 +38,7 @@ class FileType(Enum):
     JSON = "json"
     PARQUET = "parquet"
     CSV = "csv"
+    ORC = "orc"
     YAML = "yaml"
 
     @classmethod
@@ -113,12 +114,16 @@ class IOBase(ABC):
     def _read_json(self, path: str, **kw: Any) -> DataFrame:
         return self.spark.read.json(path, **kw)
 
+    def _read_orc(self, path: str, **kw: Any) -> DataFrame:
+        return self.spark.read.orc(path, **kw)
+
     @property
     def _read_funcs(self) -> dict[FileType, Any]:
         return {
             FileType.PARQUET: self._read_parquet,
             FileType.CSV: self._read_csv,
             FileType.JSON: self._read_json,
+            FileType.ORC: self._read_orc,
         }
 
     def _write_parquet(self, df: DataFrame, path: str, **kw: Any) -> None:
@@ -126,6 +131,9 @@ class IOBase(ABC):
 
     def _write_csv(self, df: DataFrame, path: str, **kw: Any) -> None:
         df.write.mode("overwrite").option("header", True).csv(str(path), **kw)
+
+    def _write_orc(self, df: DataFrame, path: str, **kw: Any) -> None:
+        df.write.mode("overwrite").orc(str(path), **kw)
 
     def _write_yaml(self, data: dict, path: str, **kw: Any) -> None:
         write_yaml(data, path)
@@ -135,6 +143,7 @@ class IOBase(ABC):
         return {
             FileType.PARQUET: self._write_parquet,
             FileType.CSV: self._write_csv,
+            FileType.ORC: self._write_orc,
             FileType.YAML: self._write_yaml,
         }
 
