@@ -165,10 +165,51 @@ def minhash_near_dups(
     sig_k: int = 8,
     n_bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = False,
 ) -> DataFrame:
-    """Full pipeline: LSH candidates → exact Jaccard → threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, shingle_k, sig_k, n_bands)
-    return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+    """Full pipeline: LSH candidates → exact Jaccard → threshold.
+
+    The single-DAG formulation derives the signatures FROM the
+    distinct-shingle sets (one tokenise+shingle pipeline feeding both the
+    banding branch and the verification join) instead of recomputing
+    shingles per branch. ``materialize=True`` additionally
+    localCheckpoints the sets — measured SLOWER here (object-serialized
+    RDD scans of big array columns defeat whole-stage codegen; the
+    recompute is cheaper), kept only as an escape hatch for very
+    expensive upstream pipelines."""
+    rows_per_band = sig_k // n_bands
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    if materialize:
+        sets = sets.localCheckpoint()
+
+    sig_df = sets.select(
+        "id",
+        F.slice(F.array_sort(F.transform("sh", lambda s: F.md5(s))), 1, sig_k).alias("sig"),
+    )
+    banded = sig_df.select(
+        "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
+    ).distinct()
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cands.join(sets.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter").cast("double") / F.col("n_union"), 6),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
 # ---------------------------------------------------------------------------
