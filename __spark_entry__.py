@@ -1208,6 +1208,25 @@ def _q65_orc_source(spark, sf):
     return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
 
 
+def _q66_range_join(spark, sf):
+    """Point-in-interval range join via bucketisation: event values into
+    fixed value bands — the equi-join-on-bucket plan, not a nested-loop
+    range join."""
+    from polars_pipe_spark.operators.joins import range_join
+
+    ev = _t(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(
+        [(i, float(i * 10), float((i + 1) * 10)) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1278,6 +1297,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_dedup_clusters": _q63_dedup_clusters,
     "q64_frame_sampling": _q64_frame_sampling,
     "q65_orc_source": _q65_orc_source,
+    "q66_range_join": _q66_range_join,
 }
 
 
@@ -2029,6 +2049,17 @@ _ORACLES["q64_frame_sampling"] = """
 
 _ORACLES["q65_orc_source"] = """
     SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY n_regionkey
+"""
+
+_ORACLES["q66_range_join"] = """
+    WITH bands AS (
+      SELECT CAST(i AS INT) AS band_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      FROM (SELECT unnest(range(0, 10)) AS i)
+    )
+    SELECT band_id, COUNT(*) AS n_events,
+           ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v
+    FROM events JOIN bands ON lo <= value AND value < hi
+    GROUP BY band_id
 """
 
 
