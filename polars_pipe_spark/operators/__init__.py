@@ -1,3 +1,21 @@
-from polars_pipe_spark.operators import inspect, transform, validation
+from polars_pipe_spark.operators import (
+    aggregates,
+    cdc,
+    inspect,
+    joins,
+    reshape,
+    transform,
+    validation,
+    windows,
+)
 
-__all__ = ["inspect", "transform", "validation"]
+__all__ = [
+    "aggregates",
+    "cdc",
+    "inspect",
+    "joins",
+    "reshape",
+    "transform",
+    "validation",
+    "windows",
+]

@@ -134,6 +134,38 @@ class TestFullRun:
             "sys_col_proc_datetime",
         ]
 
+    def test_nest_unnest_and_custom_transform_chain(self, io, spark):
+        from pyspark.sql import functions as F
+
+        def add_tax(df, rate=0.1):
+            return df.withColumn("salary_taxed", F.col("salary") * (1 - rate))
+
+        cfg = {
+            "process_name": "proc",
+            "src_path": SRC,
+            "src_file_type": "parquet",
+            "dst_root": DST,
+            "dst_file_type": "parquet",
+            "transformations": {
+                "unnest_cols": ["projects"],
+                "nest_cols": {"pay": ["salary", "bonus"]},
+            },
+            "custom_transformations": {"add_tax": {"rate": 0.2}},
+        }
+        # custom transform runs AFTER nesting (chain order) — reference a
+        # top-level col that survives: rewrite to use nested field
+        def add_tax_nested(df, rate=0.1):
+            return df.withColumn("salary_taxed", F.col("pay.salary") * (1 - rate))
+
+        run_pipeline(io, cfg, custom_transformation_fns={"add_tax": add_tax_nested})
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        rows = {r.name: r for r in out.collect()}
+        # struct nested, originals dropped, unnested projects fields present
+        assert "pay" in out.columns and "salary" not in out.columns
+        assert {"a", "b"} <= set(out.columns)
+        assert rows["alice"].pay.salary == 50000.0
+        assert rows["alice"].salary_taxed == 40000.0
+
     def test_missing_expected_col_raises(self, io):
         cfg = full_config()
         cfg["validation"]["ghost rule"] = ["ghost_col", "is_not_null", None]
