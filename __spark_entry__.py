@@ -288,12 +288,14 @@ def _q13_tpch_q1(spark, sf):
             ).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # No F.round on the averages: Spark rounds doubles HALF_UP, DuckDB
+        # HALF_EVEN, so rounding at a tie diverges (round-1 driver hash
+        # mismatch). The decimal sums convert to the identical nearest
+        # double on both engines (values < 2^53 at bench scales) and IEEE
+        # division is bitwise deterministic — the raw quotient matches.
+        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
         .withColumn(
-            "avg_qty", F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6)
-        )
-        .withColumn(
-            "avg_price",
-            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6),
+            "avg_price", F.col("sum_base_price").cast("double") / F.col("count_order")
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -448,7 +450,12 @@ def _q22_sessionize(spark, sf):
     from polars_pipe_spark.operators.windows import sessionize
 
     ev = _t(spark, sf, "events")
-    s = sessionize(ev, user_col="user_id", ts_col="ts", gap_minutes=30)
+    # event_id tiebreak: with tied (user_id, ts) rows, ordering by ts alone
+    # makes the session split at a gap boundary nondeterministic run-to-run
+    # (round-1 driver hash mismatch).
+    s = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_minutes=30, tiebreak_cols=["event_id"]
+    )
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -990,12 +997,13 @@ def _q54_vocab_topk(spark, sf):
     docs = _t_par(spark, sf, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # orderBy().limit(k) plans TakeOrderedAndProject (per-partition top-k +
+    # driver merge) — never a single-partition global sort of the whole
+    # vocabulary (round-1 scale-killer: one reducer for a 100 TB corpus).
+    # The rank window then runs over just the 20 surviving rows.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .select("token", "n", "rk")
-    )
+    return top.withColumn("rk", F.row_number().over(w)).select("token", "n", "rk")
 
 
 def _q55_length_histogram(spark, sf):
@@ -1395,8 +1403,8 @@ _ORACLES: dict[str, str] = {
                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
                COUNT(*) AS count_order,
-               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -1453,9 +1461,9 @@ _ORACLES: dict[str, str] = {
     """,
     "q20_pivot": """
         SELECT o_orderpriority,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_filled,
-               COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS n_partial
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
         FROM orders GROUP BY o_orderpriority
     """,
     "q21_asof_join": """
@@ -1467,14 +1475,14 @@ _ORACLES: dict[str, str] = {
     """,
     "q22_sessionize": """
         WITH gaps AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
           SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS session_id
           FROM gaps
         )

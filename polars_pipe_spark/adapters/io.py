@@ -50,27 +50,61 @@ DEFAULT_TARGET_FILE_GB = 1.0
 _SAMPLE_ROWS = 10_000
 
 
+def sizing_sample_path(dst: str | Path) -> str:
+    """Sibling staging dir for the sizing sample, derived from the
+    DESTINATION path so it lives on the destination's filesystem (HDFS/
+    S3/local alike). A driver-local tempdir would measure 0 bytes on a
+    real cluster where executors write to the default FS — silently
+    disabling the ~1 GB sizing."""
+    return f"{str(dst).rstrip('/')}__sizing_tmp_{uuid4().hex[:8]}"
+
+
+def _hadoop_fs(df: DataFrame, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop FS API — the only
+    byte-sizing route that works uniformly across file://, hdfs:// and
+    s3a:// (driver-side ``Path.rglob`` only sees local disk)."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def estimate_rows_per_file(
-    df: DataFrame, target_size_gb: float = DEFAULT_TARGET_FILE_GB
+    df: DataFrame,
+    target_size_gb: float = DEFAULT_TARGET_FILE_GB,
+    sample_path: str | None = None,
 ) -> int:
     """Estimate rows per ~target_size_gb parquet file from a 10k-row sample.
 
-    Writes the sample to a temp parquet dir and measures on-disk bytes —
-    the estimate therefore reflects parquet encoding + compression, which
-    is what actually lands in the sink (the reference samples in-memory
-    size instead, io_pl.py:77-79)."""
-    sample_dir = Path(tempfile.mkdtemp(prefix="pps_sample_")) / "sample"
+    Writes the sample to ``sample_path`` (REQUIRED to be on the sink's
+    filesystem — pass ``sizing_sample_path(dst)``; defaults to a local
+    tempdir only as a test convenience) and measures on-disk bytes via
+    the Hadoop FS API — the estimate therefore reflects parquet encoding
+    + compression, which is what actually lands in the sink (the
+    reference samples in-memory size instead, io_pl.py:77-79).
+
+    The sample is materialised exactly once: ``df.limit(n)`` is
+    re-evaluated and non-deterministic, so the row count is read back
+    from the written files (parquet footer metadata — no data scan),
+    keeping bytes and rows measured over the same rows."""
+    own_tmp = sample_path is None
+    if own_tmp:
+        sample_path = str(Path(tempfile.mkdtemp(prefix="pps_sample_")) / "sample")
+    fs, hpath = _hadoop_fs(df, sample_path)
     try:
-        sample = df.limit(_SAMPLE_ROWS)
-        sample.coalesce(1).write.mode("overwrite").parquet(str(sample_dir))
-        n = sample.count()
+        df.limit(_SAMPLE_ROWS).write.mode("overwrite").parquet(sample_path)
+        spark = df.sparkSession
+        n = spark.read.parquet(sample_path).count()
         if n == 0:
             return 1_000_000
-        size = sum(f.stat().st_size for f in sample_dir.rglob("*.parquet"))
-        avg_row = max(size / n, 1e-9)
+        size = fs.getContentSummary(hpath).getLength()
+        avg_row = max(size / n, 1.0)
         return max(int((target_size_gb * 1e9) / avg_row), 1)
     finally:
-        shutil.rmtree(sample_dir.parent, ignore_errors=True)
+        fs.delete(hpath, True)
+        if own_tmp:
+            shutil.rmtree(Path(sample_path).parent, ignore_errors=True)
 
 
 def write_parquet_sized(
@@ -82,7 +116,9 @@ def write_parquet_sized(
     """Distributed parquet sink targeting ~target_size_gb part files."""
     writer = df.write.mode(mode)
     if target_size_gb:
-        rows_per_file = estimate_rows_per_file(df, target_size_gb)
+        rows_per_file = estimate_rows_per_file(
+            df, target_size_gb, sample_path=sizing_sample_path(path)
+        )
         writer = writer.option("maxRecordsPerFile", rows_per_file)
     writer.parquet(str(path))
 

@@ -107,3 +107,19 @@ class TestPartitionedWindows:
         # every Window node partitions by user_id — no single-partition sort
         assert "Window" in p
         assert "SinglePartition" not in p
+
+    def test_global_topk_is_take_ordered(self, spark):
+        """Global top-k must plan TakeOrderedAndProject (per-partition top-k
+        + driver merge), never an all-rows single-partition sort — the
+        round-1 q54 scale-killer."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["q54_vocab_topk"](spark, "/root/testdata/sf0.001")
+        p = physical(df)
+        assert p.count("TakeOrderedAndProject") == 1
+        # A SinglePartition exchange may only sit ABOVE the top-k (the
+        # trivial 20-row rank window); plans print parents first, so any
+        # such exchange must appear before TakeOrderedAndProject in the
+        # string — nothing below it sorts the full table in one task.
+        tail = p[p.index("TakeOrderedAndProject"):]
+        assert "Exchange SinglePartition" not in tail

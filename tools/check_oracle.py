@@ -4,7 +4,7 @@
 Runs each ``__spark_entry__.queries()`` entry at sf0.01 and compares with
 the matching ``oracle_sql()`` in DuckDB: row count, sorted column names,
 and an order-insensitive value hash (rows canonicalised: columns sorted by
-name, floats rounded to 9 significant digits, rows sorted; then sha256).
+name, floats at full round-trip precision, rows sorted; then sha256).
 
 Usage: python tools/check_oracle.py [query ...]    # default: all
        SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
@@ -42,7 +42,11 @@ def canon_value(v):
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.9g}"
+        # Full round-trip precision (stricter than the driver): round-1's
+        # 9-sig-fig canonicalisation masked a 6th-decimal HALF_UP/HALF_EVEN
+        # divergence the driver caught. Strict local ⇒ local green predicts
+        # driver green.
+        return repr(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
