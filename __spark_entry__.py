@@ -1364,12 +1364,12 @@ _ORACLES: dict[str, str] = {
     "q09_validate_split": """
         SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
                concat_ws(',',
-                 CASE WHEN (o_totalprice > 5000.0) IS NOT TRUE THEN 'price above 5000' END,
-                 CASE WHEN (o_orderpriority IN ('1-urgent','2-high','3-medium')) IS NOT TRUE THEN 'priority known' END
+                 CASE WHEN (o_totalprice > 5000.0) IS FALSE THEN 'price above 5000' END,
+                 CASE WHEN (o_orderpriority IN ('1-urgent','2-high','3-medium')) IS FALSE THEN 'priority known' END
                ) AS error_reason
         FROM orders
-        WHERE (o_totalprice > 5000.0) IS NOT TRUE
-           OR (o_orderpriority IN ('1-urgent','2-high','3-medium')) IS NOT TRUE
+        WHERE (o_totalprice > 5000.0) IS FALSE
+           OR (o_orderpriority IN ('1-urgent','2-high','3-medium')) IS FALSE
     """,
     "q10_describe_stats": """
         WITH cols AS (

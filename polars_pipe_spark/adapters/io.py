@@ -140,7 +140,13 @@ class IOBase(ABC):
     # -- dispatch tables (overridden by the fake) ---------------------------
 
     def _read_parquet(self, path: str, **kw: Any) -> DataFrame:
-        return self.spark.read.parquet(path, **kw)
+        # Routed through read_parquet_table so TIMESTAMP(NANOS) sources
+        # (pandas/polars writer default) are rebuilt to microseconds
+        # instead of erroring — every parquet entry point shares the one
+        # ns-safe reader.
+        from polars_pipe_spark.sources.tables import read_parquet_table
+
+        return read_parquet_table(self.spark, path, **kw)
 
     def _read_csv(self, path: str, **kw: Any) -> DataFrame:
         kw.setdefault("header", True)

@@ -190,8 +190,13 @@ def unnest_df_cols(df: DataFrame, unnest_cols: list[str]) -> DataFrame:
         return df
     for c in unnest_cols:
         fields = [f.name for f in df.schema[c].dataType.fields]
-        others = [o for o in df.columns if o != c]
-        df = df.select(*others, *[F.col(f"{c}.{f}").alias(f) for f in fields])
+        select: list[Column] = []
+        for o in df.columns:
+            if o == c:  # expand at the struct's position, like Polars unnest
+                select.extend(F.col(f"{c}.{f}").alias(f) for f in fields)
+            else:
+                select.append(F.col(o))
+        df = df.select(*select)
     return df
 
 
@@ -261,12 +266,18 @@ def derive_new_cols(df: DataFrame, new_col_map: dict[str, dict[str, Any]]) -> Da
         return df
 
     scalar_exprs: dict[str, Column] = {}
+    agg_names: list[str] = []
     agg_exprs: list[Column] = []
     for name, fn_config in new_col_map.items():
         fn_name = fn_config["fn_name"]
         kwargs = dict(fn_config.get("fn_kwargs", {}))
         if fn_name in AGG_FNS:
-            agg_exprs.append(AGG_FNS[fn_name](**kwargs).alias(name))
+            # Temp alias: a name colliding with an existing column would
+            # otherwise become a duplicate via the cross-join and make the
+            # final select ambiguous; with_columns in the reference
+            # OVERWRITES in place — withColumn below does the same.
+            agg_names.append(name)
+            agg_exprs.append(AGG_FNS[fn_name](**kwargs).alias(f"__agg_{name}"))
         elif fn_name in ALL_DERIVE_FNS:
             scalar_exprs[name] = ALL_DERIVE_FNS[fn_name](**kwargs)
         else:
@@ -279,6 +290,9 @@ def derive_new_cols(df: DataFrame, new_col_map: dict[str, dict[str, Any]]) -> Da
     if agg_exprs:
         # One-row side → BroadcastNestedLoopJoin; safe and fully parallel.
         df = df.crossJoin(F.broadcast(df.agg(*agg_exprs)))
+        df = df.withColumns(
+            {name: F.col(f"__agg_{name}") for name in agg_names}
+        ).drop(*[f"__agg_{name}" for name in agg_names])
     if scalar_exprs:
         df = df.withColumns(scalar_exprs)
     # New columns appear in config insertion order after the existing ones

@@ -86,14 +86,32 @@ def check_expected_cols(df: DataFrame, expected_cols: Any) -> DataFrame:
 def error_reason_expr(rules: dict[str, Column]) -> Column:
     """Comma-joined names of failed rules; "" when all pass.
 
-    A rule with a NULL outcome (e.g. ``col > 5`` on null) is a failure —
-    matches Polars, where ``when(~null)`` doesn't fire the "pass" branch.
+    A rule with a NULL outcome (e.g. ``col > 5`` on null) is a PASS —
+    reference parity: ``pl.when(~expr).then(name).otherwise("")``
+    (validation.py:131-137) doesn't fire the fail branch when ``~expr``
+    is null, so null-conditioned rows stay in the valid table. Rules that
+    should catch nulls must say so explicitly (``is_not_null``).
     """
     slots = [
-        F.when(expr, F.lit(None).cast("string")).otherwise(F.lit(name))
+        F.when(~expr, F.lit(name)).otherwise(F.lit(None).cast("string"))
         for name, expr in rules.items()
     ]
     return F.concat_ws(",", F.filter(F.array(*slots), lambda x: x.isNotNull()))
+
+
+def tag_error_reason(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Append ``error_reason`` — the single tagged frame both split
+    branches derive from (persist THIS, not the branches, so the scan +
+    hash + tag prefix materialises once — SURVEY.md §3.4 point (a))."""
+    return df.withColumn(ERROR_COL, error_reason_expr(rules))
+
+
+def split_tagged(tagged: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid-without-error_reason, invalid-with-error_reason) filters
+    over one tagged frame."""
+    valid = tagged.filter(F.col(ERROR_COL) == "").drop(ERROR_COL)
+    invalid = tagged.filter(F.col(ERROR_COL) != "")
+    return valid, invalid
 
 
 def validate_df(
@@ -104,7 +122,4 @@ def validate_df(
     if not rules:
         empty = df.sparkSession.createDataFrame([], df.schema)
         return df, empty
-    tagged = df.withColumn(ERROR_COL, error_reason_expr(rules))
-    valid = tagged.filter(F.col(ERROR_COL) == "").drop(ERROR_COL)
-    invalid = tagged.filter(F.col(ERROR_COL) != "")
-    return valid, invalid
+    return split_tagged(tag_error_reason(df, rules))

@@ -96,11 +96,15 @@ def run_pipeline(
             process_name=parsed.process_name,
         )
     )
-    valid_df, invalid_df = vl.validate_df(tagged_base, rules)
-    # Persist point (a): valid/invalid share one scan; stats + writes below
-    # each act on them (SURVEY.md §3.4).
-    valid_df = valid_df.persist()
-    invalid_df = invalid_df.persist()
+    # Persist point (a): ONE tagged frame is cached and both branches are
+    # filters over it — the scan + hash + tag prefix materialises once,
+    # not once per branch (SURVEY.md §3.4).
+    if rules:
+        tagged = vl.tag_error_reason(tagged_base, rules).persist()
+        valid_df, invalid_df = vl.split_tagged(tagged)
+    else:
+        tagged = tagged_base.persist()
+        valid_df, invalid_df = vl.validate_df(tagged, rules)
 
     dst = Path(parsed.dst_root) / parsed.guid
     io_wrapper.write(
@@ -140,7 +144,6 @@ def run_pipeline(
         file_type=FileType.PARQUET,
     )
 
-    valid_df.unpersist()
-    invalid_df.unpersist()
+    tagged.unpersist()
     transformed.unpersist()
     return parsed

@@ -37,12 +37,26 @@ def _nanos_cols(path: str) -> list[str]:
     ]
 
 
-def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_parquet_table(spark: SparkSession, path: str, **kw) -> DataFrame:
     ns = _nanos_cols(path)
     if not ns:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        return spark.read.parquet(path, **kw)
+    # The conf is captured by the DataFrame at creation (verified: collect
+    # succeeds after restore), so restoring here cannot corrupt this read —
+    # and later plain reads of ns files fail LOUDLY (PARQUET_TYPE_ILLEGAL)
+    # instead of silently yielding raw longs.
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(path, **kw)
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
     return df.withColumns(
         {c: F.expr(f"timestamp_micros(`{c}` div 1000)") for c in ns}
     )

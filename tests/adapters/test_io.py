@@ -123,3 +123,32 @@ class TestRealIO:
 
         with pytest.raises((NotImplementedError, KeyError, AttributeError)):
             io.write(employees, "/x", "xml")
+
+
+class TestNanosTimestampReads:
+    """TIMESTAMP(NANOS) parquet (pandas/polars writer default) must read
+    correctly through EVERY parquet entry point, and the legacy conf must
+    not leak into the session (ADVICE r1)."""
+
+    CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+    def test_read_parquet_table_restores_conf(self, spark):
+        from pyspark.sql import types as T
+
+        from polars_pipe_spark.sources.tables import read_parquet_table
+
+        assert spark.conf.get(self.CONF, None) is None
+        df = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
+        # conf restored immediately — later plain reads of ns files fail
+        # loudly instead of silently yielding raw longs
+        assert spark.conf.get(self.CONF, None) is None
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.select("ts").first().ts is not None  # executes post-restore
+
+    def test_io_wrapper_parquet_read_is_ns_safe(self, spark):
+        from pyspark.sql import types as T
+
+        io = IOWrapper(spark)
+        df = io.read("/root/testdata/sf0.001/events.parquet", FileType.PARQUET)
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert spark.conf.get(self.CONF, None) is None

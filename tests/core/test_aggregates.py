@@ -126,15 +126,21 @@ class TestExpressionProperties:
         i_rows = {(r.x, r.s, r.error_reason) for r in invalid.collect()}
 
         def model(x, s):
+            # Reference parity: a NULL rule outcome (null operand) is a
+            # PASS — only a definite False fails (see validation.py).
             fails = []
-            if not (x is not None and x > threshold):
+            if x is not None and not (x > threshold):
                 fails.append("x big")
-            if not (s is not None and s in allowed):
+            if s is not None and s not in allowed:
                 fails.append("s ok")
             return ",".join(fails)
 
-        exp_valid = sorted((x, s) for x, s in rows if model(x, s) == "")
+        def nkey(t):  # None-safe total order (nulls can be valid now)
+            x, s = t
+            return (x is None, x if x is not None else 0, s is None, s or "")
+
+        exp_valid = sorted(((x, s) for x, s in rows if model(x, s) == ""), key=nkey)
         exp_invalid = {(x, s, model(x, s)) for x, s in rows if model(x, s)}
-        assert sorted(v_rows) == exp_valid
+        assert sorted(v_rows, key=nkey) == exp_valid
         assert i_rows == exp_invalid
         assert len(v_rows) + invalid.count() == len(rows)

@@ -90,6 +90,13 @@ class TestColumnOps:
         un = tf.unnest_df_cols(employees, ["projects"])
         assert {"a", "b"} <= set(names(un))
 
+    def test_unnest_expands_in_place(self, employees):
+        """Polars unnest (reference transform.py:216) expands struct fields
+        at the struct's POSITION, not appended at the end (ADVICE r1)."""
+        un = tf.unnest_df_cols(employees, ["projects"])
+        # employees: name, age, salary, bonus, projects{a,b}
+        assert names(un) == ["name", "age", "salary", "bonus", "a", "b"]
+
     def test_select_sys_cols_last(self, employees):
         df = tf.add_hash_col(employees).withColumn("zz", F.lit(1))
         out = tf.select_with_sys_cols_last(df, ["name", "salary"])
@@ -163,6 +170,16 @@ class TestDerive:
         assert row["bob"].name_len == 3
         assert abs(row["bob"].log_salary - 10.645424897265443) < 1e-12
         assert row["bob"].rounded == 42000.0
+
+    def test_agg_overwrites_existing_column(self, employees):
+        """An aggregate derive whose name collides with an existing column
+        OVERWRITES it in place, like the reference's with_columns (ADVICE
+        r1: used to raise ambiguous-reference via the cross-join dup)."""
+        out = tf.derive_new_cols(
+            employees, {"salary": {"fn_name": "mean", "fn_kwargs": {"col": "salary"}}}
+        )
+        assert names(out) == names(employees)  # position kept, no dup
+        assert all(r.salary == 52600.0 for r in out.collect())
 
     def test_cumulative_requires_order(self, spark):
         df = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "idx int, v double")

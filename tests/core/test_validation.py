@@ -44,12 +44,15 @@ class TestValidateSplit:
         assert reasons["dave"] == "age present"
         assert "error_reason" not in valid.columns
 
-    def test_null_outcome_is_failure(self, spark):
-        df = spark.createDataFrame([(None,), (5,)], "x int")
+    def test_null_outcome_is_pass(self, spark):
+        """Reference parity (ADVICE r1): a null rule outcome does NOT
+        fire the fail branch — ``pl.when(~expr)`` on null keeps the row
+        valid; catching nulls needs an explicit is_not_null rule."""
+        df = spark.createDataFrame([(None,), (5,), (1,)], "x int")
         rules = vl.parse_validation_config({"x gt 3": ["x", "gt", 3]})
         valid, invalid = vl.validate_df(df, rules)
-        assert valid.count() == 1
-        assert invalid.first().error_reason == "x gt 3"
+        assert valid.count() == 2  # 5 passes, null passes
+        assert invalid.first().error_reason == "x gt 3"  # only x=1 fails
 
     def test_multiple_failures_joined(self, spark):
         df = spark.createDataFrame([(None, -1)], "x int, y int")
