@@ -241,19 +241,31 @@ def simhash(col: str | Column, bits: int = 16) -> Column:
             lambda acc, i: acc * 16 + _hex_nibble_value(F.substring(F.md5(x), i, 1)),
         ),
     )
-    # for each bit: count of tokens with that bit set; majority → 1
-    def _bit_set(mask: int):
-        return lambda v: v.bitwiseAND(F.lit(mask)) != 0
-
-    bit_cols = []
-    for b in range(bits):
-        mask = 1 << (bits - 1 - b)
-        cnt = F.size(F.filter(tok_val, _bit_set(mask)))
-        bit_cols.append(F.when(cnt * 2 > n, F.lit(mask)).otherwise(F.lit(0)))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return total.cast("long")
+    # ONE fold over the token values accumulating all `bits` counters at
+    # once (array<int> acc, one zip_with per token) — the md5/nibble work
+    # in tok_val is evaluated once per token, not once per bit (Catalyst
+    # does not CSE the big transform expression across separate filters;
+    # the old 16-pass form re-hashed every token 16×).
+    masks = F.array(*[F.lit(1 << (bits - 1 - b)).cast("long") for b in range(bits)])
+    counts = F.aggregate(
+        tok_val,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, v: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(v.bitwiseAND(m) != F.lit(0), 1).otherwise(0),
+        ),
+    )
+    # majority per bit → OR the mask in; sum of disjoint masks == bitwise OR
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
