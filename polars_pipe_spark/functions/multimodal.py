@@ -79,25 +79,43 @@ def extract_image_features(
     a real codec and raises ``NotImplementedError`` here.
     """
 
+    # Flatten struct fields (and derive the fake-decoder seed) JVM-side so
+    # the Arrow batch carries flat columns — zero per-row Python dict
+    # access inside the UDF. In fake mode the payload bytes are NOT
+    # selected at all: a decode stub must not drag 100 TB of payload
+    # through Arrow just to read metadata (column pruning reaches the
+    # parquet scan).
+    meta_cols = [
+        F.col(id_col),
+        F.col(f"{media_col}.content_hash").alias("content_hash"),
+        F.col(f"{media_col}.n_bytes").alias("n_bytes"),
+        F.col(f"{media_col}.mime").alias("mime"),
+    ]
+    if use_fake_decoder:
+        seed = (
+            F.conv(F.substring(F.col(f"{media_col}.content_hash"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("__seed")
+        )
+        flat = df.select(*meta_cols, seed)
+    else:
+        flat = df.select(*meta_cols, F.col(f"{media_col}.payload").alias("payload"))
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            media = pdf[media_col]
-            hashes = media.map(lambda m: m["content_hash"])
-            n_bytes = media.map(lambda m: m["n_bytes"])
-            mimes = media.map(lambda m: m["mime"])
             if not use_fake_decoder:
                 raise NotImplementedError(
                     "real image decoding needs an image codec library "
                     "(PIL/opencv) — not available in this environment; "
                     "pass use_fake_decoder=True for the deterministic stub"
                 )
-            seed = hashes.map(lambda h: int(h[:8], 16))
+            seed = pdf["__seed"].to_numpy()
             out = pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content_hash": hashes,
-                    "n_bytes": n_bytes,
-                    "mime": mimes,
+                    "content_hash": pdf["content_hash"],
+                    "n_bytes": pdf["n_bytes"],
+                    "mime": pdf["mime"],
                     "width": (seed % 1920 + 1).astype("int32"),
                     "height": (seed // 1920 % 1080 + 1).astype("int32"),
                     "n_channels": (seed % 2 * 1 + 3).astype("int32"),
@@ -106,7 +124,7 @@ def extract_image_features(
             )
             yield out
 
-    return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    return flat.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
@@ -123,18 +141,31 @@ def sample_frames(
     Frame bytes are faked as hash-of-(content_hash, idx) — the row
     explosion + schema is the real part."""
 
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.content_hash").alias("content_hash"),
+        F.col(f"{media_col}.n_bytes").alias("n_bytes"),
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                h = r[media_col]["content_hash"]
-                n = min(max_frames, max(1, int(r[media_col]["n_bytes"]) // every_n))
-                for i in range(n):
-                    rows.append(
-                        (r[id_col], i, hashlib.md5(f"{h}:{i}".encode()).hexdigest())
-                    )
-            yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_hash"])
+        import numpy as np
 
-    return df.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
+        for pdf in it:
+            # vectorised row explosion: per-row frame count n, then
+            # np.repeat for ids/hashes and an arange-minus-offsets trick
+            # for the within-row frame index — no iterrows
+            n = np.minimum(
+                max_frames, np.maximum(1, pdf["n_bytes"].to_numpy() // every_n)
+            ).astype("int64")
+            ids = np.repeat(pdf[id_col].to_numpy(), n)
+            hashes = np.repeat(pdf["content_hash"].to_numpy(), n)
+            idx = (np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)).astype("int32")
+            fh = [
+                hashlib.md5(f"{h}:{i}".encode()).hexdigest()
+                for h, i in zip(hashes, idx)
+            ]  # md5 has no vector API; this comprehension is the floor
+            yield pd.DataFrame({id_col: ids, "frame_idx": idx, "frame_hash": fh})
+
+    return flat.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
