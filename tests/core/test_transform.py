@@ -66,6 +66,31 @@ class TestColumnOps:
         assert dict(out.dtypes)["salary"] == "bigint"
         assert dict(out.dtypes)["age"] == "double"
 
+    @pytest.mark.parametrize("ansi", [True, False])
+    def test_recast_failure_strictness_pinned(self, spark, ansi):
+        """Reference parity for strict_cast (reference core/transform.py:
+        155-164: Polars strict cast RAISES on an unparseable value).
+
+        Spark gives the same contract through ``spark.sql.ansi.enabled``:
+        ON (the Spark 4 default, what our pipelines run with) raises
+        CAST_INVALID_INPUT like the reference; OFF degrades to null-on-
+        failure — pinned here so a conf regression is caught."""
+        from pyspark.errors import PySparkException
+
+        df = spark.createDataFrame([("12",), ("not-a-number",)], "x string")
+        prev = spark.conf.get("spark.sql.ansi.enabled")
+        spark.conf.set("spark.sql.ansi.enabled", str(ansi).lower())
+        try:
+            out = tf.recast_df_cols(df, {"x": "Int64"})
+            if ansi:
+                with pytest.raises(PySparkException, match="CAST_INVALID_INPUT"):
+                    out.collect()
+            else:
+                vals = {r.x for r in out.collect()}
+                assert vals == {12, None}
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+
     def test_fill_nulls_keeps_dtype(self, employees):
         out = tf.fill_nulls_per_col(employees, {"bonus": 0, "age": -1})
         assert dict(out.dtypes)["bonus"] == "double"  # int literal, double col
