@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 
 from polars_pipe_spark.adapters.io import FileType, IOBase
 from polars_pipe_spark.config import GeneralConfig, TransformConfig
+from polars_pipe_spark.logger import RunLog, logger  # noqa: F401 (logger re-export)
 from polars_pipe_spark.operators import inspect as ins
 from polars_pipe_spark.operators import transform as tf
 from polars_pipe_spark.operators import validation as vl
@@ -79,8 +80,12 @@ def run_pipeline(
     config["date_time"] = date_time
 
     parsed = GeneralConfig.from_dict(config)
+    run_log = RunLog()
 
-    df = io_wrapper.read(parsed.src_path, file_type=FileType.from_str(parsed.src_file_type))
+    with run_log.stage("read", src=parsed.src_path):
+        df = io_wrapper.read(
+            parsed.src_path, file_type=FileType.from_str(parsed.src_file_type)
+        )
 
     expected = vl.extract_expected_cols(parsed.transformations, parsed.validation)
     rules = vl.parse_validation_config(parsed.validation)
@@ -107,11 +112,12 @@ def run_pipeline(
         valid_df, invalid_df = vl.validate_df(tagged, rules)
 
     dst = Path(parsed.dst_root) / parsed.guid
-    io_wrapper.write(
-        ins.describe_df(valid_df, approx=parsed.scale_mode),
-        dst / parsed.desc_stats_stem / "pre_transform",
-        file_type=FileType.PARQUET,
-    )
+    with run_log.stage("pre_transform_stats"):
+        io_wrapper.write(
+            ins.describe_df(valid_df, approx=parsed.scale_mode),
+            dst / parsed.desc_stats_stem / "pre_transform",
+            file_type=FileType.PARQUET,
+        )
 
     tf_config = TransformConfig.from_dict(parsed.transformations)
     transformed = build_transform_chain(
@@ -133,15 +139,32 @@ def run_pipeline(
     )
 
     dst_file_type = FileType.from_str(parsed.dst_file_type)
-    io_wrapper.write(transformed, dst / parsed.valid_dst_stem, file_type=dst_file_type)
+    with run_log.stage("write_valid") as rec:
+        io_wrapper.write(transformed, dst / parsed.valid_dst_stem, file_type=dst_file_type)
+        # count over the (now-filled) cache: one cheap job, no re-scan
+        rec["rows"] = transformed.count()
 
-    if not invalid_df.isEmpty():
-        io_wrapper.write(invalid_df, dst / parsed.invalid_dst_stem, file_type=dst_file_type)
+    with run_log.stage("write_errors") as rec:
+        # count doubles as the existence probe (over the cached tagged frame)
+        invalid_rows = invalid_df.count()
+        rec["rows"] = invalid_rows
+        if invalid_rows:
+            io_wrapper.write(
+                invalid_df, dst / parsed.invalid_dst_stem, file_type=dst_file_type
+            )
 
+    with run_log.stage("post_transform_stats"):
+        io_wrapper.write(
+            ins.describe_df(transformed, approx=parsed.scale_mode),
+            dst / parsed.desc_stats_stem / "post_transform",
+            file_type=FileType.PARQUET,
+        )
+
+    run_log.note(guid=parsed.guid, process_name=parsed.process_name)
     io_wrapper.write(
-        ins.describe_df(transformed, approx=parsed.scale_mode),
-        dst / parsed.desc_stats_stem / "post_transform",
-        file_type=FileType.PARQUET,
+        run_log.to_dict(),
+        dst / parsed.config_dst_stem / f"run_log_{parsed.date_time}.yaml",
+        file_type=FileType.YAML,
     )
 
     tagged.unpersist()

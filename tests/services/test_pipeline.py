@@ -55,11 +55,33 @@ class TestFullRun:
         run_pipeline(io, full_config())
         assert out_paths(io) == {
             "/config/proc_20251016_1200.yaml",
+            "/config/run_log_20251016_1200.yaml",
             "/desc_stats/pre_transform",
             "/desc_stats/post_transform",
             "/transformed_data",
             "/error_records",
         }
+
+    def test_run_log_artifact(self, io):
+        """Structured observability artifact (reference core/logger.py
+        parity, upgraded to per-stage structured records): stage names,
+        wall seconds, and row counts for the data writes."""
+        run_pipeline(io, full_config())
+        log = io.files[f"{DST}/abc-123/config/run_log_20251016_1200.yaml"]
+        assert log["guid"] == "abc-123"
+        assert log["process_name"] == "proc"
+        assert log["total_seconds"] >= 0
+        by_name = {s["stage"]: s for s in log["stages"]}
+        assert set(by_name) == {
+            "read",
+            "pre_transform_stats",
+            "write_valid",
+            "write_errors",
+            "post_transform_stats",
+        }
+        assert all(s["seconds"] >= 0 for s in log["stages"])
+        assert by_name["write_valid"]["rows"] == 3  # alice, charlie, eve
+        assert by_name["write_errors"]["rows"] == 2  # bob, dave
 
     def test_transformed_rows(self, io):
         run_pipeline(io, full_config())
