@@ -526,7 +526,9 @@ def _q27_ngram_jaccard(spark, sf):
             lambda i: F.substring(norm, i, F.lit(n)),
         )
     )
-    g = normed.select("id", "source", grams.alias("grams"))
+    # persist: g is self-joined below, and the per-position substring
+    # transform + array_distinct would otherwise run twice per document
+    g = normed.select("id", "source", grams.alias("grams")).persist()
     a, b = g.alias("a"), g.alias("b")
     return (
         a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
