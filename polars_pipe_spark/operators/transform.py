@@ -129,12 +129,16 @@ def standardise_col_names_if_no_case_insensitive_dupes(df: DataFrame) -> DataFra
 
 
 def drop_df_cols(df: DataFrame, drop_cols: list[str]) -> DataFrame:
+    """Drop the listed columns (no-op on an empty list) — reference
+    transform.py:147."""
     if not drop_cols:
         return df
     return df.drop(*drop_cols)
 
 
 def rename_df_cols(df: DataFrame, rename_map: dict[str, str]) -> DataFrame:
+    """Rename columns old → new per the config map — reference
+    transform.py:151."""
     if not rename_map:
         return df
     return df.withColumnsRenamed(rename_map)
@@ -218,6 +222,9 @@ def select_with_sys_cols_last(df: DataFrame, select_cols: list[str] | str = "*")
 
 
 def filter_df(df: DataFrame, filter_exprs: list[Column]) -> DataFrame:
+    """Keep rows passing ALL parsed rule expressions (AND-combined into
+    one predicate so Catalyst pushes a single filter to the scan) —
+    reference transform.py:194."""
     if not filter_exprs:
         return df
     return df.filter(combine_filters(filter_exprs))
