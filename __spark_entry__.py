@@ -1250,6 +1250,62 @@ def _q66_range_join(spark, sf):
     )
 
 
+def _q67_text_source(spark, sf):
+    """S-extension: line-oriented text source/sink round-trip through the
+    IO adapter (the raw-corpus ingestion format — one document line per
+    row, single `value` column)."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import IOWrapper
+
+    io = IOWrapper(spark)
+    staged = tempfile.mkdtemp(prefix="pps_text_") + "/sources_txt"
+    # source strings are newline-free, so they line-round-trip exactly
+    io.write(_t(spark, sf, "documents").select("source"), staged, "text")
+    df = io.read(staged, "text")
+    return df.groupBy(F.col("value").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _q68_bucketed_join(spark, sf):
+    """Co-located join via bucketed tables: orders and customer are
+    written bucketed on the join key, so the join plans with ZERO
+    Exchange — at 100 TB this is the difference between shuffling both
+    fact tables per query and shuffling never (bucket once at ingest,
+    join co-located forever). Plan asserted shuffle-free in
+    tests/core/test_plan_properties.py."""
+    import tempfile
+
+    n_buckets = 8
+    base = tempfile.mkdtemp(prefix="pps_bucketed_")
+    spark.sql("CREATE DATABASE IF NOT EXISTS pps_buckets")
+    for name, df, key in (
+        ("orders_b", _t(spark, sf, "orders"), "o_custkey"),
+        ("customer_b", _t(spark, sf, "customer"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS pps_buckets.{name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(f"pps_buckets.{name}")
+        )
+    o = spark.table("pps_buckets.orders_b")
+    c = spark.table("pps_buckets.customer_b")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1321,6 +1377,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_frame_sampling": _q64_frame_sampling,
     "q65_orc_source": _q65_orc_source,
     "q66_range_join": _q66_range_join,
+    "q67_text_source": _q67_text_source,
+    "q68_bucketed_join": _q68_bucketed_join,
 }
 
 
@@ -2083,6 +2141,17 @@ _ORACLES["q66_range_join"] = """
            ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v
     FROM events JOIN bands ON lo <= value AND value < hi
     GROUP BY band_id
+"""
+
+_ORACLES["q67_text_source"] = """
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+"""
+
+_ORACLES["q68_bucketed_join"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
 """
 
 

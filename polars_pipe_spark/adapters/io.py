@@ -39,6 +39,7 @@ class FileType(Enum):
     PARQUET = "parquet"
     CSV = "csv"
     ORC = "orc"
+    TEXT = "text"
     YAML = "yaml"
 
     @classmethod
@@ -159,6 +160,11 @@ class IOBase(ABC):
     def _read_orc(self, path: str, **kw: Any) -> DataFrame:
         return self.spark.read.orc(path, **kw)
 
+    def _read_text(self, path: str, **kw: Any) -> DataFrame:
+        # one row per line, single `value` string column — the raw-corpus
+        # ingestion path (line-oriented text; use JSON for jsonl)
+        return self.spark.read.text(path, **kw)
+
     @property
     def _read_funcs(self) -> dict[FileType, Any]:
         return {
@@ -166,6 +172,7 @@ class IOBase(ABC):
             FileType.CSV: self._read_csv,
             FileType.JSON: self._read_json,
             FileType.ORC: self._read_orc,
+            FileType.TEXT: self._read_text,
         }
 
     def _write_parquet(self, df: DataFrame, path: str, **kw: Any) -> None:
@@ -177,6 +184,11 @@ class IOBase(ABC):
     def _write_orc(self, df: DataFrame, path: str, **kw: Any) -> None:
         df.write.mode("overwrite").orc(str(path), **kw)
 
+    def _write_text(self, df: DataFrame, path: str, **kw: Any) -> None:
+        # requires a single string column (Spark text sink contract);
+        # values must be newline-free — this is the line-corpus format
+        df.write.mode("overwrite").text(str(path), **kw)
+
     def _write_yaml(self, data: dict, path: str, **kw: Any) -> None:
         write_yaml(data, path)
 
@@ -186,6 +198,7 @@ class IOBase(ABC):
             FileType.PARQUET: self._write_parquet,
             FileType.CSV: self._write_csv,
             FileType.ORC: self._write_orc,
+            FileType.TEXT: self._write_text,
             FileType.YAML: self._write_yaml,
         }
 

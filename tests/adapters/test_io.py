@@ -85,6 +85,17 @@ class TestRealIO:
         back = io.read(dst, "csv")
         assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
 
+    def test_text_roundtrip(self, spark, tmp_path):
+        """Line-oriented text source/sink (raw-corpus format): one row per
+        line, single `value` column."""
+        df = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], "value string")
+        io = IOWrapper(spark)
+        dst = str(tmp_path / "text_out")
+        io.write(df, dst, "text")
+        back = io.read(dst, FileType.TEXT)
+        assert back.columns == ["value"]
+        assert {r.value for r in back.collect()} == {"alpha", "beta", "gamma"}
+
     def test_yaml_write(self, spark, tmp_path):
         io = IOWrapper(spark)
         p = tmp_path / "cfg" / "x.yaml"

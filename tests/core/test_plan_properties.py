@@ -59,6 +59,33 @@ class TestJoinStrategies:
         assert "BroadcastNestedLoopJoin" in p
         assert "CartesianProduct" not in p
 
+    def test_bucketed_join_is_shuffle_free(self, spark):
+        """q68: two tables bucketed+sorted on the join key must plan a
+        SortMergeJoin with ZERO Exchange — the bucket-once-join-forever
+        contract that kills the per-query fact-table shuffle at 100 TB."""
+        import sys
+        import tempfile
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        # disable auto-broadcast: at test scale AQE would broadcast the
+        # tiny side and hide the property under test (at 100 TB neither
+        # side broadcasts — SMJ-over-buckets is the plan that matters)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = entry.queries()["q68_bucketed_join"](spark, "/root/testdata/sf0.001")
+            p = physical(df)
+            assert "SortMergeJoin" in p
+            # nothing below the join shuffles (bucketed scans line up);
+            # the only exchange allowed is the post-join aggregation's
+            join_part = p[p.index("SortMergeJoin") :]
+            assert "Exchange" not in join_part
+            assert "SelectedBucketsCount: 8 out of 8" in p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
     def test_asof_join_single_shuffle(self, spark):
         from polars_pipe_spark.operators.joins import asof_join
 
