@@ -1306,6 +1306,70 @@ def _q68_bucketed_join(spark, sf):
     )
 
 
+def _q69_pii_scrub(spark, sf):
+    """PII scrubbing: count + redact emails/IPs/phones with pure regex
+    expressions (full scan speed, no UDFs). Deterministic PII is injected
+    into the synthetic docs (both engines inject identically) so the
+    operator is actually exercised."""
+    from polars_pipe_spark.functions.text import pii_counts, scrub_pii
+
+    df = _t_par(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ip 10.0.0.1 seen")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call +123-456-7890 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = df.select("doc_id", injected.alias("txt"))
+    return base.select(
+        "doc_id",
+        *[e.alias(n) for n, e in pii_counts(F.col("txt")).items()],
+        F.md5(scrub_pii(F.col("txt"))).alias("scrubbed_md5"),
+    )
+
+
+def _q70_repetition_quality(spark, sf):
+    """Gopher-style repetition signals: duplicate-line fraction (pure
+    expression) + top-2-gram fraction (explode → two-level agg — linear,
+    not the O(len²) per-row fold)."""
+    from polars_pipe_spark.functions.text import dup_line_fraction, top_ngram_fraction
+
+    df = _t_par(spark, sf, "documents")
+    lined = df.select(
+        "doc_id", F.regexp_replace("text", r"\. ", "\n").alias("txt")
+    )
+    dl = lined.select(
+        "doc_id", F.round(dup_line_fraction(F.col("txt")), 6).alias("dup_line_frac")
+    )
+    tg = top_ngram_fraction(df.select("doc_id", "text"), "text", "doc_id", n=2)
+    return dl.join(tg, "doc_id", "left")
+
+
+def _q71_sequence_packing(spark, sf):
+    """Context-window packing: greedy per-source bin assignment by running
+    token offset (one window shuffle, no UDFs), aggregated per bin."""
+    from polars_pipe_spark.functions.sampling import pack_sequences
+    from polars_pipe_spark.functions.text import token_count
+
+    df = _t_par(spark, sf, "documents").select(
+        "source", "doc_id", token_count("text").alias("n_tok")
+    )
+    packed = pack_sequences(df, "n_tok", "doc_id", bin_tokens=512, part_col="source")
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1379,6 +1443,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_range_join": _q66_range_join,
     "q67_text_source": _q67_text_source,
     "q68_bucketed_join": _q68_bucketed_join,
+    "q69_pii_scrub": _q69_pii_scrub,
+    "q70_repetition_quality": _q70_repetition_quality,
+    "q71_sequence_packing": _q71_sequence_packing,
 }
 
 
@@ -2152,6 +2219,76 @@ _ORACLES["q68_bucketed_join"] = """
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
+"""
+
+_ORACLES["q69_pii_scrub"] = """
+    WITH inj AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.0.1 seen' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call +123-456-7890 today' ELSE '' END
+             AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(txt, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(txt, '\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                 '\\b\\+?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM inj
+"""
+
+_ORACLES["q70_repetition_quality"] = f"""
+    WITH lines AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '\\. ', chr(10), 'g'), chr(10)) AS ls
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             CASE WHEN len(ls) <= 1 THEN 0.0
+                  ELSE round(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6)
+             END AS dup_line_frac
+      FROM lines
+    ), tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM tok WHERE len(toks) >= 2
+    ), per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    ), per_doc AS (
+      SELECT doc_id,
+             round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_frac
+      FROM per_gram GROUP BY doc_id
+    )
+    SELECT dl.doc_id, dl.dup_line_frac, per_doc.top_ngram_frac
+    FROM dl LEFT JOIN per_doc ON dl.doc_id = per_doc.doc_id
+"""
+
+_ORACLES["q71_sequence_packing"] = f"""
+    WITH tok AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents
+    ), packed AS (
+      SELECT source, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
+      FROM tok
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY source, bin_id
 """
 
 

@@ -45,3 +45,43 @@ def train_test_split(
         split_col,
         F.when(md5_bucket(key_col, n_buckets) < cut, F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    bin_tokens: int = 2048,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Greedy context-window packing: assign each document a bin id so
+    consecutive documents fill ~bin_tokens-token training sequences.
+
+    Semantics (declared, deterministic): documents are ordered by
+    ``id_col`` within ``part_col`` (or globally when None); a document's
+    bin is ``floor(preceding_tokens / bin_tokens)`` — i.e. bins are cut
+    by running-token offset, a document straddling a boundary belongs to
+    the bin where it starts.
+
+    Scale: ALWAYS pass ``part_col`` on big data — the window then
+    partitions by it (per-source packing, parallel); a None part_col is a
+    single-partition global window, only for small frames. One shuffle,
+    no UDFs. Oracle-expressible as a SQL window.
+    """
+    from pyspark.sql import Window
+
+    if part_col is None:
+        w = Window.orderBy(id_col)
+        part_exprs = []
+    else:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        part_exprs = [F.col(part_col)]
+    preceding = F.coalesce(
+        F.sum(token_col).over(w) - F.col(token_col), F.lit(0)
+    ).cast("long")
+    return df.select(
+        *part_exprs,
+        F.col(id_col),
+        F.col(token_col),
+        F.floor(preceding / bin_tokens).cast("long").alias("bin_id"),
+    )

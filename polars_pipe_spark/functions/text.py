@@ -160,3 +160,77 @@ def text_stats(col: str | Column) -> dict[str, Column]:
         "lang_pred": lang_id(col),
         "fingerprint": doc_fingerprint(col),
     }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pure expressions; regexes chosen to parse identically in
+# Java regex and RE2 so the DuckDB oracle matches byte-for-byte)
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    "phone": (r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "[PHONE]"),
+}
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts (one scan, three regex extracts)."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: str | Column) -> Column:
+    """Replace every PII match with its redaction token. Order is fixed
+    (email → ipv4 → phone) so engines agree on overlapping matches."""
+    out = _c(col)
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style signals, public: Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def dup_line_fraction(col: str | Column) -> Column:
+    """Excess-duplicate-line fraction: (n_lines - n_distinct_lines) /
+    n_lines — 0.0 for single-line docs, 0.25 for [a,b,a,c]. Pure
+    expression — full scan speed."""
+    lines = F.split(_c(col), "\n")
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def top_ngram_fraction(df, text_col: str, id_col: str, n: int = 2):
+    """Per-document fraction of word n-grams taken by the single most
+    frequent n-gram (the Gopher top-2-gram signal).
+
+    Deliberately NOT a per-row array fold (that is O(len²) per document —
+    quadratic in the long-document tail at 100 TB). Instead: explode the
+    n-grams once, two-level aggregate (count per (doc, gram) → max per
+    doc), join the max back. Linear work, standard shuffles, AQE-skew
+    safe. Returns (id_col, top_ngram_frac)."""
+    t = tokens(text_col)
+    sz = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    grams = F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+    )
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per_gram = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_c")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.round(F.col("top_c").cast("double") / F.col("total_c"), 6).alias(
+            "top_ngram_frac"
+        ),
+    )

@@ -91,3 +91,66 @@ class TestFingerprint:
         got = vals(df, tx.shingles("text", 3))
         assert got[1] == ["a b c", "b c d"]
         assert got[2] == ["a b"]
+
+
+class TestPII:
+    def test_counts_and_scrub(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b@x.io or c@d.org, ip 10.0.0.1, call 123-456-7890 ok"),
+                (2, "clean text"),
+            ],
+            "doc_id long, text string",
+        )
+        from pyspark.sql import functions as F
+
+        out = df.select(
+            "doc_id",
+            *[e.alias(n) for n, e in tx.pii_counts("text").items()],
+            tx.scrub_pii("text").alias("s"),
+        ).collect()
+        r = {x.doc_id: x for x in out}
+        assert (r[1].n_email, r[1].n_ipv4, r[1].n_phone) == (2, 1, 1)
+        assert r[1].s == "mail [EMAIL] or [EMAIL], ip [IP], call [PHONE] ok"
+        assert (r[2].n_email, r[2].n_ipv4, r[2].n_phone) == (0, 0, 0)
+        assert r[2].s == "clean text"
+
+
+class TestRepetition:
+    def test_dup_line_fraction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb\na\nc"), (2, "x\ny"), (3, "solo"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = vals(df, tx.dup_line_fraction("text"))
+        # excess-duplicate fraction: (n_lines - n_distinct) / n_lines
+        assert got[1] == pytest.approx(0.25)  # [a,b,a,c]: (4-3)/4
+        assert got[2] == 0.0
+        assert got[3] == 0.0
+        assert got[4] == 0.0
+
+    def test_top_ngram_fraction(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "x"), (3, "p q r")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.top_ngram_frac
+               for r in tx.top_ngram_fraction(df, "text", "doc_id", n=2).collect()}
+        # doc1 grams: [a b, b a, a b, b a] -> top 2/4
+        assert out[1] == pytest.approx(0.5)
+        assert 2 not in out  # <2 tokens: no grams, absent
+        assert out[3] == pytest.approx(1 / 2)  # [p q, q r] -> 1/2
+
+
+class TestPacking:
+    def test_pack_sequences_bins(self, spark):
+        from polars_pipe_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [("s", 1, 300), ("s", 2, 300), ("s", 3, 300), ("t", 4, 700)],
+            "source string, doc_id long, n_tok int",
+        )
+        out = {r.doc_id: r.bin_id
+               for r in pack_sequences(df, "n_tok", "doc_id", 512, "source").collect()}
+        # s: offsets 0, 300, 600 -> bins 0, 0, 1 ; t: offset 0 -> bin 0
+        assert out == {1: 0, 2: 0, 3: 1, 4: 0}
