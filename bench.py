@@ -39,6 +39,10 @@ HEADLINE = [
     "q34_embedding_neardup",
     "q49_tpch_q3",
     "q50_tpch_q6",
+    # heaviest LLM-surface queries (round-2): regressions must be visible
+    "q54_vocab_topk",
+    "q58_tfidf",
+    "q63_dedup_clusters",
 ]
 
 
