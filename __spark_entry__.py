@@ -1370,6 +1370,67 @@ def _q71_sequence_packing(spark, sf):
     )
 
 
+def _q72_oov_rate(spark, sf):
+    """Tokenizer-vocabulary coverage: derive the top-1000-token vocab
+    (deterministic tiebreak), broadcast it, and compute each document's
+    out-of-vocabulary token rate in ONE agg over the flagged explode —
+    the vocab side is TakeOrderedAndProject (per-partition top-k), the
+    doc side never shuffles the token table twice."""
+    from polars_pipe_spark.functions.text import tokens
+
+    df = _t_par(spark, sf, "documents")
+    tok = df.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tok"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def _q73_dedup_apply(spark, sf):
+    """END-TO-END near-dedup: minhash pairs → connected components →
+    keep the cluster representative (min doc_id) → the deduplicated
+    corpus summary per source. The full 100 TB dedup recipe as one
+    composable DAG (pairs and clusters never leave the cluster-id join)."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters, minhash_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = (
+        minhash_near_dups(
+            docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    clusters = dedup_clusters(pairs)  # (node, cluster_id = min id in comp)
+    # drop every clustered doc that is not its cluster's representative
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1446,6 +1507,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_pii_scrub": _q69_pii_scrub,
     "q70_repetition_quality": _q70_repetition_quality,
     "q71_sequence_packing": _q71_sequence_packing,
+    "q72_oov_rate": _q72_oov_rate,
+    "q73_dedup_apply": _q73_dedup_apply,
 }
 
 
@@ -2273,6 +2336,47 @@ _ORACLES["q70_repetition_quality"] = f"""
     )
     SELECT dl.doc_id, dl.dup_line_frac, per_doc.top_ngram_frac
     FROM dl LEFT JOIN per_doc ON dl.doc_id = per_doc.doc_id
+"""
+
+_ORACLES["q72_oov_rate"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token FROM counts ORDER BY n DESC, token LIMIT 1000
+    ), flagged AS (
+      SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+           round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM flagged GROUP BY doc_id
+"""
+
+_ORACLES["q73_dedup_apply"] = f"""
+    WITH RECURSIVE prs AS (
+      {_Q25_BODY}
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM edges
+    ), walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    ), clusters AS (
+      SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n
+    ), losers AS (
+      SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    GROUP BY source
 """
 
 _ORACLES["q71_sequence_packing"] = f"""
