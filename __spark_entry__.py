@@ -1431,6 +1431,51 @@ def _q73_dedup_apply(spark, sf):
     )
 
 
+def _q74_session_window(spark, sf):
+    """Spark's NATIVE session_window aggregation (the streaming-capable
+    session operator — merges events closer than the gap into one window
+    during the aggregation itself, no lag/cumsum windows). Boundary
+    semantics verified empirically: an event landing EXACTLY gap after
+    its predecessor is MERGED into the session (inclusive end), same as
+    classic sessionize — the oracle uses > gap for a new session."""
+    from polars_pipe_spark.streaming.pipeline import session_event_stats
+
+    return session_event_stats(
+        _t(spark, sf, "events"), "ts", "30 minutes", group_cols=["user_id"]
+    )
+
+
+def _q75_streaming_session(spark, sf):
+    """The SAME session aggregation executed as a real Structured
+    Streaming query (file source, availableNow, memory sink) — checked
+    against the same SQL oracle as the batch q74."""
+    import tempfile
+
+    from polars_pipe_spark.sources.tables import _nanos_cols
+    from polars_pipe_spark.streaming.pipeline import session_event_stats
+
+    path = f"{sf}/events.parquet"
+    batch = _t(spark, sf, "events")
+    if _nanos_cols(path):
+        staged = tempfile.mkdtemp(prefix="pps_sess_src_") + "/events"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = session_event_stats(stream, "ts", "30 minutes", group_cols=["user_id"])
+    name = "pps_sess_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1509,6 +1554,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_sequence_packing": _q71_sequence_packing,
     "q72_oov_rate": _q72_oov_rate,
     "q73_dedup_apply": _q73_dedup_apply,
+    "q74_session_window": _q74_session_window,
+    "q75_streaming_session": _q75_streaming_session,
 }
 
 
@@ -2337,6 +2384,33 @@ _ORACLES["q70_repetition_quality"] = f"""
     SELECT dl.doc_id, dl.dup_line_frac, per_doc.top_ngram_frac
     FROM dl LEFT JOIN per_doc ON dl.doc_id = per_doc.doc_id
 """
+
+_ORACLES["q74_session_window"] = """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_s
+      FROM o
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts
+    FROM s GROUP BY user_id, sid
+"""
+
+_ORACLES["q75_streaming_session"] = _ORACLES["q74_session_window"]
 
 _ORACLES["q72_oov_rate"] = f"""
     WITH tok AS (

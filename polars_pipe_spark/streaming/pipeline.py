@@ -53,6 +53,37 @@ def windowed_event_counts(
     )
 
 
+def session_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Native ``session_window`` aggregation — Spark merges events closer
+    than ``gap`` into one window during the aggregation itself (no
+    lag/cumsum pre-pass), and the SAME expression runs batch or
+    streaming (state-store-backed session merging + watermark eviction
+    when streaming). Boundary semantics (pinned by unit test): an event
+    EXACTLY ``gap`` after its predecessor is MERGED into the session —
+    the merge is inclusive, same as classic sessionize."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    g = group_cols or []
+    return (
+        df.groupBy(*g, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min(ts_col).alias("first_ts"))
+        .select(
+            *g,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_ts",
+        )
+    )
+
+
 def streaming_dedupe(
     events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:

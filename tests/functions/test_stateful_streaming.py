@@ -86,3 +86,33 @@ class TestStatefulRunningTotals:
             for r in spark.table("t_state_out").collect()
         }
         assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
+class TestSessionWindow:
+    def test_session_event_stats_batch(self, spark):
+        """Native session_window semantics: [start, end) windows — an
+        event exactly gap after its predecessor opens a NEW session."""
+        import datetime as dt
+
+        from polars_pipe_spark.streaming.pipeline import session_event_stats
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            ("u", t0),
+            ("u", t0 + dt.timedelta(minutes=10)),   # same session (<30m)
+            ("u", t0 + dt.timedelta(minutes=40)),   # EXACTLY 30m after #2:
+            # merged (inclusive boundary — pinned here, oracle uses > gap)
+            ("u", t0 + dt.timedelta(minutes=95)),   # 55m gap -> new session
+            ("v", t0),
+        ]
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        out = session_event_stats(df, "ts", "30 minutes", group_cols=["user_id"])
+        got = {(r.user_id, r.session_start, r.n_events) for r in out.collect()}
+        assert got == {
+            ("u", t0, 3),
+            ("u", t0 + dt.timedelta(minutes=95), 1),
+            ("v", t0, 1),
+        }
+        ends = {r.session_start: r.session_end for r in out.collect() if r.user_id == "u"}
+        # end = last event + gap
+        assert ends[t0] == t0 + dt.timedelta(minutes=70)
