@@ -1279,7 +1279,8 @@ def _q68_bucketed_join(spark, sf):
 
     n_buckets = 8
     base = tempfile.mkdtemp(prefix="pps_bucketed_")
-    spark.sql("CREATE DATABASE IF NOT EXISTS pps_buckets")
+    # explicit LOCATION keeps the db marker out of ./spark-warehouse
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS pps_buckets LOCATION '{base}/db'")
     for name, df, key in (
         ("orders_b", _t(spark, sf, "orders"), "o_custkey"),
         ("customer_b", _t(spark, sf, "customer"), "c_custkey"),
