@@ -1477,6 +1477,60 @@ def _q75_streaming_session(spark, sf):
     return spark.table(name)
 
 
+def _q76_tpch_q10(spark, sf):
+    """TPC-H Q10 shape: returned-item revenue per customer, deterministic
+    top 20 (revenue DECIMAL end-to-end; tiebreak on custkey; top-k via
+    orderBy().limit() → TakeOrderedAndProject, no global sort)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("revenue_dec")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("revenue_dec"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+def _q77_tpch_q16(spark, sf):
+    """TPC-H Q16 shape: distinct suppliers per (brand, size) excluding a
+    supplier subset (NOT IN → left_anti). Distinct count via
+    dropDuplicates + count (two-level, no Expand)."""
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size") < 30)
+    )
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    good = li.join(bad, "l_suppkey", "left_anti")
+    return (
+        good.join(part, good.l_partkey == part.p_partkey)
+        .select("p_brand", "p_size", "l_suppkey")
+        .dropDuplicates()
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1557,6 +1611,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_dedup_apply": _q73_dedup_apply,
     "q74_session_window": _q74_session_window,
     "q75_streaming_session": _q75_streaming_session,
+    "q76_tpch_q10": _q76_tpch_q10,
+    "q77_tpch_q16": _q77_tpch_q16,
 }
 
 
@@ -2412,6 +2468,32 @@ _ORACLES["q74_session_window"] = """
 """
 
 _ORACLES["q75_streaming_session"] = _ORACLES["q74_session_window"]
+
+_ORACLES["q76_tpch_q10"] = """
+    SELECT c_custkey, c_name,
+           CAST(rev AS DOUBLE) AS revenue, c_acctbal, n_name
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    )
+    ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+_ORACLES["q77_tpch_q16"] = """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_size < 30
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+"""
 
 _ORACLES["q72_oov_rate"] = f"""
     WITH tok AS (
