@@ -1531,6 +1531,19 @@ def _q77_tpch_q16(spark, sf):
     )
 
 
+def _q78_quantized_topk(spark, sf):
+    """Asymmetric int8-quantized ANN (ADC): corpus vectors stored
+    quantized (4x smaller at 100 TB), queries stay float; cosine on the
+    reconstructed vectors. Codes use floor(x+0.5) so quantization is
+    bit-reproducible in DuckDB (engine round() tie rules differ)."""
+    from polars_pipe_spark.functions.similarity import quantized_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return quantized_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1613,6 +1626,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_streaming_session": _q75_streaming_session,
     "q76_tpch_q10": _q76_tpch_q10,
     "q77_tpch_q16": _q77_tpch_q16,
+    "q78_quantized_topk": _q78_quantized_topk,
 }
 
 
@@ -1949,6 +1963,32 @@ def _cosine_sql(a: str, b: str) -> str:
         f"({_NORM_V.format(a=a)} * {_NORM_V.format(a=b)}), 6)"
     )
 
+
+_ORACLES["q78_quantized_topk"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+    params AS (
+      SELECT vec_id AS neighbor_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+                  THEN CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)
+                  ELSE 1.0 END AS rng
+      FROM embeddings
+    ),
+    c AS (
+      SELECT neighbor_id,
+             list_transform(embedding,
+               x -> mn + floor((CAST(x AS DOUBLE) - mn) / rng * 255.0 + 0.5) * rng / 255.0) AS cv
+      FROM params
+    ),
+    s AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("cv", "qv")} AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 5
+"""
 
 _ORACLES["q28_cosine_topk"] = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),

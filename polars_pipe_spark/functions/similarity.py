@@ -217,3 +217,65 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# -- int8 scalar quantization (the 4x-compression path for 100 TB stores) ---
+
+
+def quantize_vec(vec_col: str | Column) -> Column:
+    """Per-vector scalar quantization: codes in [0, 255] plus (mn, rng)
+    reconstruction params as a struct. Rounding is floor(x + 0.5) — NOT
+    round() — because engine round() tie rules differ (Spark HALF_UP vs
+    DuckDB half-away/even) while floor is identical everywhere; the
+    whole code path is double arithmetic, so codes are bit-reproducible
+    cross-engine."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    rng = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.floor((x.cast("double") - mn) / rng * 255.0 + 0.5).cast("int")
+    )
+    return F.struct(codes.alias("codes"), mn.alias("mn"), rng.alias("rng"))
+
+
+def dequantize_vec(q: Column) -> Column:
+    """Reconstruct array<double> from a quantize_vec struct."""
+    return F.transform(
+        q["codes"], lambda c: q["mn"] + c.cast("double") * q["rng"] / 255.0
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric quantized search (the ADC pattern): the CORPUS side is
+    int8-quantized (what you'd store at 100 TB — 4x smaller scans), the
+    query side stays float. Same top-k shape as brute_force_topk; the
+    cosine is computed on reconstructed vectors, so ranking error is
+    bounded by quantization error only."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        dequantize_vec(quantize_vec(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

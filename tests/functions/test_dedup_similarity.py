@@ -133,3 +133,30 @@ class TestSimilarity:
         ).collect()
         assert len(out) <= 3
         assert all(r.query_id == 1 for r in out)
+
+
+class TestQuantization:
+    def test_quantize_roundtrip_error_bound(self, spark):
+        """Reconstruction error of int8 scalar quantization is bounded by
+        rng/255/2 per element; constant vectors survive (rng guard)."""
+        from pyspark.sql import functions as F
+
+        from polars_pipe_spark.functions.similarity import (
+            dequantize_vec,
+            quantize_vec,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.5, 1.0]), (2, [-2.0, 0.0, 2.0]), (3, [3.0, 3.0, 3.0])],
+            "id int, v array<double>",
+        )
+        out = df.select(
+            "id",
+            F.col("v"),
+            dequantize_vec(quantize_vec("v")).alias("r"),
+        ).collect()
+        for row in out:
+            rng = max(row.v) - min(row.v)
+            bound = (rng if rng > 0 else 1.0) / 255.0 / 2.0 + 1e-12
+            for a, b in zip(row.v, row.r):
+                assert abs(a - b) <= bound, (row.id, a, b, bound)
