@@ -1544,6 +1544,26 @@ def _q78_quantized_topk(spark, sf):
     )
 
 
+def _q79_source_mixing(spark, sf):
+    """Data-mixture reweighting: deterministically downsample each source
+    to a target weight by content hash (stable under repartitioning and
+    growth); broadcast weight map, pure-expression predicate at the
+    scan."""
+    from polars_pipe_spark.functions.sampling import mix_sources
+
+    docs = _t_par(spark, sf, "documents")
+    # weight two sources explicitly, leave the rest at default 0.5
+    weights = {"src0": 0.9, "src1": 0.25}
+    mixed = mix_sources(
+        docs, "source", "doc_id", weights, default_weight=0.5, n_buckets=1000
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1627,6 +1647,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_tpch_q10": _q76_tpch_q10,
     "q77_tpch_q16": _q77_tpch_q16,
     "q78_quantized_topk": _q78_quantized_topk,
+    "q79_source_mixing": _q79_source_mixing,
 }
 
 
@@ -2241,6 +2262,19 @@ _ORACLES["q52_merge_upsert"] = """
     UNION ALL
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+"""
+
+_ORACLES["q79_source_mixing"] = """
+    WITH mixed AS (
+      SELECT source, doc_id
+      FROM documents
+      WHERE ((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 < FLOOR(CASE source WHEN 'src0' THEN 0.9
+                                         WHEN 'src1' THEN 0.25
+                                         ELSE 0.5 END * 1000)
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM mixed GROUP BY source
 """
 
 _ORACLES["q53_hash_split"] = """

@@ -85,3 +85,28 @@ def pack_sequences(
         F.col(token_col),
         F.floor(preceding / bin_tokens).cast("long").alias("bin_id"),
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic data-mixture reweighting: keep ~weights[source] of
+    each source's rows, selected by content hash of ``key_col`` so the
+    sample is stable under repartitioning, engine changes, and dataset
+    growth. The weight lookup is a broadcast map join (a CASE chain for
+    few sources would also codegen, but the join scales to thousands of
+    sources); the filter itself is one pure-expression predicate on the
+    scan — no shuffle of the data side."""
+    spark = df.sparkSession
+    rows = [(s, float(w)) for s, w in weights.items()]
+    wdf = F.broadcast(
+        spark.createDataFrame(rows, f"{source_col} string, __w double")
+    )
+    joined = df.join(wdf, source_col, "left")
+    cut = F.floor(F.coalesce(F.col("__w"), F.lit(default_weight)) * n_buckets)
+    return joined.filter(md5_bucket(key_col, n_buckets) < cut).drop("__w")

@@ -154,3 +154,24 @@ class TestPacking:
                for r in pack_sequences(df, "n_tok", "doc_id", 512, "source").collect()}
         # s: offsets 0, 300, 600 -> bins 0, 0, 1 ; t: offset 0 -> bin 0
         assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+class TestSourceMixing:
+    def test_mix_sources_weights(self, spark):
+        from polars_pipe_spark.functions.sampling import md5_bucket, mix_sources
+        from pyspark.sql import functions as F
+
+        df = spark.range(1000).select(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+            F.col("id").alias("key"),
+        )
+        out = mix_sources(df, "source", "key", {"a": 0.2}, default_weight=0.8)
+        counts = {r.source: r.c for r in out.groupBy("source").agg(F.count("*").alias("c")).collect()}
+        # deterministic by content hash: exact counts are fixed forever
+        assert 50 < counts["a"] < 150      # ~20% of 500
+        assert 350 < counts["b"] < 450     # ~80% of 500
+        # rows kept are exactly those under the bucket cut (determinism)
+        kept_a = {r.key for r in out.filter("source = 'a'").collect()}
+        exp_a = {r.key for r in df.filter("source = 'a'")
+                 .filter(md5_bucket("key", 1000) < 200).collect()}
+        assert kept_a == exp_a
