@@ -193,3 +193,43 @@ class TestFullRun:
         cfg["validation"]["ghost rule"] = ["ghost_col", "is_not_null", None]
         with pytest.raises(ValueError, match="ghost_col"):
             run_pipeline(io, cfg)
+
+
+class TestLLMOpsInPipeline:
+    def test_pii_scrub_as_custom_transformation(self, spark):
+        """The LLM surface plugs into the config-driven pipeline through
+        the custom-transformation registry: a corpus pipeline that
+        validates, scrubs PII, and writes — one config."""
+        from pyspark.sql import functions as F
+
+        from polars_pipe_spark.functions.text import scrub_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "contact me a@b.io", "src0"),
+                (2, "clean", "src0"),
+                (3, None, "src1"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        io = FakeIOWrapper(spark, files={"/fake/docs.parquet": docs})
+
+        def scrub(df, col):
+            return df.withColumn(col, scrub_pii(F.col(col)))
+
+        cfg = {
+            "process_name": "corpus",
+            "src_path": "/fake/docs.parquet",
+            "src_file_type": "parquet",
+            "dst_root": DST,
+            "dst_file_type": "parquet",
+            "validation": {"text present": ["text", "is_not_null", None]},
+            "custom_transformations": {"scrub": {"col": "text"}},
+        }
+        run_pipeline(io, cfg, custom_transformation_fns={"scrub": scrub})
+        out = io.files[f"{DST}/abc-123/transformed_data"]
+        texts = {r.doc_id: r.text for r in out.collect()}
+        assert texts[1] == "contact me [EMAIL]"
+        assert texts[2] == "clean"
+        err = io.files[f"{DST}/abc-123/error_records"]
+        assert {r.doc_id for r in err.collect()} == {3}
