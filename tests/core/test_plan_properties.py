@@ -168,3 +168,37 @@ class TestPartitionedWindows:
         # string — nothing below it sorts the full table in one task.
         tail = p[p.index("TakeOrderedAndProject"):]
         assert "Exchange SinglePartition" not in tail
+
+
+class TestRound2QueryPlans:
+    """Plan guarantees for the round-2 queries (assert properties, not
+    plan text)."""
+
+    def _q(self, name, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_q76_topk_is_take_ordered(self, spark):
+        p = physical(self._q("q76_tpch_q10", spark))
+        assert "TakeOrderedAndProject" in p  # no global sort for top-20
+
+    def test_q77_distinct_count_has_no_expand(self, spark):
+        p = physical(self._q("q77_tpch_q16", spark))
+        assert "Expand" not in p
+
+    def test_q14_two_level_agg_has_no_expand(self, spark):
+        p = physical(self._q("q14_join_revenue_by_nation", spark))
+        assert "Expand" not in p
+
+    def test_q72_vocab_is_broadcast(self, spark):
+        p = physical(self._q("q72_oov_rate", spark))
+        assert "BroadcastHashJoin" in p  # vocab side broadcast, not shuffled
+
+    def test_q79_weight_map_is_broadcast(self, spark):
+        p = physical(self._q("q79_source_mixing", spark))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
