@@ -1,0 +1,69 @@
+"""Differential property tests for the round-2 LLM operators: the Spark
+result must equal a plain-Python model on arbitrary inputs (same pattern
+as tests/core/test_aggregates.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_pipe_spark.functions.sampling import pack_sequences
+
+
+class TestPackingProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        toks=st.lists(st.integers(0, 500), min_size=1, max_size=20),
+        bin_tokens=st.integers(1, 600),
+    )
+    def test_matches_greedy_model(self, spark, toks, bin_tokens):
+        rows = [("s", i, n) for i, n in enumerate(toks)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+        got = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(df, "n_tok", "doc_id", bin_tokens, "source").collect()
+        }
+        offset = 0
+        for i, n in enumerate(toks):
+            assert got[i] == offset // bin_tokens, (i, toks, bin_tokens)
+            offset += n
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(toks=st.lists(st.integers(0, 100), min_size=1, max_size=12))
+    def test_partition_independence(self, spark, toks):
+        """Each source packs independently: interleaving a second source
+        never changes the first source's bins."""
+        rows = [("a", i, n) for i, n in enumerate(toks)]
+        both = rows + [("b", 100 + i, n + 1) for i, n in enumerate(toks)]
+        df1 = spark.createDataFrame(rows, "source string, doc_id long, n_tok int")
+        df2 = spark.createDataFrame(both, "source string, doc_id long, n_tok int")
+        g1 = {r.doc_id: r.bin_id for r in pack_sequences(df1, "n_tok", "doc_id", 64, "source").collect()}
+        g2 = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(df2, "n_tok", "doc_id", 64, "source").collect()
+            if r.doc_id < 100
+        }
+        assert g1 == g2
+
+
+class TestQuantizationProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vec=st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def test_matches_python_model(self, spark, vec):
+        from polars_pipe_spark.functions.similarity import dequantize_vec, quantize_vec
+
+        df = spark.createDataFrame([(1, vec)], "id int, v array<double>")
+        got = df.select(dequantize_vec(quantize_vec("v")).alias("r")).first().r
+        mn, mx = min(vec), max(vec)
+        rng = (mx - mn) if mx > mn else 1.0
+        exp = [mn + math.floor((x - mn) / rng * 255.0 + 0.5) * rng / 255.0 for x in vec]
+        assert got == pytest.approx(exp, abs=0.0)  # bit-identical model
