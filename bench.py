@@ -72,6 +72,11 @@ def main() -> None:
     for name in names:
         best = None
         for _ in range(2):
+            # honest per-run numbers: queries that persist() reused
+            # intermediates must pay their cache-fill inside the measured
+            # run, not inherit a warm cache from the previous run; also
+            # stops cached frames accumulating across the whole sweep
+            spark.catalog.clearCache()
             t0 = time.time()
             try:
                 df = qmap[name](spark, sf_dir)

@@ -89,6 +89,9 @@ def main() -> int:
             print(f"{name}: NOT IN queries()")
             n_fail += 1
             continue
+        # queries that persist() intermediates must not leak caches into
+        # the rest of the sweep (79 queries share this one session)
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
