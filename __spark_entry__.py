@@ -541,10 +541,18 @@ def _q27_ngram_jaccard(spark, sf):
     # more than the one recompute the self-join needs (measured 4.4s →
     # 19.2s with persist at sf0.1). Contrast minhash, whose small
     # shingle-set/band frames DO win from caching.
-    g = normed.select("id", "source", grams.alias("grams"))
+    g = normed.select("id", "source", grams.alias("grams"), F.size(grams).alias("ng"))
     a, b = g.alias("a"), g.alias("b")
+    # size-band pre-filter: j = i/(|A|+|B|-i) >= 1/4 forces i >= (|A|+|B|)/5
+    # and i <= min(|A|,|B|), hence max <= 4*min — pairs outside the band can
+    # never reach the threshold, so pruning them before array_intersect is
+    # lossless and skips the per-pair set work for mismatched lengths.
+    band = (F.col("a.ng") <= 4 * F.col("b.ng")) & (F.col("b.ng") <= 4 * F.col("a.ng"))
     return (
-        a.join(b, (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")) & band,
+        )
         .withColumn("n_inter", F.size(F.array_intersect("a.grams", "b.grams")))
         # integer-form threshold: j = i/(|A|+|B|-i) >= 1/4  <=>  5i >= |A|+|B|.
         # Exactly equivalent to round(j,6) >= 0.25 for these set sizes (the
