@@ -1572,6 +1572,84 @@ def _q79_source_mixing(spark, sf):
     )
 
 
+def _q80_contamination(spark, sf):
+    """Benchmark decontamination: train docs sharing >= 2 distinct word
+    3-grams with any benchmark doc (benchmark = doc_id % 197 == 0, a
+    stand-in eval set; the synthetic corpus's word-soup text makes high
+    overlaps rare, so the threshold is low to keep the check non-trivial).
+    Broadcast the small bench gram table — the train side never
+    shuffles."""
+    from polars_pipe_spark.functions.dedup import ngram_contamination
+
+    docs = _t_par(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 197 == 0)
+    train = docs.filter(F.col("doc_id") % 197 != 0)
+    return ngram_contamination(
+        train, bench, "text", "doc_id", k=3, min_overlap=2
+    )
+
+
+def _q81_tpch_q4_shape(spark, sf):
+    """TPC-H Q4 shape: order-priority checking via a correlated-condition
+    left-semi join (EXISTS lineitem shipped >60 days after order)."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _q82_tpch_q12_shape(spark, sf):
+    """TPC-H Q12 shape: join + conditional aggregation (high/low priority
+    line counts per return flag)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _q83_tpch_q19_shape(spark, sf):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate across a
+    broadcast part join — Catalyst splits the common p_partkey conjunct
+    into the join key and evaluates the OR post-join."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#11") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#12") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#13") & s.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1656,6 +1734,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_tpch_q16": _q77_tpch_q16,
     "q78_quantized_topk": _q78_quantized_topk,
     "q79_source_mixing": _q79_source_mixing,
+    "q80_contamination": _q80_contamination,
+    "q81_tpch_q4_shape": _q81_tpch_q4_shape,
+    "q82_tpch_q12_shape": _q82_tpch_q12_shape,
+    "q83_tpch_q19_shape": _q83_tpch_q19_shape,
 }
 
 
@@ -2632,6 +2714,60 @@ _ORACLES["q71_sequence_packing"] = f"""
     SELECT source, bin_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
     FROM packed GROUP BY source, bin_id
+"""
+
+
+_ORACLES["q80_contamination"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+                  ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS gram
+      FROM toks, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+    )
+    SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams t JOIN grams b ON t.gram = b.gram
+    WHERE t.doc_id % 197 <> 0 AND b.doc_id % 197 = 0
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+"""
+
+_ORACLES["q81_tpch_q4_shape"] = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+_ORACLES["q82_tpch_q12_shape"] = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+_ORACLES["q83_tpch_q19_shape"] = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
 """
 
 

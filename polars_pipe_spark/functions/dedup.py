@@ -387,3 +387,48 @@ def embedding_near_dups(
         .select(F.col("a.id").alias("id_a"), F.col("id_b"), "cosine")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Decontamination: flag training documents that share at least
+    ``min_overlap`` distinct word ``k``-grams with any benchmark document
+    (the standard train/test leakage check for LLM corpora).
+
+    Returns one row per contaminated (train, bench) pair:
+    ``(train_id, bench_id, n_shared)``.
+
+    Scale design: the benchmark side is small by construction (eval sets
+    are thousands of documents, not billions), so its exploded gram table
+    is broadcast — the 100 TB training side streams through a broadcast
+    hash join on the gram with NO shuffle of train data; the only shuffle
+    is the final (train_id, bench_id) count, whose cardinality is bounded
+    by contaminated pairs, not corpus size. Grams are distinct per
+    document, so ``count(*)`` after the join IS the distinct-overlap
+    count.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("gram"),
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("gram"),
+    )
+    return (
+        t.join(F.broadcast(b), "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -160,3 +160,37 @@ class TestQuantization:
             bound = (rng if rng > 0 else 1.0) / 255.0 / 2.0 + 1e-12
             for a, b in zip(row.v, row.r):
                 assert abs(a - b) <= bound, (row.id, a, b, bound)
+
+
+class TestContamination:
+    def test_flags_overlapping_pairs(self, near_dup_docs):
+        # bench = doc 1; docs 2 (exact) and 3 (near) share >= 5 trigrams
+        # with it; docs 4/5 share none.
+        bench = near_dup_docs.filter(F.col("doc_id") == 1)
+        train = near_dup_docs.filter(F.col("doc_id") != 1)
+        out = dd.ngram_contamination(train, bench, "text", "doc_id", k=3, min_overlap=5)
+        rows = {(r.train_id, r.bench_id): r.n_shared for r in out.collect()}
+        assert set(rows) == {(2, 1), (3, 1)}
+        # doc 2 is an exact copy: shares every distinct trigram of doc 1
+        n_grams_doc1 = bench.select(
+            F.size(F.array_distinct(dd.shingles("text", 3))).alias("n")
+        ).first().n
+        assert rows[(2, 1)] == n_grams_doc1
+        assert rows[(3, 1)] < n_grams_doc1
+
+    def test_overlap_counts_distinct_grams(self, spark):
+        # repeated gram in the train doc must count once
+        train = spark.createDataFrame(
+            [(10, "a b c a b c a b c")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        out = dd.ngram_contamination(train, bench, "text", "doc_id", k=3, min_overlap=1)
+        r = out.collect()
+        assert len(r) == 1 and r[0].n_shared == 1
+
+    def test_broadcast_join_planned(self, near_dup_docs):
+        bench = near_dup_docs.filter(F.col("doc_id") == 1)
+        train = near_dup_docs.filter(F.col("doc_id") != 1)
+        out = dd.ngram_contamination(train, bench, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
