@@ -1650,6 +1650,34 @@ def _q83_tpch_q19_shape(spark, sf):
     )
 
 
+def _q84_packed_texts(spark, sf):
+    """Materialised context-window packing: concatenate each bin's
+    documents in doc_id order into the actual training sequence
+    (fingerprinted with md5 so the output stays compact)."""
+    from polars_pipe_spark.functions.sampling import packed_texts
+    from polars_pipe_spark.functions.text import token_count
+
+    docs = _t_par(spark, sf, "documents").select(
+        "source", "doc_id", "text", token_count("text").alias("n_tok")
+    )
+    out = packed_texts(docs, "text", "n_tok", "doc_id", bin_tokens=512, part_col="source")
+    return out.select(
+        "source", "bin_id", "n_docs", "sum_tokens", F.md5("seq_text").alias("seq_fp")
+    )
+
+
+def _q85_time_spine(spark, sf):
+    """Gap-filled hourly event counts per user over a fixed window: the
+    spine is a per-key exploded sequence() (executor-side, no driver
+    range loop), left-joined with the hourly aggregate."""
+    from polars_pipe_spark.operators.windows import time_spine
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 50)
+    return time_spine(
+        ev, "user_id", "ts", "2024-01-10 00:00:00", "2024-01-12 23:00:00", "1 hour"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1738,6 +1766,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_tpch_q4_shape": _q81_tpch_q4_shape,
     "q82_tpch_q12_shape": _q82_tpch_q12_shape,
     "q83_tpch_q19_shape": _q83_tpch_q19_shape,
+    "q84_packed_texts": _q84_packed_texts,
+    "q85_time_spine": _q85_time_spine,
 }
 
 
@@ -2768,6 +2798,45 @@ _ORACLES["q83_tpch_q19_shape"] = """
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
        OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_ORACLES["q84_packed_texts"] = f"""
+    WITH tok AS (
+      SELECT source, doc_id, text, len({_TOKS}) AS n_tok FROM documents
+    ), packed AS (
+      SELECT source, doc_id, text, n_tok,
+             CAST(FLOOR(CAST(SUM(n_tok) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) - n_tok AS DOUBLE) / 512) AS BIGINT) AS bin_id
+      FROM tok
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_fp
+    FROM packed GROUP BY source, bin_id
+"""
+
+_ORACLES["q85_time_spine"] = """
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 50
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                    TIMESTAMP '2024-01-12 23:00:00',
+                                    INTERVAL 1 HOUR)) AS bucket_ts
+      FROM keys
+    ), agg AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, COUNT(*) AS n
+      FROM events
+      WHERE user_id < 50
+        AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-12 23:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.bucket_ts, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)
 """
 
 

@@ -110,3 +110,45 @@ def mix_sources(
     joined = df.join(wdf, source_col, "left")
     cut = F.floor(F.coalesce(F.col("__w"), F.lit(default_weight)) * n_buckets)
     return joined.filter(md5_bucket(key_col, n_buckets) < cut).drop("__w")
+
+
+def packed_texts(
+    df: DataFrame,
+    text_col: str,
+    token_col: str,
+    id_col: str,
+    bin_tokens: int = 2048,
+    part_col: str | None = None,
+    sep: str = " ",
+) -> DataFrame:
+    """Materialise the training sequences that :func:`pack_sequences`
+    assigns: one row per bin with the documents' text concatenated in
+    ``id_col`` order.
+
+    Scale: the concat is a grouped ``collect_list(struct(id, text))``
+    sorted per bin — bins are ~``bin_tokens`` tokens by construction, so
+    each group is small and bounded regardless of corpus size; the only
+    shuffle is the groupBy on (part, bin). Output columns:
+    ``(part?, bin_id, n_docs, sum_tokens, seq_text)``.
+    """
+    from pyspark.sql import Window
+
+    # pack_sequences projects away the text column, so recompute the bin
+    # assignment here over the full row instead of joining back (one
+    # window pass — same single shuffle as pack_sequences itself).
+    if part_col is None:
+        w = Window.orderBy(id_col)
+        keys = []
+    else:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        keys = [part_col]
+    preceding = F.coalesce(
+        F.sum(token_col).over(w) - F.col(token_col), F.lit(0)
+    ).cast("long")
+    binned = df.withColumn("bin_id", F.floor(preceding / bin_tokens).cast("long"))
+    docs = F.array_sort(F.collect_list(F.struct(F.col(id_col), F.col(text_col))))
+    return binned.groupBy(*keys, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_col).cast("long").alias("sum_tokens"),
+        F.array_join(F.transform(docs, lambda s: s[text_col]), sep).alias("seq_text"),
+    )

@@ -53,3 +53,44 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def time_spine(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    step: str = "1 hour",
+    bucket_col: str = "bucket_ts",
+    agg_exprs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Gap-filled time series: for every distinct key, emit one row per
+    ``step`` bucket in [start, end] (inclusive), left-joined with the
+    aggregated events of that bucket; empty buckets keep the spine row
+    with zero/null aggregates.
+
+    Scale: the spine is a per-key ``sequence()`` array exploded on the
+    executors — no driver-side range loop, no cross join against a
+    materialised calendar table; the only shuffles are the distinct on
+    keys and the (key, bucket) aggregation join. Step granularity must
+    match the truncation unit implied by the bucket (pass step='1 hour'
+    with hourly truncation).
+    """
+    unit = step.split()[-1].rstrip("s")  # '1 hour' -> 'hour'
+    lo, hi = F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+    spine = (
+        df.select(F.col(key_col)).distinct()
+        .withColumn(bucket_col, F.explode(F.sequence(lo, hi, F.expr(f"INTERVAL {step}"))))
+    )
+    aggs = agg_exprs or {"n_events": F.count(F.lit(1))}
+    per_bucket = (
+        df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) <= hi))
+        .groupBy(key_col, F.date_trunc(unit, F.col(ts_col)).alias(bucket_col))
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+    )
+    out = spine.join(per_bucket, [key_col, bucket_col], "left")
+    # count-like aggregates fill 0 on empty buckets; others stay null
+    if agg_exprs is None:
+        out = out.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+    return out

@@ -127,3 +127,39 @@ class TestTopK:
         out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], k=2)
         got = {(r.g, r.id): r.rk for r in out.collect()}
         assert got == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}
+
+
+class TestTimeSpine:
+    def test_gap_fill_zeros(self, spark):
+        from polars_pipe_spark.operators.windows import time_spine
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 10)),
+             (1, dt.datetime(2024, 1, 1, 0, 40)),
+             (1, dt.datetime(2024, 1, 1, 2, 5)),
+             (2, dt.datetime(2024, 1, 1, 1, 30)),
+             # outside the window: must not leak in
+             (2, dt.datetime(2024, 1, 2, 9, 0))],
+            "user_id long, ts timestamp",
+        )
+        out = time_spine(df, "user_id", "ts",
+                         "2024-01-01 00:00:00", "2024-01-01 03:00:00", "1 hour")
+        rows = {(r.user_id, r.bucket_ts.hour): r.n_events for r in out.collect()}
+        # 2 keys x 4 hourly buckets, empty buckets filled with 0
+        assert len(rows) == 8
+        assert rows[(1, 0)] == 2 and rows[(1, 2)] == 1 and rows[(1, 1)] == 0
+        assert rows[(2, 1)] == 1 and rows[(2, 0)] == 0 and rows[(2, 3)] == 0
+
+    def test_custom_aggs_stay_null_on_empty_buckets(self, spark):
+        from polars_pipe_spark.operators.windows import time_spine
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 10), 5.0)],
+            "user_id long, ts timestamp, v double",
+        )
+        out = time_spine(
+            df, "user_id", "ts", "2024-01-01 00:00:00", "2024-01-01 01:00:00",
+            "1 hour", agg_exprs={"sum_v": F.sum("v")},
+        )
+        rows = {r.bucket_ts.hour: r.sum_v for r in out.collect()}
+        assert rows == {0: 5.0, 1: None}

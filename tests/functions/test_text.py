@@ -155,6 +155,26 @@ class TestPacking:
         # s: offsets 0, 300, 600 -> bins 0, 0, 1 ; t: offset 0 -> bin 0
         assert out == {1: 0, 2: 0, 3: 1, 4: 0}
 
+    def test_packed_texts_concat_in_id_order(self, spark):
+        from polars_pipe_spark.functions.sampling import pack_sequences, packed_texts
+
+        df = spark.createDataFrame(
+            [("s", 2, "bbb", 300), ("s", 1, "aaa", 300), ("s", 3, "ccc", 300),
+             ("t", 4, "ddd", 700)],
+            "source string, doc_id long, text string, n_tok int",
+        )
+        out = {(r.source, r.bin_id): (r.n_docs, r.sum_tokens, r.seq_text)
+               for r in packed_texts(df, "text", "n_tok", "doc_id", 512, "source").collect()}
+        # same bin cuts as pack_sequences; text concatenated in doc_id order
+        assert out == {
+            ("s", 0): (2, 600, "aaa bbb"),
+            ("s", 1): (1, 300, "ccc"),
+            ("t", 0): (1, 700, "ddd"),
+        }
+        bins = {r.doc_id: r.bin_id
+                for r in pack_sequences(df, "n_tok", "doc_id", 512, "source").collect()}
+        assert bins == {1: 0, 2: 0, 3: 1, 4: 0}
+
 
 class TestSourceMixing:
     def test_mix_sources_weights(self, spark):
