@@ -1678,6 +1678,155 @@ def _q85_time_spine(spark, sf):
     )
 
 
+def _q86_stratified_sample(spark, sf):
+    """Exactly-k-per-stratum deterministic sample: md5-content order
+    within each source, so the same 5 docs win under any partitioning
+    (and in the oracle)."""
+    from polars_pipe_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents").select("source", "doc_id", "lang")
+    return stratified_sample(docs, ["source"], "doc_id", k=5)
+
+
+def _q87_gram_matrix(spark, sf):
+    """One-pass quantized gram/covariance statistics (first 16 embedding
+    dims): the distributed half of PCA — integer-exact sums, d(d+1)/2
+    output rows."""
+    from polars_pipe_spark.functions.similarity import gram_matrix
+
+    emb = _t(spark, sf, "embeddings")
+    return gram_matrix(emb, "embedding", dims=16)
+
+
+def _q88_robust_stats(spark, sf):
+    """Per-source robust location/scale (exact median + MAD) of document
+    lengths — the outlier-proof quality-filter statistics."""
+    from polars_pipe_spark.operators.aggregates import robust_group_stats
+
+    docs = _t(spark, sf, "documents")
+    return robust_group_stats(docs, ["source"], "n_chars", "med_chars", "mad_chars")
+
+
+def _q89_bigram_pmi(spark, sf):
+    """Collocation mining: top-50 token bigrams by count with their PMI
+    ratio (exact integer counts; the ratio is one identical double
+    expression on both engines). Bigrams via posexplode + lead over
+    (doc, pos) — no array gymnastics, one shuffle per counting pass."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("x"), F.col("nxt").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .persist()  # tiny vocab-pair frame, read twice (totals + ranking)
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    tot = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    )
+    ratio = (
+        F.col("c_xy").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+        / (
+            F.col("n_bi").cast("double")
+            * F.col("c_x").cast("double")
+            * F.col("c_y").cast("double")
+        )
+    )
+    return (
+        bi.join(uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pmi_ratio", ratio)
+        .select("x", "y", "c_xy", "c_x", "c_y", "pmi_ratio")
+        .orderBy(F.col("c_xy").desc(), "x", "y")
+        .limit(50)
+    )
+
+
+def _q90_equidepth_histogram(spark, sf):
+    """Equal-frequency price histogram: exact percentile_disc bounds in
+    one agg (broadcast), bucket assignment scan-side — no global sort."""
+    from polars_pipe_spark.operators.aggregates import equidepth_histogram
+
+    li = _t(spark, sf, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", n_buckets=10)
+
+
+def _q91_hopping_window(spark, sf):
+    """Sliding (hopping) window aggregation — 1-hour windows every 30
+    minutes; each event lands in exactly two windows."""
+    from polars_pipe_spark.streaming.pipeline import windowed_event_counts
+
+    ev = _t(spark, sf, "events")
+    return windowed_event_counts(
+        ev, "ts", "1 hour", slide="30 minutes", group_cols=["event_type"]
+    )
+
+
+def _q92_click_attribution(spark, sf):
+    """Stream-stream-shaped attribution join run on batch frames: every
+    click of the same user in the hour before each purchase."""
+    from polars_pipe_spark.streaming.pipeline import click_attribution_join
+
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return click_attribution_join(purchases, clicks, lookback="1 hour")
+
+
+def _q93_streaming_attribution(spark, sf):
+    """The SAME attribution join executed as a real stream-stream join
+    (two file-source streams, watermarks both sides, append sink) —
+    checked against the same SQL oracle as the batch form. Staged as a
+    single file per side so availableNow runs one micro-batch: within
+    one batch the watermark only bounds STATE eviction (after output),
+    so the append result is the complete join, same as batch."""
+    import tempfile
+
+    from polars_pipe_spark.streaming.pipeline import click_attribution_join
+
+    ev = _t(spark, sf, "events")
+    staged = tempfile.mkdtemp(prefix="pps_ss_join_")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/purchases")
+    ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/clicks")
+    p_schema = spark.read.parquet(f"{staged}/purchases").schema
+    c_schema = spark.read.parquet(f"{staged}/clicks").schema
+    p = spark.readStream.schema(p_schema).parquet(f"{staged}/purchases")
+    c = spark.readStream.schema(c_schema).parquet(f"{staged}/clicks")
+    joined = click_attribution_join(p, c, lookback="1 hour")
+    name = "pps_ss_join_out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1768,6 +1917,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_tpch_q19_shape": _q83_tpch_q19_shape,
     "q84_packed_texts": _q84_packed_texts,
     "q85_time_spine": _q85_time_spine,
+    "q86_stratified_sample": _q86_stratified_sample,
+    "q87_gram_matrix": _q87_gram_matrix,
+    "q88_robust_stats": _q88_robust_stats,
+    "q89_bigram_pmi": _q89_bigram_pmi,
+    "q90_equidepth_histogram": _q90_equidepth_histogram,
+    "q91_hopping_window": _q91_hopping_window,
+    "q92_click_attribution": _q92_click_attribution,
+    "q93_streaming_attribution": _q93_streaming_attribution,
 }
 
 
@@ -2838,6 +2995,114 @@ _ORACLES["q85_time_spine"] = """
     SELECT s.user_id, s.bucket_ts, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
     FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)
 """
+
+
+_ORACLES["q86_stratified_sample"] = """
+    SELECT source, doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) <= 5
+"""
+
+_ORACLES["q87_gram_matrix"] = """
+    WITH params AS (
+      SELECT embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CASE WHEN CAST(list_max(embedding) AS DOUBLE) > CAST(list_min(embedding) AS DOUBLE)
+                  THEN CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)
+                  ELSE 1.0 END AS rng
+      FROM embeddings
+    ), codes AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor((CAST(x AS DOUBLE) - mn) / rng * 255.0 + 0.5) AS BIGINT)
+             )[1:16] AS c
+      FROM params
+    ), idx AS (SELECT unnest(range(0, 16)) AS d),
+    lin AS (
+      SELECT d, CAST(SUM(c.c[d + 1]) AS BIGINT) AS sd
+      FROM idx CROSS JOIN codes c GROUP BY d
+    ), sums AS (
+      SELECT a.d AS i, b.d AS j, CAST(SUM(c.c[a.d + 1] * c.c[b.d + 1]) AS BIGINT) AS s_ij
+      FROM idx a JOIN idx b ON b.d >= a.d CROSS JOIN codes c
+      GROUP BY a.d, b.d
+    ), n AS (SELECT COUNT(*) AS n FROM codes)
+    SELECT s.i, s.j, n.n, li.sd AS s_i, lj.sd AS s_j, s.s_ij,
+           CAST(n.n * s.s_ij - li.sd * lj.sd AS BIGINT) AS cov_num
+    FROM sums s JOIN lin li ON li.d = s.i JOIN lin lj ON lj.d = s.j CROSS JOIN n
+"""
+
+_ORACLES["q88_robust_stats"] = """
+    WITH med AS (
+      SELECT source, COUNT(*) AS n, median(n_chars) AS med_chars
+      FROM documents GROUP BY source
+    )
+    SELECT m.source, m.n, m.med_chars,
+           median(abs(d.n_chars - m.med_chars)) AS mad_chars
+    FROM documents d JOIN med m ON d.source = m.source
+    GROUP BY m.source, m.n, m.med_chars
+"""
+
+_ORACLES["q89_bigram_pmi"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (SELECT unnest(toks) AS tok FROM tok),
+    ucnt AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    bi AS (
+      SELECT unnest(toks[1:len(toks) - 1]) AS x,
+             unnest(toks[2:len(toks)]) AS y
+      FROM tok WHERE len(toks) >= 2
+    ),
+    bcnt AS (SELECT x, y, COUNT(*) AS c_xy FROM bi GROUP BY x, y),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ucnt) AS n_uni,
+             (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bcnt) AS n_bi
+    )
+    SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(ux.c AS BIGINT) AS c_x, CAST(uy.c AS BIGINT) AS c_y,
+           CAST(c_xy AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE)
+             / (CAST(n_bi AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))
+             AS pmi_ratio
+    FROM bcnt JOIN ucnt ux ON ux.tok = x JOIN ucnt uy ON uy.tok = y CROSS JOIN tot
+    ORDER BY c_xy DESC, x, y LIMIT 50
+"""
+
+_ORACLES["q90_equidepth_histogram"] = """
+    WITH b AS (
+      SELECT quantile_disc(l_extendedprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+      FROM lineitem
+    )
+    SELECT CAST(len(list_filter(b.bounds, v -> l.l_extendedprice > v)) AS INT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(l.l_extendedprice) AS lo, MAX(l.l_extendedprice) AS hi
+    FROM lineitem l CROSS JOIN b
+    GROUP BY 1
+"""
+
+_ORACLES["q91_hopping_window"] = """
+    WITH g AS (
+      SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS g30 FROM events
+    ), ex AS (
+      SELECT event_type, value,
+             unnest([g30, g30 - INTERVAL '30 minutes']) AS window_start
+      FROM g
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM ex GROUP BY 1, 2, 3
+"""
+
+_ATTRIBUTION_SQL = """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts, p.value,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+"""
+_ORACLES["q92_click_attribution"] = _ATTRIBUTION_SQL
+_ORACLES["q93_streaming_attribution"] = _ATTRIBUTION_SQL
 
 
 def oracle_sql() -> dict[str, str]:

@@ -152,3 +152,37 @@ def packed_texts(
         F.sum(token_col).cast("long").alias("sum_tokens"),
         F.array_join(F.transform(docs, lambda s: s[text_col]), sep).alias("seq_text"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    k: int,
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum, chosen deterministically by
+    content-hash order (md5 of the key, key as tiebreak) — the same rows
+    win under any partitioning or engine, unlike ``sampleBy`` (seeded,
+    fraction-not-count, engine-specific).
+
+    Scale: one shuffle on the strata + a per-stratum sort. When strata
+    are huge relative to ``k``, pass ``prefilter_buckets`` to hash-filter
+    each stratum to ~``2k`` survivors BEFORE the sort-heavy window — the
+    filter is a scan-side predicate, so the window sorts only the
+    survivors. The pre-filter keeps rows whose bucket falls below
+    ``2k/stratum`` of the hash space, which keeps all md5-order winners
+    as long as the stratum estimate is not >2x under — it is a
+    performance knob for known stratum sizes, not a default.
+    """
+    order = F.md5(F.col(key_col).cast("string"))
+    if prefilter_buckets is not None:
+        df = df.filter(md5_bucket(key_col, prefilter_buckets) < max(2 * k, 1))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

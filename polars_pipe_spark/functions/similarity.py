@@ -279,3 +279,79 @@ def quantized_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# -- one-pass gram / covariance statistics ----------------------------------
+
+
+def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
+    """Exact second-moment (gram/covariance) statistics over the first
+    ``dims`` dimensions of an int8-quantized embedding column — the
+    distributed half of PCA/whitening: collect this d×d summary (tiny),
+    eigendecompose on the driver, broadcast the projection back.
+
+    Quantizing first (same ``quantize_vec`` codes the 100 TB store would
+    hold) makes every sum an INTEGER sum — exact, order-independent, and
+    reproducible cross-engine, where float dot-product accumulation is
+    partition-order dependent.
+
+    Plan shape: one scan; each vector emits its upper-triangle product
+    terms plus linear terms through a single ``explode`` (a Generate node
+    — the quantization expression is materialised once per row, never
+    duplicated per term); one groupBy reduces them with map-side partial
+    aggregation. Output is d(d+1)/2 rows — the reshape joins below run
+    on that tiny frame (persisted: ~d² rows, three consumers).
+
+    Output: (i, j, n, s_i, s_j, s_ij, cov_num) with i <= j, where
+    cov_num = n*s_ij - s_i*s_j, i.e. n² × covariance — returned as exact
+    integers so the caller (or oracle) divides at whatever precision it
+    wants. Fits BIGINT while n × 255² × dims-max-code stays < 2^63
+    (n < ~1e14 rows); cast ``v`` to decimal beyond that.
+    """
+    v = F.col(vec_col)
+    codes = F.slice(quantize_vec(v)["codes"], 1, dims)
+    # explode(array(x)) materialises the quantized array exactly once per
+    # row (Generate blocks projection collapse) — the term builder below
+    # then references a cheap column, not 150+ copies of the quantizer.
+    c_df = df.select(F.explode(F.array(codes)).alias("__c"))
+    c = F.col("__c")
+    terms = (
+        # count term: one (i=-1, j=-1, v=1) per vector
+        [F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1).cast("long").alias("v"))]
+        # linear terms: (i, -1, q_i)
+        + [
+            F.struct(F.lit(i).alias("i"), F.lit(-1).alias("j"), F.get(c, i).cast("long").alias("v"))
+            for i in range(dims)
+        ]
+        # upper-triangle product terms: (i, j, q_i * q_j)
+        + [
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                (F.get(c, i).cast("long") * F.get(c, j).cast("long")).alias("v"),
+            )
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
+    sums = (
+        c_df.select(F.explode(F.array(*terms)).alias("t"))
+        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
+        .agg(F.sum("t.v").alias("s"))
+        .persist()
+    )
+    n_df = sums.filter(F.col("i") == -1).select(F.col("s").alias("n"))
+    lin = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("d"), F.col("s").alias("sd")
+    )
+    pairs = sums.filter(F.col("j") >= 0)
+    return (
+        pairs.join(F.broadcast(lin.select(F.col("d").alias("i"), F.col("sd").alias("s_i"))), "i")
+        .join(F.broadcast(lin.select(F.col("d").alias("j"), F.col("sd").alias("s_j"))), "j")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i", "j", "n", "s_i", "s_j",
+            F.col("s").alias("s_ij"),
+            (F.col("n") * F.col("s") - F.col("s_i") * F.col("s_j")).alias("cov_num"),
+        )
+    )

@@ -66,3 +66,73 @@ def mean_via_salted(df: DataFrame, group_cols: list[str], col: str, out: str = "
         df, group_cols, {"__sum": ("sum", col), "__cnt": ("count", col)}
     )
     return agged.withColumn(out, F.col("__sum") / F.col("__cnt")).drop("__sum", "__cnt")
+
+
+def robust_group_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    med_col: str = "med",
+    mad_col: str = "mad",
+) -> DataFrame:
+    """Exact per-group median and MAD (median absolute deviation) — the
+    outlier-robust twin of mean/std z-scoring for quality filtering.
+
+    Exact MAD is irreducibly two-pass (the deviation needs the median
+    first): pass 1 aggregates (median, n) per group; pass 2 re-joins the
+    per-group median (broadcast — the group table is orders of magnitude
+    smaller than the data) and aggregates the absolute deviations. Both
+    passes are single shuffles on the group key with partial aggregation.
+
+    Output: one row per group — (*group_cols, n, med, mad).
+    """
+    g = list(group_cols)
+    med = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"), F.percentile(col, 0.5).alias(med_col)
+    )
+    joined = df.join(F.broadcast(med), g)
+    return joined.groupBy(*g).agg(
+        F.max("n").alias("n"),
+        F.max(med_col).alias(med_col),
+        F.percentile(F.abs(F.col(col) - F.col(med_col)), 0.5).alias(mad_col),
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, n_buckets: int = 10
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram with EXACT bucket bounds:
+    interior bounds are ``percentile_disc`` values (actual data points —
+    no interpolation arithmetic, so bounds are reproducible bit-for-bit
+    on any engine), computed in ONE aggregation pass; bucket assignment
+    is then a pure scan-side expression over the broadcast bounds row —
+    no sort of the full data, no ntile (a global ntile is a
+    single-partition sort).
+
+    Output: (bucket, n_rows, lo, hi) — bucket b holds rows where
+    bounds[b-1] < x <= bounds[b] (b in [0, n_buckets-1]).
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(
+        F.array(
+            *[
+                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
+                for q in qs
+            ]
+        ).alias("__bounds")
+    )
+    bucket = F.aggregate(
+        "__bounds",
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )

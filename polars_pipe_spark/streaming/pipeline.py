@@ -155,3 +155,40 @@ def streaming_pipeline(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def click_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    p_ts: str = "ts",
+    c_ts: str = "click_ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same expression) attribution
+    join: every click of the same user within ``lookback`` BEFORE each
+    purchase.
+
+    Streaming requirements baked in (they are what makes the state
+    bounded): an EQUALITY predicate on the user plus a two-sided time
+    bound on the event times, and a watermark on BOTH inputs — Spark can
+    then evict click state older than watermark + lookback instead of
+    buffering the streams forever. Batch frames skip the watermark and
+    run the identical join condition.
+    """
+    p, c = purchases.alias("p"), clicks.alias("c")
+    if p.isStreaming:
+        p = p.withWatermark(p_ts, watermark).alias("p")
+    if c.isStreaming:
+        c = c.withWatermark(c_ts, watermark).alias("c")
+    cond = (
+        (F.col(f"p.{user_col}") == F.col(f"c.{user_col}"))
+        & (F.col(f"c.{c_ts}") >= F.col(f"p.{p_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"c.{c_ts}") <= F.col(f"p.{p_ts}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col(f"p.{user_col}").alias(user_col),
+        *[F.col(f"p.{x}").alias(x) for x in purchases.columns if x != user_col],
+        *[F.col(f"c.{x}").alias(x) for x in clicks.columns if x != user_col],
+    )

@@ -144,3 +144,74 @@ class TestExpressionProperties:
         assert sorted(v_rows, key=nkey) == exp_valid
         assert i_rows == exp_invalid
         assert len(v_rows) + invalid.count() == len(rows)
+
+
+class TestRobustStats:
+    def test_median_and_mad_exact(self, spark):
+        from polars_pipe_spark.operators.aggregates import robust_group_stats
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [1, 2, 3, 4, 100]] + [("b", v) for v in [10, 20]],
+            "g string, x long",
+        )
+        out = {r.g: (r.n, r.med, r.mad) for r in
+               robust_group_stats(df, ["g"], "x").collect()}
+        # a: median 3, deviations [2,1,0,1,97] -> MAD 1 (outlier-immune)
+        assert out["a"] == (5, 3.0, 1.0)
+        # b: even count -> interpolated median 15, deviations [5,5] -> 5
+        assert out["b"] == (2, 15.0, 5.0)
+
+    def test_mad_vs_std_outlier_robustness(self, spark):
+        from polars_pipe_spark.operators.aggregates import robust_group_stats
+
+        clean = [("g", float(v)) for v in range(100)]
+        dirty = clean + [("g", 1e9)]
+        df = spark.createDataFrame(dirty, "g string, x double")
+        r = robust_group_stats(df, ["g"], "x").collect()[0]
+        assert r.mad < 50  # one outlier barely moves MAD
+
+
+class TestEquidepthHistogram:
+    def test_quartiles_exact(self, spark):
+        from polars_pipe_spark.operators.aggregates import equidepth_histogram
+
+        df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+        out = {r.bucket: (r.n_rows, r.lo, r.hi) for r in
+               equidepth_histogram(df, "x", n_buckets=4).collect()}
+        # percentile_disc bounds at 25/50/75 -> 4 buckets of 25 rows
+        assert {b: n for b, (n, _, _) in out.items()} == {0: 25, 1: 25, 2: 25, 3: 25}
+        assert out[0][1] == 1.0 and out[3][2] == 100.0
+        # bucket edges: bound value itself goes to the LOWER bucket (x <= bound)
+        assert out[0][2] == 25.0 and out[1][1] == 26.0
+
+    def test_skewed_data_still_balanced(self, spark):
+        from polars_pipe_spark.operators.aggregates import equidepth_histogram
+
+        # heavy tail: equi-WIDTH would put ~all rows in bucket 0
+        df = spark.createDataFrame([(1.001 ** i,) for i in range(2000)], "x double")
+        counts = [r.n_rows for r in
+                  equidepth_histogram(df, "x", n_buckets=10).collect()]
+        assert max(counts) - min(counts) <= 2
+
+
+class TestStratifiedSample:
+    def test_exact_k_and_determinism(self, spark):
+        from polars_pipe_spark.functions.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(f"s{i % 3}", i) for i in range(300)], "g string, id long"
+        )
+        a = stratified_sample(df, ["g"], "id", k=7)
+        assert {r.g: 1 for r in a.collect()}  # runs
+        per = a.groupBy("g").count().collect()
+        assert all(r["count"] == 7 for r in per)
+        # repartition-stable: same winners under a different layout
+        b = stratified_sample(df.repartition(13), ["g"], "id", k=7)
+        assert sorted((r.g, r.id) for r in a.collect()) == \
+               sorted((r.g, r.id) for r in b.collect())
+
+    def test_small_stratum_keeps_all(self, spark):
+        from polars_pipe_spark.functions.sampling import stratified_sample
+
+        df = spark.createDataFrame([("tiny", 1), ("tiny", 2)], "g string, id long")
+        assert stratified_sample(df, ["g"], "id", k=5).count() == 2

@@ -194,3 +194,40 @@ class TestContamination:
         out = dd.ngram_contamination(train, bench, "text", "doc_id")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestGramMatrix:
+    def test_matches_numpy_on_quantized_codes(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        vecs = rng.rand(40, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {(r.i, r.j): (r.n, r.s_i, r.s_j, r.s_ij, r.cov_num)
+               for r in sim.gram_matrix(df, "embedding", dims=8).collect()}
+        # reproduce the quantizer: per-vector min/range, floor(x+0.5)
+        v64 = vecs.astype("float64")
+        mn = v64.min(axis=1, keepdims=True)
+        q = np.floor((v64 - mn) / (v64.max(axis=1, keepdims=True) - mn) * 255.0 + 0.5)
+        assert len(out) == 8 * 9 // 2
+        for (i, j), (n, s_i, s_j, s_ij, cov_num) in out.items():
+            assert i <= j and n == 40
+            assert s_i == int(q[:, i].sum()) and s_j == int(q[:, j].sum())
+            assert s_ij == int((q[:, i] * q[:, j]).sum())
+            assert cov_num == n * s_ij - s_i * s_j
+
+    def test_diagonal_cov_nonnegative(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.rand(4)]) for i in range(25)],
+            "vec_id long, embedding array<float>",
+        )
+        out = sim.gram_matrix(df, "embedding", dims=4)
+        diag = out.filter(F.col("i") == F.col("j")).collect()
+        assert len(diag) == 4
+        assert all(r.cov_num >= 0 for r in diag)  # n²·var ≥ 0

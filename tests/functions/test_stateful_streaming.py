@@ -116,3 +116,55 @@ class TestSessionWindow:
         ends = {r.session_start: r.session_end for r in out.collect() if r.user_id == "u"}
         # end = last event + gap
         assert ends[t0] == t0 + dt.timedelta(minutes=70)
+
+
+class TestClickAttributionJoin:
+    def _frames(self, spark):
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        purchases = spark.createDataFrame(
+            [(1, 100, t0, 9.99)],
+            "user_id long, purchase_id long, ts timestamp, value double",
+        )
+        clicks = spark.createDataFrame(
+            [
+                (1, 200, t0 - dt.timedelta(minutes=30), 1.0),   # in window
+                (1, 201, t0 - dt.timedelta(hours=1), 2.0),      # exactly -1h: inclusive
+                (1, 202, t0 - dt.timedelta(hours=1, seconds=1), 3.0),  # too old
+                (1, 203, t0, 4.0),                              # same instant: inclusive
+                (1, 204, t0 + dt.timedelta(seconds=1), 5.0),    # after purchase
+                (2, 205, t0 - dt.timedelta(minutes=5), 6.0),    # other user
+            ],
+            "user_id long, click_id long, click_ts timestamp, click_value double",
+        )
+        return purchases, clicks
+
+    def test_batch_window_boundaries(self, spark):
+        from polars_pipe_spark.streaming.pipeline import click_attribution_join
+
+        p, c = self._frames(spark)
+        out = click_attribution_join(p, c, lookback="1 hour")
+        assert sorted(r.click_id for r in out.collect()) == [200, 201, 203]
+
+    def test_streaming_matches_batch(self, spark):
+        """Real stream-stream join (two file sources, watermarks, append)
+        returns the same rows as the batch twin."""
+        from polars_pipe_spark.streaming.pipeline import click_attribution_join
+
+        p, c = self._frames(spark)
+        root = tempfile.mkdtemp(prefix="pps_ssj_test_")
+        p.coalesce(1).write.parquet(f"{root}/p")
+        c.coalesce(1).write.parquet(f"{root}/c")
+        ps = spark.readStream.schema(p.schema).parquet(f"{root}/p")
+        cs = spark.readStream.schema(c.schema).parquet(f"{root}/c")
+        q = (
+            click_attribution_join(ps, cs, lookback="1 hour")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ssj_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        q.stop()
+        got = sorted(r.click_id for r in spark.table("ssj_test").collect())
+        assert got == [200, 201, 203]
