@@ -1827,6 +1827,33 @@ def _q93_streaming_attribution(spark, sf):
     return spark.table(name)
 
 
+def _q94_dup_spans(spark, sf):
+    """Corpus-level duplicated-span statistics (ExactSubstr-lite): per
+    document, the fraction of its word 8-gram windows occurring >1 time
+    anywhere in the corpus. Grams md5-hashed before the shuffle."""
+    from polars_pipe_spark.functions.dedup import dup_span_stats
+
+    docs = _t_par(spark, sf, "documents")
+    return dup_span_stats(docs, "text", "doc_id", k=8)
+
+
+def _q95_lexical_diversity(spark, sf):
+    """Per-source lexical diversity: type count, token count, hapax
+    count, type-token ratio. Two-level aggregation — the (source, token)
+    partial avoids a countDistinct Expand."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    lvl1 = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return lvl1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")).alias("ttr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1925,6 +1952,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_hopping_window": _q91_hopping_window,
     "q92_click_attribution": _q92_click_attribution,
     "q93_streaming_attribution": _q93_streaming_attribution,
+    "q94_dup_spans": _q94_dup_spans,
+    "q95_lexical_diversity": _q95_lexical_diversity,
 }
 
 
@@ -3103,6 +3132,37 @@ _ATTRIBUTION_SQL = """
 """
 _ORACLES["q92_click_attribution"] = _ATTRIBUTION_SQL
 _ORACLES["q93_streaming_attribution"] = _ATTRIBUTION_SQL
+
+
+_ORACLES["q94_dup_spans"] = f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                    i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+      FROM tok WHERE len(t) >= 8
+    ),
+    cnt AS (SELECT g, COUNT(*) AS n_occ FROM pos GROUP BY g),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_windows,
+             SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM pos JOIN cnt USING (g) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(p.n_dup AS DOUBLE) / CAST(p.n_windows AS DOUBLE) AS dup_fraction
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+_ORACLES["q95_lexical_diversity"] = f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    lvl1 AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok)
+    SELECT source, COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
+    FROM lvl1 GROUP BY source
+"""
 
 
 def oracle_sql() -> dict[str, str]:

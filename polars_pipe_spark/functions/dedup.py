@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_pipe_spark.functions.text import doc_fingerprint, shingles
+from polars_pipe_spark.functions.text import doc_fingerprint, shingles, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -431,4 +431,52 @@ def ngram_contamination(
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Corpus-level duplicated-span statistics (ExactSubstr-lite,
+    Lee et al. 2022's dedup signal at word granularity): for each
+    document, the fraction of its word ``k``-gram windows that occur
+    anywhere else in the corpus (including repeats within the same
+    document — a window is "duplicated" when its gram text occurs >1
+    time corpus-wide).
+
+    Plan: one explode to (doc, position, md5(gram)) — grams are hashed
+    to 32-hex md5 BEFORE the shuffle so the corpus-frequency groupBy and
+    the join back move fixed-width keys, not k-word strings; corpus
+    counts then re-join the gram stream (shuffle on the hash — both
+    sides partition identically). Documents shorter than ``k`` words
+    emit zero windows and report NULL dup_fraction.
+
+    Output: (id, n_windows, n_dup_windows, dup_fraction).
+    """
+    t = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    gram = F.when(
+        F.size(t) >= k,
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(t, i, k), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    # Generate keeps the tokens expression materialised once per row
+    grams = df.select(F.col(id_col).alias("id"), F.explode(F.array(gram)).alias("__g"))
+    pos = grams.select("id", F.explode("__g").alias("g"))
+    counts = pos.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
+    per_doc = (
+        pos.join(counts, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    all_docs = df.select(F.col(id_col).alias("id")).join(per_doc, "id", "left")
+    return all_docs.select(
+        "id",
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        (F.col("n_dup_windows").cast("double") / F.col("n_windows").cast("double")).alias(
+            "dup_fraction"
+        ),
     )

@@ -231,3 +231,33 @@ class TestGramMatrix:
         diag = out.filter(F.col("i") == F.col("j")).collect()
         assert len(diag) == 4
         assert all(r.cov_num >= 0 for r in diag)  # n²·var ≥ 0
+
+
+class TestDupSpanStats:
+    def test_duplicated_windows_counted(self, spark):
+        # 8-token span "a b c d e f g h" appears in docs 1 and 2; doc 3
+        # is unique; doc 4 is too short for any window.
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h x y"),
+                (2, "z a b c d e f g h"),
+                (3, "p q r s t u v w 1 2"),
+                (4, "too short"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.id: (r.n_windows, r.n_dup_windows, r.dup_fraction)
+               for r in dd.dup_span_stats(df, "text", "doc_id", k=8).collect()}
+        # doc 1: 10 tokens -> 3 windows, exactly one ("a..h") duplicated
+        assert out[1] == (3, 1, 1 / 3)
+        # doc 2: 9 tokens -> 2 windows, one duplicated
+        assert out[2] == (2, 1, 0.5)
+        assert out[3] == (3, 0, 0.0)
+        assert out[4] == (0, 0, None)  # no windows -> NULL fraction
+
+    def test_within_doc_repeat_is_duplicate(self, spark):
+        rep = " ".join(["a b c d e f g h"] * 2)  # span occurs twice in one doc
+        df = spark.createDataFrame([(1, rep)], "doc_id long, text string")
+        r = dd.dup_span_stats(df, "text", "doc_id", k=8).collect()[0]
+        # 16 tokens -> 9 windows; positions 1 and 9 share the same gram
+        assert r.n_windows == 9 and r.n_dup_windows == 2
