@@ -1854,6 +1854,31 @@ def _q95_lexical_diversity(spark, sf):
     )
 
 
+def _q96_salted_join(spark, sf):
+    """Skew-proof salted equi-join: lineitem × supplier on suppkey with
+    the hot keys spread over 16 salted reducers, then revenue per
+    supplier nation — result identical to the plain join (the oracle IS
+    the plain join)."""
+    from polars_pipe_spark.operators.joins import salted_join
+
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        salted_join(li, sup, "l_suppkey", n_salts=16)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1954,6 +1979,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_streaming_attribution": _q93_streaming_attribution,
     "q94_dup_spans": _q94_dup_spans,
     "q95_lexical_diversity": _q95_lexical_diversity,
+    "q96_salted_join": _q96_salted_join,
 }
 
 
@@ -3162,6 +3188,15 @@ _ORACLES["q95_lexical_diversity"] = f"""
            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr
     FROM lvl1 GROUP BY source
+"""
+
+
+_ORACLES["q96_salted_join"] = """
+    SELECT s_nationkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
 """
 
 

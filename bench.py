@@ -43,6 +43,8 @@ HEADLINE = [
     "q54_vocab_topk",
     "q58_tfidf",
     "q63_dedup_clusters",
+    "q87_gram_matrix",
+    "q94_dup_spans",
 ]
 
 

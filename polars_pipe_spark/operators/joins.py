@@ -108,3 +108,41 @@ def range_join(
     )
     joined = lb.join(rb, [*keys, "__rj_bucket"]).filter(cond)
     return joined.drop("__rj_bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: LEFT (the skewed fact side) gets a random
+    salt in [0, n_salts); RIGHT (the smaller side) is replicated once
+    per salt value; the join runs on (keys..., salt), spreading every
+    hot key over ``n_salts`` reducers. Results are identical to the
+    plain join — the salt is dropped.
+
+    When to use: a handful of keys carry an outsized share of rows AND
+    the right side is too big to broadcast outright (broadcast would
+    sidestep the shuffle entirely) AND AQE's skew-join splitting isn't
+    enough (it splits oversized PARTITIONS, not a single monster KEY —
+    one key hashing to one partition can't be split without salting).
+    Cost: right side shipped ``n_salts``×; only 'inner' and 'left' make
+    sense (every right row appears n_salts times pre-join, so
+    right-preserving joins would need a dedup pass).
+
+    The salt on the left is ``rand()``-derived (row-nondeterministic),
+    which is safe exactly because the salt never affects WHICH rows
+    match, only WHERE they are processed.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salted_r = right.crossJoin(
+        F.broadcast(
+            left.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return salted_l.join(salted_r, [*keys, "__salt"], how).drop("__salt")

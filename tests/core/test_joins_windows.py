@@ -163,3 +163,46 @@ class TestTimeSpine:
         )
         rows = {r.bucket_ts.hour: r.sum_v for r in out.collect()}
         assert rows == {0: 5.0, 1: None}
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join(self, spark):
+        from polars_pipe_spark.operators.joins import salted_join
+
+        left = spark.createDataFrame(
+            [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")],
+            "k string, v long",
+        )
+        right = spark.createDataFrame(
+            [("hot", 1), ("k0", 2), ("k3", 3), ("unmatched", 9)], "k string, r long"
+        )
+        for how in ("inner", "left"):
+            got = salted_join(left, right, "k", n_salts=4, how=how)
+            want = left.join(right, "k", how)
+            assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_salt_spreads_hot_key_over_reducers(self, spark):
+        from polars_pipe_spark.operators.joins import salted_join
+
+        left = spark.createDataFrame([("hot", i) for i in range(400)], "k string, v long")
+        right = spark.createDataFrame([("hot", 1)], "k string, r long")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = salted_join(left, right, "k", n_salts=8)
+            p = out._jdf.queryExecution().executedPlan().toString()
+            # the join key set includes the salt -> hot key spread across
+            # 8 hash-distinct composite keys, and the join is a real
+            # shuffle join (broadcast disabled)
+            assert "__salt" in p
+            assert out.count() == 400
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    def test_rejects_right_preserving_joins(self, spark):
+        import pytest as _pytest
+
+        from polars_pipe_spark.operators.joins import salted_join
+
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(df, df, "k", how="full")

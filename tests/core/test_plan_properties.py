@@ -202,3 +202,51 @@ class TestRound2QueryPlans:
         p = physical(self._q("q79_source_mixing", spark))
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
+
+
+class TestRound2bQueryPlans:
+    """Plan guarantees for q86-q95."""
+
+    def _q(self, name, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_q86_stratum_window_is_partitioned(self, spark):
+        p = physical(self._q("q86_stratified_sample", spark))
+        assert "Window" in p
+        assert "SinglePartition" not in p  # never a global-sort window
+
+    def test_q87_reshape_joins_are_broadcast(self, spark):
+        # the d² reshape must broadcast the tiny lin/n frames, and the
+        # term fan-out must stay a Generate (no join-based pair build)
+        p = physical(self._q("q87_gram_matrix", spark))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "Generate" in p
+
+    def test_q89_topk_is_take_ordered(self, spark):
+        p = physical(self._q("q89_bigram_pmi", spark))
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_q90_bounds_broadcast_no_global_sort(self, spark):
+        p = physical(self._q("q90_equidepth_histogram", spark))
+        # bucket assignment is scan-side against a broadcast 1-row bounds
+        # frame; the only SinglePartition exchange feeds the 1-row agg,
+        # never a Sort of the data
+        assert "BroadcastNestedLoopJoin" in p
+        import re as _re
+
+        assert not _re.search(r"Sort\s+\[l_extendedprice", p)
+
+    def test_q94_gram_hash_before_shuffle(self, spark):
+        # the shuffled key is the fixed-width md5, not raw k-word strings
+        df = self._q("q94_dup_spans", spark)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" in opt
+        p = physical(df)
+        assert "CartesianProduct" not in p
