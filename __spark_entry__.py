@@ -1879,6 +1879,115 @@ def _q96_salted_join(spark, sf):
     )
 
 
+def _q97_multiprobe_lsh(spark, sf):
+    """Multi-probe LSH top-5: the query side also probes every bucket at
+    Hamming distance 1 — recall recovery at (planes+1)× query fan-out,
+    corpus still hashed/shuffled once."""
+    from polars_pipe_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
+        k=5, n_planes=6, multiprobe=True,
+    )
+
+
+def _q98_tpch_q7_shape(spark, sf):
+    """TPC-H Q7 shape (volume shipping): revenue flow between a nation
+    pair by ship year — two broadcast nation lookups, pair-OR filter,
+    decimal-exact revenue."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1996-12-31")
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"),
+                                   F.col("n_name").alias("cust_nation")))
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, "s_nationkey")
+        .join(n2, "c_nationkey")
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q99_tpch_q13_shape(spark, sf):
+    """TPC-H Q13 shape: distribution of per-customer order counts (left
+    join keeps zero-order customers; two-level aggregation)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q100_tpch_q17_shape(spark, sf):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    0.2× their part's average quantity, for one brand. The per-part
+    average is aggregated only over the brand's lineitems (semi-filter
+    first — never a full-corpus agg for a 0.1% brand slice)."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = brand_li.groupBy("l_partkey").agg(
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("avg_q")
+    )
+    return (
+        brand_li.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_q"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q101_tpch_q18_shape(spark, sf):
+    """TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    exceeds 250, joined back to customer, top-100 by price —
+    TakeOrdered, never a global sort."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1980,6 +2089,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_dup_spans": _q94_dup_spans,
     "q95_lexical_diversity": _q95_lexical_diversity,
     "q96_salted_join": _q96_salted_join,
+    "q97_multiprobe_lsh": _q97_multiprobe_lsh,
+    "q98_tpch_q7_shape": _q98_tpch_q7_shape,
+    "q99_tpch_q13_shape": _q99_tpch_q13_shape,
+    "q100_tpch_q17_shape": _q100_tpch_q17_shape,
+    "q101_tpch_q18_shape": _q101_tpch_q18_shape,
 }
 
 
@@ -3197,6 +3311,89 @@ _ORACLES["q96_salted_join"] = """
                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
+"""
+
+
+_ORACLES["q97_multiprobe_lsh"] = f"""
+    WITH q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_bucket_sql("embedding", 6)} AS b0
+      FROM embeddings WHERE vec_id < 20
+    ), q AS (
+      SELECT query_id, qv,
+             unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4),
+                     xor(b0, 8), xor(b0, 16), xor(b0, 32)]) AS bucket
+      FROM q0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {_bucket_sql("embedding", 6)} AS bucket
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("cv", "qv")} AS cosine
+      FROM c JOIN q USING (bucket) WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 5
+"""
+
+_ORACLES["q98_tpch_q7_shape"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+"""
+
+_ORACLES["q99_tpch_q13_shape"] = """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority != '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+"""
+
+_ORACLES["q100_tpch_q17_shape"] = """
+    WITH brand_li AS (
+      SELECT l.* FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#1'
+    ), avg_q AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_q
+      FROM brand_li GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM brand_li b JOIN avg_q a ON a.l_partkey = b.l_partkey
+    WHERE b.l_quantity < 0.2 * a.avg_q
+"""
+
+_ORACLES["q101_tpch_q18_shape"] = """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum_qty AS DOUBLE) AS sum_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
 """
 
 

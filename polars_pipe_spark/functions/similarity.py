@@ -113,14 +113,28 @@ def lsh_topk(
     query_id_col: str,
     k: int = 5,
     n_planes: int = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within the query's LSH bucket.
-    Equi-join on bucket → hash join, shuffle O(corpus), no cross product."""
+    Equi-join on bucket → hash join, shuffle O(corpus), no cross product.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each of the ``n_planes`` sign
+    bits) — recall recovers most of what a near-boundary hash loses, at
+    (n_planes+1)× the QUERY-side fan-out only: the probe explosion is on
+    the small broadcast side, the corpus is still scanned and shuffled
+    once with one bucket per vector."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         hyperplane_bucket(vec_col, n_planes).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        q = q.select("query_id", "qv", F.explode(probes).alias("bucket"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),

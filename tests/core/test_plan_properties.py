@@ -250,3 +250,12 @@ class TestRound2bQueryPlans:
         assert "md5" in opt
         p = physical(df)
         assert "CartesianProduct" not in p
+
+    def test_q101_top100_is_take_ordered(self, spark):
+        p = physical(self._q("q101_tpch_q18_shape", spark))
+        assert "TakeOrderedAndProject" in p
+
+    def test_q98_nation_lookups_broadcast(self, spark):
+        p = physical(self._q("q98_tpch_q7_shape", spark))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p

@@ -261,3 +261,41 @@ class TestDupSpanStats:
         r = dd.dup_span_stats(df, "text", "doc_id", k=8).collect()[0]
         # 16 tokens -> 9 windows; positions 1 and 9 share the same gram
         assert r.n_windows == 9 and r.n_dup_windows == 2
+
+
+class TestMultiprobeLsh:
+    def test_multiprobe_recall_superset(self, spark):
+        """Multi-probe candidates are a superset of single-probe: every
+        single-probe neighbor is found again with rank <= its old rank,
+        and recall vs brute force can only improve."""
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(16)]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") < 10)
+        # k larger than any candidate set: nothing is cut, so the
+        # multiprobe pair set must strictly contain the single-probe one
+        single = sim.lsh_topk(df, q, "embedding", "vec_id", "vec_id", k=500, n_planes=4)
+        multi = sim.lsh_topk(df, q, "embedding", "vec_id", "vec_id", k=500,
+                             n_planes=4, multiprobe=True)
+        s = {(r.query_id, r.neighbor_id) for r in single.collect()}
+        m_rows = multi.collect()
+        m = {(r.query_id, r.neighbor_id) for r in m_rows}
+        assert m > s
+
+    def test_multiprobe_no_duplicate_pairs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(8)]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") < 5)
+        out = sim.lsh_topk(df, q, "embedding", "vec_id", "vec_id", k=100,
+                           n_planes=4, multiprobe=True).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in out]
+        assert len(pairs) == len(set(pairs))
