@@ -1988,6 +1988,57 @@ def _q101_tpch_q18_shape(spark, sf):
     )
 
 
+def _q102_partitioned_layout(spark, sf):
+    """Hive-partitioned sink + pruned readback: documents written
+    ``lang=…/``, re-read with a partition predicate — the scan opens
+    only the matching directory (PartitionFilters, plan-asserted in
+    tests); per-source counts returned."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import write_parquet_partitioned
+
+    docs = _t(spark, sf, "documents")
+    dst = tempfile.mkdtemp(prefix="pps_part_") + "/docs"
+    write_parquet_partitioned(docs, dst, ["lang"], target_size_gb=None)
+    back = spark.read.parquet(dst).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q103_window_battery(spark, sf):
+    """Analytic window-function battery over per-customer order history:
+    rank / dense_rank / percent_rank / cume_dist / ntile / lag / lead /
+    running first+last — one partitioned sort, every function shares the
+    same window (unique orderkey tiebreak keeps all of them total)."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("prk"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.max("o_totalprice").over(wf).alias("running_max_price"),
+    )
+
+
+def _q104_skew_report(spark, sf):
+    """Key-skew diagnostic: hottest event users with row share, ratio to
+    the median key, and the salt fan-out that would level them — the
+    measurement step before salted_agg/salted_join."""
+    from polars_pipe_spark.operators.aggregates import skew_report
+
+    ev = _t(spark, sf, "events")
+    return skew_report(ev, ["user_id"], top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2094,6 +2145,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_tpch_q13_shape": _q99_tpch_q13_shape,
     "q100_tpch_q17_shape": _q100_tpch_q17_shape,
     "q101_tpch_q18_shape": _q101_tpch_q18_shape,
+    "q102_partitioned_layout": _q102_partitioned_layout,
+    "q103_window_battery": _q103_window_battery,
+    "q104_skew_report": _q104_skew_report,
 }
 
 
@@ -3394,6 +3448,47 @@ _ORACLES["q101_tpch_q18_shape"] = """
     JOIN customer ON o_custkey = c_custkey
     ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
     LIMIT 100
+"""
+
+
+_ORACLES["q102_partitioned_layout"] = """
+    SELECT source, COUNT(*) AS n_docs FROM documents
+    WHERE lang = 'en' GROUP BY source
+"""
+
+_ORACLES["q103_window_battery"] = """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           percent_rank() OVER w AS prk,
+           cume_dist() OVER w AS cd,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER wf AS first_price,
+           max(o_totalprice) OVER wf AS running_max_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+_ORACLES["q104_skew_report"] = """
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ), summary AS (
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+             median(n_rows) AS median_rows
+      FROM counts
+    )
+    SELECT user_id, n_rows,
+           CAST(n_rows AS DOUBLE) / CAST(total_rows AS DOUBLE) AS row_share,
+           CAST(n_rows AS DOUBLE) / median_rows AS skew_ratio,
+           CAST(ceil(CAST(n_rows AS DOUBLE) / median_rows) AS BIGINT) AS suggested_salts,
+           n_keys, total_rows
+    FROM counts CROSS JOIN summary
+    ORDER BY n_rows DESC, user_id ASC LIMIT 10
 """
 
 

@@ -124,6 +124,34 @@ def write_parquet_sized(
     writer.parquet(str(path))
 
 
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str | Path,
+    partition_cols: list[str],
+    target_size_gb: float | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet sink (``path/col=value/…``): the layout
+    primitive that turns partition-key predicates into directory pruning
+    — a reader filtering on a partition column never opens the other
+    directories' files (``PartitionFilters`` in the scan, asserted by
+    plan test).
+
+    Choose LOW-cardinality keys (source, date, lang): each distinct
+    combination becomes a directory, and every task writing to it opens
+    its own file — high-cardinality keys explode the file count. For
+    many partitions × many tasks, repartition on the partition cols
+    first so each directory is written by few tasks.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if target_size_gb:
+        rows_per_file = estimate_rows_per_file(
+            df, target_size_gb, sample_path=sizing_sample_path(path)
+        )
+        writer = writer.option("maxRecordsPerFile", rows_per_file)
+    writer.parquet(str(path))
+
+
 def write_yaml(data: dict, path: str | Path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

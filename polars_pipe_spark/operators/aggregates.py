@@ -136,3 +136,42 @@ def equidepth_histogram(
             F.max(col).alias("hi"),
         )
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top_n: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic: the ``top_n`` hottest keys with their share
+    of all rows, their ratio to the MEDIAN key's row count, and the salt
+    fan-out that would level them (``ceil(n_rows / median)`` reducers of
+    median size). This is the measurement step before reaching for
+    ``salted_agg``/``salted_join`` — salt only what the report proves hot.
+
+    Plan: one groupBy for per-key counts, a 1-row global summary
+    (broadcast), TakeOrdered for the top-n — no global sort, no collect.
+    """
+    g = list(key_cols)
+    counts = df.groupBy(*g).agg(F.count(F.lit(1)).alias("n_rows"))
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.percentile("n_rows", 0.5).alias("median_rows"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(summary))
+        .select(
+            *g,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("total_rows").cast("double")).alias(
+                "row_share"
+            ),
+            (F.col("n_rows").cast("double") / F.col("median_rows")).alias("skew_ratio"),
+            F.ceil(F.col("n_rows").cast("double") / F.col("median_rows"))
+            .cast("long")
+            .alias("suggested_salts"),
+            "n_keys",
+            "total_rows",
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in g])
+        .limit(top_n)
+    )

@@ -163,3 +163,23 @@ class TestNanosTimestampReads:
         df = io.read("/root/testdata/sf0.001/events.parquet", FileType.PARQUET)
         assert isinstance(df.schema["ts"].dataType, T.TimestampType)
         assert spark.conf.get(self.CONF, None) is None
+
+
+class TestPartitionedWrite:
+    def test_layout_and_roundtrip(self, spark, tmp_path):
+        from polars_pipe_spark.adapters.io import write_parquet_partitioned
+
+        df = spark.createDataFrame(
+            [("en", "s1", 1), ("en", "s2", 2), ("de", "s1", 3)],
+            "lang string, source string, v long",
+        )
+        dst = str(tmp_path / "part")
+        write_parquet_partitioned(df, dst, ["lang"])
+        from pathlib import Path
+
+        dirs = {p.name for p in Path(dst).iterdir() if p.is_dir()}
+        assert dirs == {"lang=en", "lang=de"}
+        back = spark.read.parquet(dst)
+        assert back.count() == 3
+        assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == \
+               {tuple(sorted(r.asDict().items())) for r in df.collect()}

@@ -215,3 +215,22 @@ class TestStratifiedSample:
 
         df = spark.createDataFrame([("tiny", 1), ("tiny", 2)], "g string, id long")
         assert stratified_sample(df, ["g"], "id", k=5).count() == 2
+
+
+class TestSkewReport:
+    def test_hot_key_flagged_with_salt_suggestion(self, spark):
+        from polars_pipe_spark.operators.aggregates import skew_report
+
+        rows = [("hot", i) for i in range(80)] + [
+            (f"k{j}", i) for j in range(9) for i in range(8)
+        ]
+        df = spark.createDataFrame(rows, "k string, v long")
+        out = skew_report(df, ["k"], top_n=3).collect()
+        top = out[0]
+        assert top.k == "hot" and top.n_rows == 80
+        # median key has 8 rows -> hot is 10x the median, salt 10 ways
+        assert top.skew_ratio == 10.0 and top.suggested_salts == 10
+        assert abs(top.row_share - 80 / 152) < 1e-12
+        assert top.n_keys == 10 and top.total_rows == 152
+        # remaining rows are ordinary keys with ratio 1
+        assert all(r.suggested_salts == 1 for r in out[1:])

@@ -259,3 +259,17 @@ class TestRound2bQueryPlans:
         p = physical(self._q("q98_tpch_q7_shape", spark))
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
+
+    def test_q102_partition_pruning(self, spark):
+        """A partition-column predicate must prune directories at the
+        scan (PartitionFilters), not filter rows after reading."""
+        import tempfile
+
+        from polars_pipe_spark.adapters.io import write_parquet_partitioned
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        dst = tempfile.mkdtemp(prefix="pps_prune_") + "/docs"
+        write_parquet_partitioned(docs, dst, ["lang"])
+        back = spark.read.parquet(dst).filter(F.col("lang") == "en")
+        p = physical(back)
+        assert re.search(r"PartitionFilters:.*lang", p)
