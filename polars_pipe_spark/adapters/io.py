@@ -152,6 +152,45 @@ def write_parquet_partitioned(
     writer.parquet(str(path))
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str | Path,
+    target_size_gb: float = DEFAULT_TARGET_FILE_GB,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_size_gb`` part files and atomically swap it in. Streaming
+    sinks and fine-grained partitioned writes accrete small files whose
+    per-file open/footer overhead dominates scans at scale — periodic
+    compaction is the standard maintenance job (OPTIMIZE in lakehouse
+    formats; this is the plain-parquet emulation).
+
+    The rewrite repartitions to ceil(rows/rows_per_file) so part files
+    are both ~evenly sized AND capped — maxRecordsPerFile alone caps but
+    keeps one output file per input task (it never merges small tasks).
+    Returns the number of part files after compaction.
+    """
+    import math
+
+    path = str(path)
+    df = spark.read.parquet(path)
+    rows_per_file = estimate_rows_per_file(
+        df, target_size_gb, sample_path=sizing_sample_path(path)
+    )
+    n_rows = df.count()
+    n_files = max(math.ceil(n_rows / rows_per_file), 1)
+    staging = f"{path}__compact_{uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").option(
+        "maxRecordsPerFile", rows_per_file
+    ).parquet(staging)
+    fs, dst_hpath = _hadoop_fs(df, path)
+    fs.delete(dst_hpath, True)
+    fs.rename(_hadoop_fs(df, staging)[1], dst_hpath)
+    out = [
+        f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")
+    ]
+    return len(out)
+
+
 def write_yaml(data: dict, path: str | Path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -192,3 +192,62 @@ def click_attribution_join(
         *[F.col(f"p.{x}").alias(x) for x in purchases.columns if x != user_col],
         *[F.col(f"c.{x}").alias(x) for x in clicks.columns if x != user_col],
     )
+
+
+def streaming_upsert_sink(
+    source_dir: str,
+    schema,
+    target_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    file_format: str = "parquet",
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply: each micro-batch is MERGEd (upsert by key)
+    into a plain-parquet target table via ``cdc.merge_upsert`` inside
+    ``foreachBatch`` — the continuously-maintained dimension-table
+    pattern without a lakehouse format.
+
+    Semantics/scale notes:
+    - Within a batch, duplicate keys keep the LAST row by file order is
+      NOT defined — upstream must be key-unique per batch (the batch is
+      deduplicated defensively, keep-any).
+    - The target is rewritten to a staging dir then swapped, because a
+      plain-parquet table can't be read and overwritten in one job
+      (self-overwrite reads-while-deleting). With Delta/Iceberg jars the
+      body becomes one MERGE INTO and the staging swap disappears —
+      same call sites.
+    - foreachBatch + checkpointing gives at-least-once batch delivery
+      with idempotent merges (re-merging a batch is a no-op), so the
+      target converges exactly-once per key version.
+    """
+    import shutil
+    from pathlib import Path
+
+    from polars_pipe_spark.operators.cdc import merge_upsert
+    from polars_pipe_spark.session import get_spark
+
+    spark = get_spark()
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch = batch_df.dropDuplicates(keys)
+        tgt = Path(target_dir)
+        if tgt.exists():
+            base = spark.read.parquet(str(tgt))
+            merged = merge_upsert(base, batch, keys)
+        else:
+            merged = batch
+        staging = f"{target_dir}__staging_{epoch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if tgt.exists():
+            shutil.rmtree(str(tgt))
+        Path(staging).rename(str(tgt))
+
+    stream = spark.readStream.format(file_format).schema(schema).load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -6,6 +6,7 @@ from __future__ import annotations
 import inspect
 
 import pytest
+from pyspark.sql import functions as F
 
 from polars_pipe_spark.adapters.io import (
     FakeIOWrapper,
@@ -183,3 +184,22 @@ class TestPartitionedWrite:
         assert back.count() == 3
         assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == \
                {tuple(sorted(r.asDict().items())) for r in df.collect()}
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from polars_pipe_spark.adapters.io import compact_parquet
+
+        dst = str(tmp_path / "frag")
+        df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+        df.repartition(40).write.parquet(dst)  # 40 tiny files
+        from pathlib import Path
+
+        before = len(list(Path(dst).glob("*.parquet")))
+        assert before == 40
+        n_after = compact_parquet(spark, dst, target_size_gb=1.0)
+        after = len(list(Path(dst).glob("*.parquet")))
+        assert n_after == after == 1  # 10k rows fit one ~1GB-target file
+        back = spark.read.parquet(dst)
+        assert back.count() == 10_000
+        assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))

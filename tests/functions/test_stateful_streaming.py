@@ -168,3 +168,29 @@ class TestClickAttributionJoin:
         q.stop()
         got = sorted(r.click_id for r in spark.table("ssj_test").collect())
         assert got == [200, 201, 203]
+
+
+class TestStreamingUpsertSink:
+    def test_sequential_batches_converge(self, spark):
+        from polars_pipe_spark.streaming.pipeline import streaming_upsert_sink
+
+        root = tempfile.mkdtemp(prefix="pps_upsert_")
+        src, tgt, ckpt = f"{root}/src", f"{root}/tgt", f"{root}/ckpt"
+        b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        b1.coalesce(1).write.mode("append").parquet(src)
+        schema = b1.schema
+
+        q = streaming_upsert_sink(src, schema, tgt, ckpt, keys=["k"])
+        q.awaitTermination(60)
+        q.stop()
+        got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: "a", 2: "b"}
+
+        # a later micro-batch updates key 2 and inserts key 3
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string") \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = streaming_upsert_sink(src, schema, tgt, ckpt, keys=["k"])
+        q.awaitTermination(60)
+        q.stop()
+        got = {r.k: r.v for r in spark.read.parquet(tgt).collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}
