@@ -2039,6 +2039,35 @@ def _q104_skew_report(spark, sf):
     return skew_report(ev, ["user_id"], top_n=10)
 
 
+def _q105_session_funnel(spark, sf):
+    """Session-scoped funnel: of sessions containing a click, how many
+    convert (a purchase at/after the first click in the same session).
+    Composes sessionize → per-session conditional aggregates → one
+    global summary row."""
+    from polars_pipe_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak_cols=["event_id"])
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    converted = (
+        F.col("first_click").isNotNull()
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_click"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("first_click").isNotNull(), 1).otherwise(0)).alias("n_with_click"),
+        F.sum(F.when(F.col("last_purchase").isNotNull(), 1).otherwise(0)).alias("n_with_purchase"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+    ).withColumn(
+        "conversion_rate",
+        F.col("n_converted").cast("double") / F.col("n_with_click").cast("double"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2148,6 +2177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_partitioned_layout": _q102_partitioned_layout,
     "q103_window_battery": _q103_window_battery,
     "q104_skew_report": _q104_skew_report,
+    "q105_session_funnel": _q105_session_funnel,
 }
 
 
@@ -3489,6 +3519,37 @@ _ORACLES["q104_skew_report"] = """
            n_keys, total_rows
     FROM counts CROSS JOIN summary
     ORDER BY n_rows DESC, user_id ASC LIMIT 10
+"""
+
+
+_ORACLES["q105_session_funnel"] = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ), per AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_click,
+           CAST(SUM(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_purchase,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
+                          AND last_purchase >= first_click THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
+                          AND last_purchase >= first_click THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             AS conversion_rate
+    FROM per
 """
 
 
