@@ -309,12 +309,11 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
     reproducible cross-engine, where float dot-product accumulation is
     partition-order dependent.
 
-    Plan shape: one scan; each vector emits its upper-triangle product
-    terms plus linear terms through a single ``explode`` (a Generate node
-    — the quantization expression is materialised once per row, never
-    duplicated per term); one groupBy reduces them with map-side partial
-    aggregation. Output is d(d+1)/2 rows — the reshape joins below run
-    on that tiny frame (persisted: ~d² rows, three consumers).
+    Plan shape: one scan, ONE aggregation — every moment (count, d
+    linear sums, d(d+1)/2 product sums) is a column of a single
+    partial-aggregable agg over the once-materialised code array; the
+    d² long-format fan-out explodes the one result row. No joins, no
+    second pass, no persisted intermediates.
 
     Output: (i, j, n, s_i, s_j, s_ij, cov_num) with i <= j, where
     cov_num = n*s_ij - s_i*s_j, i.e. n² × covariance — returned as exact
@@ -325,47 +324,42 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
     v = F.col(vec_col)
     codes = F.slice(quantize_vec(v)["codes"], 1, dims)
     # explode(array(x)) materialises the quantized array exactly once per
-    # row (Generate blocks projection collapse) — the term builder below
-    # then references a cheap column, not 150+ copies of the quantizer.
+    # row (Generate blocks projection collapse) — the 150+ aggregate
+    # expressions below then reference a cheap column, never a copy of
+    # the quantizer.
     c_df = df.select(F.explode(F.array(codes)).alias("__c"))
     c = F.col("__c")
-    terms = (
-        # count term: one (i=-1, j=-1, v=1) per vector
-        [F.struct(F.lit(-1).alias("i"), F.lit(-1).alias("j"), F.lit(1).cast("long").alias("v"))]
-        # linear terms: (i, -1, q_i)
-        + [
-            F.struct(F.lit(i).alias("i"), F.lit(-1).alias("j"), F.get(c, i).cast("long").alias("v"))
-            for i in range(dims)
-        ]
-        # upper-triangle product terms: (i, j, q_i * q_j)
-        + [
+    # ONE aggregation computes every moment (count + d linear + d(d+1)/2
+    # products) with map-side partial aggregation — no per-term explode,
+    # no reshape joins, no persist; the d² fan-out happens on the single
+    # result row.
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+    row = c_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.get(c, i).cast("long")).alias(f"__s{i}") for i in range(dims)],
+        *[
+            F.sum(F.get(c, i).cast("long") * F.get(c, j).cast("long")).alias(f"__p{i}_{j}")
+            for i, j in pairs
+        ],
+    )
+    out_structs = F.array(
+        *[
             F.struct(
                 F.lit(i).alias("i"),
                 F.lit(j).alias("j"),
-                (F.get(c, i).cast("long") * F.get(c, j).cast("long")).alias("v"),
+                F.col(f"__s{i}").alias("s_i"),
+                F.col(f"__s{j}").alias("s_j"),
+                F.col(f"__p{i}_{j}").alias("s_ij"),
             )
-            for i in range(dims)
-            for j in range(i, dims)
+            for i, j in pairs
         ]
     )
-    sums = (
-        c_df.select(F.explode(F.array(*terms)).alias("t"))
-        .groupBy(F.col("t.i").alias("i"), F.col("t.j").alias("j"))
-        .agg(F.sum("t.v").alias("s"))
-        .persist()
-    )
-    n_df = sums.filter(F.col("i") == -1).select(F.col("s").alias("n"))
-    lin = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
-        F.col("i").alias("d"), F.col("s").alias("sd")
-    )
-    pairs = sums.filter(F.col("j") >= 0)
-    return (
-        pairs.join(F.broadcast(lin.select(F.col("d").alias("i"), F.col("sd").alias("s_i"))), "i")
-        .join(F.broadcast(lin.select(F.col("d").alias("j"), F.col("sd").alias("s_j"))), "j")
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "i", "j", "n", "s_i", "s_j",
-            F.col("s").alias("s_ij"),
-            (F.col("n") * F.col("s") - F.col("s_i") * F.col("s_j")).alias("cov_num"),
-        )
+    return row.select("n", F.explode(out_structs).alias("t")).select(
+        "t.i",
+        "t.j",
+        "n",
+        "t.s_i",
+        "t.s_j",
+        "t.s_ij",
+        (F.col("n") * F.col("t.s_ij") - F.col("t.s_i") * F.col("t.s_j")).alias("cov_num"),
     )

@@ -220,13 +220,14 @@ class TestRound2bQueryPlans:
         assert "Window" in p
         assert "SinglePartition" not in p  # never a global-sort window
 
-    def test_q87_reshape_joins_are_broadcast(self, spark):
-        # the d² reshape must broadcast the tiny lin/n frames, and the
-        # term fan-out must stay a Generate (no join-based pair build)
+    def test_q87_single_aggregation_no_joins(self, spark):
+        # every moment is one column of ONE partial-aggregable agg over
+        # the materialised code array; the d² fan-out explodes the single
+        # result row — no joins, no second scan
         p = physical(self._q("q87_gram_matrix", spark))
-        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-        assert "CartesianProduct" not in p
+        assert "Join" not in p and "CartesianProduct" not in p
         assert "Generate" in p
+        assert p.count("Scan parquet") + p.count("FileScan") <= 2  # one source read
 
     def test_q89_topk_is_take_ordered(self, spark):
         p = physical(self._q("q89_bigram_pmi", spark))
