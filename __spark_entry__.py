@@ -2068,6 +2068,23 @@ def _q105_session_funnel(spark, sf):
     )
 
 
+def _q106_table_expectations(spark, sf):
+    """Table-level data-quality report (the dbt-test surface): key
+    uniqueness, FK containment, null-freedom, row-count floor — one
+    report row per expectation."""
+    from polars_pipe_spark.operators.validation import table_expectations
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    return table_expectations(
+        li,
+        unique_key=["l_orderkey", "l_linenumber"],
+        foreign_keys=[(["l_orderkey"], orders, ["o_orderkey"])],
+        non_null=["l_quantity", "l_shipdate"],
+        min_rows=1000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2178,6 +2195,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_window_battery": _q103_window_battery,
     "q104_skew_report": _q104_skew_report,
     "q105_session_funnel": _q105_session_funnel,
+    "q106_table_expectations": _q106_table_expectations,
 }
 
 
@@ -3550,6 +3568,29 @@ _ORACLES["q105_session_funnel"] = """
              / CAST(SUM(CASE WHEN first_click IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
              AS conversion_rate
     FROM per
+"""
+
+
+_ORACLES["q106_table_expectations"] = """
+    SELECT 'unique(l_orderkey, l_linenumber)' AS expectation,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT) AS violations,
+           (SELECT COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS passed
+    UNION ALL
+    SELECT 'fk(l_orderkey -> o_orderkey)',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+    UNION ALL
+    SELECT 'non_null(l_quantity)',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL) = 0
+    UNION ALL
+    SELECT 'non_null(l_shipdate)',
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL) = 0
+    UNION ALL
+    SELECT 'min_rows(1000)',
+           CAST((SELECT greatest(1000 - COUNT(*), 0) FROM lineitem) AS BIGINT),
+           (SELECT COUNT(*) >= 1000 FROM lineitem)
 """
 
 

@@ -123,3 +123,97 @@ def validate_df(
         empty = df.sparkSession.createDataFrame([], df.schema)
         return df, empty
     return split_tagged(tag_error_reason(df, rules))
+
+
+def table_expectations(
+    df: DataFrame,
+    unique_key: list[str] | None = None,
+    foreign_keys: list[tuple[list[str], DataFrame, list[str]]] | None = None,
+    non_null: list[str] | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """TABLE-level data-quality expectations (the dbt-test surface), as a
+    complement to the row-level ``validate_df`` split: uniqueness of a
+    key, foreign-key containment, column null-freedom, and a row-count
+    floor — one report row per expectation with its violation count.
+
+    Scale shapes: uniqueness is a two-level aggregate (groupBy key →
+    1-row summary; no countDistinct Expand); each FK check is a
+    left-anti join counted (broadcast the dimension side when small);
+    null checks share ONE aggregation pass. Everything reduces to 1-row
+    frames unioned driver-free.
+
+    Output: (expectation string, violations long, passed boolean).
+    """
+    reports: list[DataFrame] = []
+    if unique_key:
+        per_key = df.groupBy(*unique_key).agg(F.count(F.lit(1)).alias("c"))
+        summary = per_key.agg(
+            (F.sum("c") - F.count(F.lit(1))).alias("extra_rows")
+        )
+        reports.append(
+            summary.select(
+                F.lit(f"unique({', '.join(unique_key)})").alias("expectation"),
+                F.col("extra_rows").cast("long").alias("violations"),
+                (F.col("extra_rows") == 0).alias("passed"),
+            )
+        )
+    for cols, ref_df, ref_cols in foreign_keys or []:
+        orphans = df.select(*cols).join(
+            ref_df.select(
+                *[F.col(rc).alias(c) for c, rc in zip(cols, ref_cols)]
+            ).distinct(),
+            on=list(cols),
+            how="left_anti",
+        )
+        name = f"fk({', '.join(cols)} -> {', '.join(ref_cols)})"
+        reports.append(
+            orphans.agg(F.count(F.lit(1)).alias("v")).select(
+                F.lit(name).alias("expectation"),
+                F.col("v").cast("long").alias("violations"),
+                (F.col("v") == 0).alias("passed"),
+            )
+        )
+    if non_null:
+        # one aggregation pass for ALL null checks; the per-column report
+        # rows explode the single result row (no per-column re-scan)
+        nulls = df.agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias(f"__n_{i}")
+                for i, c in enumerate(non_null)
+            ]
+        )
+        slots = F.array(
+            *[
+                F.struct(
+                    F.lit(f"non_null({c})").alias("expectation"),
+                    F.col(f"__n_{i}").cast("long").alias("violations"),
+                )
+                for i, c in enumerate(non_null)
+            ]
+        )
+        reports.append(
+            nulls.select(F.explode(slots).alias("t")).select(
+                "t.expectation",
+                "t.violations",
+                (F.col("t.violations") == 0).alias("passed"),
+            )
+        )
+    if min_rows is not None:
+        reports.append(
+            df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(f"min_rows({min_rows})").alias("expectation"),
+                F.greatest(F.lit(min_rows) - F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("violations"),
+                (F.col("n") >= min_rows).alias("passed"),
+            )
+        )
+    if not reports:
+        raise ValueError("table_expectations: no expectations given")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

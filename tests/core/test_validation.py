@@ -95,3 +95,41 @@ class TestRuleCompiler:
 
         with pytest.raises(KeyError, match="unknown rule method"):
             build_rule_expr("x", "definitely_not_a_method", 1)
+
+
+class TestTableExpectations:
+    def test_all_checks_and_violation_counts(self, spark):
+        from polars_pipe_spark.operators.validation import table_expectations
+
+        df = spark.createDataFrame(
+            [(1, 1, "x"), (1, 1, "dup"), (2, 1, None), (3, 9, "y")],
+            "k long, ref long, v string",
+        )
+        ref = spark.createDataFrame([(1,), (2,)], "r long")
+        out = {r.expectation: (r.violations, r.passed) for r in table_expectations(
+            df,
+            unique_key=["k", "ref"],
+            foreign_keys=[(["ref"], ref, ["r"])],
+            non_null=["v"],
+            min_rows=10,
+        ).collect()}
+        assert out["unique(k, ref)"] == (1, False)      # one extra (1,1) row
+        assert out["fk(ref -> r)"] == (1, False)        # ref=9 orphan
+        assert out["non_null(v)"] == (1, False)         # one null v
+        assert out["min_rows(10)"] == (6, False)        # 4 rows, 6 short
+
+    def test_clean_table_passes(self, spark):
+        from polars_pipe_spark.operators.validation import table_expectations
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+        out = table_expectations(df, unique_key=["k"], non_null=["v"], min_rows=1)
+        assert all(r.passed and r.violations == 0 for r in out.collect())
+
+    def test_empty_expectations_raise(self, spark):
+        import pytest as _pytest
+
+        from polars_pipe_spark.operators.validation import table_expectations
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError, match="no expectations"):
+            table_expectations(df)
