@@ -67,3 +67,44 @@ class TestQuantizationProperties:
         rng = (mx - mn) if mx > mn else 1.0
         exp = [mn + math.floor((x - mn) / rng * 255.0 + 0.5) * rng / 255.0 for x in vec]
         assert got == pytest.approx(exp, abs=0.0)  # bit-identical model
+
+
+class TestStratifiedSampleProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        sizes=st.lists(st.integers(1, 12), min_size=1, max_size=4),
+        k=st.integers(1, 6),
+    )
+    def test_exact_min_of_k_and_size(self, spark, sizes, k):
+        from polars_pipe_spark.functions.sampling import stratified_sample
+
+        rows = [(f"g{g}", g * 100 + i) for g, n in enumerate(sizes) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, id long")
+        out = stratified_sample(df, ["g"], "id", k=k)
+        per = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+        assert per == {f"g{g}": min(k, n) for g, n in enumerate(sizes)}
+
+
+class TestEquidepthProperties:
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=60,
+        ),
+        n_buckets=st.integers(2, 6),
+    )
+    def test_partition_of_rows_and_ordered_ranges(self, spark, vals, n_buckets):
+        from polars_pipe_spark.operators.aggregates import equidepth_histogram
+
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        out = sorted(
+            equidepth_histogram(df, "x", n_buckets=n_buckets).collect(),
+            key=lambda r: r.bucket,
+        )
+        # every row lands in exactly one bucket…
+        assert sum(r.n_rows for r in out) == len(vals)
+        # …and bucket value-ranges are disjoint and ordered
+        for lo_r, hi_r in zip(out, out[1:]):
+            assert lo_r.hi <= hi_r.lo
