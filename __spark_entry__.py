@@ -2085,6 +2085,71 @@ def _q106_table_expectations(spark, sf):
     )
 
 
+def _q107_streaming_hopping(spark, sf):
+    """The SAME hopping-window aggregation as q91 executed as a real
+    stream (file source, availableNow, complete-mode memory sink) —
+    complete mode keeps all window state, so multi-batch replay is safe
+    (q32 pattern)."""
+    import tempfile
+
+    from polars_pipe_spark.streaming.pipeline import windowed_event_counts
+
+    path = f"{sf}/events.parquet"
+    batch = _t(spark, sf, "events")
+    # single staged file -> one micro-batch: complete mode would be
+    # CORRECT over many batches but recomputes full window state per
+    # batch (measured 65s for a 32-file source vs ~8s for one file)
+    staged = tempfile.mkdtemp(prefix="pps_hop_src_") + "/events"
+    batch.coalesce(1).write.mode("overwrite").parquet(staged)
+    path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = windowed_event_counts(
+        stream, "ts", "1 hour", slide="30 minutes", group_cols=["event_type"]
+    )
+    name = "pps_hop_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def _q108_feature_hashing(spark, sf):
+    """Feature hashing (the HashingTF trick, MLlib-free and
+    engine-portable): every token maps to one of 16 md5 buckets; each
+    document becomes a dense 16-dim count vector — one explode + one
+    16-column conditional aggregation, all JVM-side."""
+    from polars_pipe_spark.functions.sampling import md5_bucket
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t")).select(
+        "doc_id", md5_bucket("t", 16).alias("b")
+    )
+    counts = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, 1).otherwise(0)).cast("long").alias(f"__f{i}")
+            for i in range(16)
+        ]
+    )
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array(
+                *[F.coalesce(F.col(f"__f{i}"), F.lit(0).cast("long")) for i in range(16)]
+            ).alias("features"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2196,6 +2261,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_skew_report": _q104_skew_report,
     "q105_session_funnel": _q105_session_funnel,
     "q106_table_expectations": _q106_table_expectations,
+    "q107_streaming_hopping": _q107_streaming_hopping,
+    "q108_feature_hashing": _q108_feature_hashing,
 }
 
 
@@ -3591,6 +3658,34 @@ _ORACLES["q106_table_expectations"] = """
     SELECT 'min_rows(1000)',
            CAST((SELECT greatest(1000 - COUNT(*), 0) FROM lineitem) AS BIGINT),
            (SELECT COUNT(*) >= 1000 FROM lineitem)
+"""
+
+
+_ORACLES["q107_streaming_hopping"] = _ORACLES["q91_hopping_window"]
+
+
+def _md5_bucket_sql(expr: str, n: int) -> str:
+    nibs = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        for i in range(1, 5)
+    ]
+    acc = nibs[0]
+    for nib in nibs[1:]:
+        acc = f"({acc} * 16 + {nib})"
+    return f"({acc} % {n})"
+
+
+_ORACLES["q108_feature_hashing"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    b AS (SELECT doc_id, {_md5_bucket_sql("tok", 16)} AS b FROM tok),
+    counts AS (
+      SELECT doc_id,
+             [{", ".join(f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN 1 END), 0) AS BIGINT)" for i in range(16))}] AS features
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.features, [{", ".join("CAST(0 AS BIGINT)" for _ in range(16))}]) AS features
+    FROM documents d LEFT JOIN counts c USING (doc_id)
 """
 
 
