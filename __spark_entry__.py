@@ -2150,6 +2150,16 @@ def _q108_feature_hashing(spark, sf):
     )
 
 
+def _q109_grouped_pandas(spark, sf):
+    """Grouped-map applyInPandas: per-source quartiles of document
+    length computed with numpy inside Arrow batches — checked against
+    the interpolating SQL quantiles (exact on integer data)."""
+    from polars_pipe_spark.operators.aggregates import grouped_pandas_stats
+
+    docs = _t(spark, sf, "documents")
+    return grouped_pandas_stats(docs, ["source"], "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2263,6 +2273,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_table_expectations": _q106_table_expectations,
     "q107_streaming_hopping": _q107_streaming_hopping,
     "q108_feature_hashing": _q108_feature_hashing,
+    "q109_grouped_pandas": _q109_grouped_pandas,
 }
 
 
@@ -3686,6 +3697,16 @@ _ORACLES["q108_feature_hashing"] = f"""
     SELECT d.doc_id,
            COALESCE(c.features, [{", ".join("CAST(0 AS BIGINT)" for _ in range(16))}]) AS features
     FROM documents d LEFT JOIN counts c USING (doc_id)
+"""
+
+
+_ORACLES["q109_grouped_pandas"] = """
+    SELECT source, COUNT(*) AS n,
+           quantile_cont(n_chars, 0.25) AS q1,
+           quantile_cont(n_chars, 0.5) AS median,
+           quantile_cont(n_chars, 0.75) AS q3,
+           quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr
+    FROM documents GROUP BY source
 """
 
 

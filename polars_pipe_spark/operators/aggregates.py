@@ -175,3 +175,43 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in g])
         .limit(top_n)
     )
+
+
+def grouped_pandas_stats(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """Per-group quartile statistics via ``applyInPandas`` (grouped-map
+    Arrow path) — the escape hatch for per-group logic Catalyst can't
+    express (model fits, custom solvers); THIS body is deliberately a
+    computation with a SQL twin so the whole path stays oracle-checkable:
+    numpy 'linear' percentiles on integer data are bit-identical to
+    quantile_cont (dyadic fractions × integers stay exact).
+
+    Scale: one shuffle on the group key; each group must fit a worker's
+    memory (grouped-map contract — use only when per-group size is
+    bounded; unbounded groups belong in plain aggregations).
+
+    Output: (*group_cols, n, q1, median, q3, iqr).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    schema = f"{out_fields}, n long, q1 double, median double, q3 double, iqr double"
+
+    def stats(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf[col].to_numpy(dtype="float64")
+        q1, med, q3 = np.percentile(v, [25, 50, 75], method="linear")
+        return pd.DataFrame(
+            {
+                **{c: [k] for c, k in zip(group_cols, key)},
+                "n": [len(v)],
+                "q1": [q1],
+                "median": [med],
+                "q3": [q3],
+                "iqr": [q3 - q1],
+            }
+        )
+
+    return df.groupBy(*group_cols).applyInPandas(stats, schema)

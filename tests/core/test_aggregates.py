@@ -234,3 +234,17 @@ class TestSkewReport:
         assert top.n_keys == 10 and top.total_rows == 152
         # remaining rows are ordinary keys with ratio 1
         assert all(r.suggested_salts == 1 for r in out[1:])
+
+
+class TestGroupedPandasStats:
+    def test_quartiles_match_model(self, spark):
+        from polars_pipe_spark.operators.aggregates import grouped_pandas_stats
+
+        df = spark.createDataFrame(
+            [("a", v) for v in [1, 2, 3, 4, 5]] + [("b", v) for v in [10, 20]],
+            "g string, x long",
+        )
+        out = {r.g: (r.n, r.q1, r.median, r.q3, r.iqr) for r in
+               grouped_pandas_stats(df, ["g"], "x").collect()}
+        assert out["a"] == (5, 2.0, 3.0, 4.0, 2.0)
+        assert out["b"] == (2, 12.5, 15.0, 17.5, 5.0)
