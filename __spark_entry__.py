@@ -536,12 +536,27 @@ def _q27_ngram_jaccard(spark, sf):
             lambda i: F.substring(norm, i, F.lit(n)),
         )
     )
+    # Pack each 4-char gram into ONE long (radix-256 over the ascii
+    # codes): the per-pair intersect then hashes/compares longs instead
+    # of strings — measured 6.0s → 3.2s at sf0.1, identical pair counts.
+    # Injective only for single-byte chars; this corpus is pure ASCII
+    # (verified: length == octet_length for every doc). For general
+    # Unicode keep the string grams (4 codepoints don't fit 63 bits).
+    packed = F.transform(
+        grams,
+        lambda s: (
+            F.ascii(F.substring(s, 1, 1)) * F.lit(16777216)
+            + F.ascii(F.substring(s, 2, 1)) * F.lit(65536)
+            + F.ascii(F.substring(s, 3, 1)) * F.lit(256)
+            + F.ascii(F.substring(s, 4, 1))
+        ).cast("long"),
+    )
     # NO persist here, deliberately: grams is a thousands-element array
     # per row, and building the columnar cache of such arrays costs far
     # more than the one recompute the self-join needs (measured 4.4s →
     # 19.2s with persist at sf0.1). Contrast minhash, whose small
     # shingle-set/band frames DO win from caching.
-    g = normed.select("id", "source", grams.alias("grams"), F.size(grams).alias("ng"))
+    g = normed.select("id", "source", packed.alias("grams"), F.size(packed).alias("ng"))
     a, b = g.alias("a"), g.alias("b")
     # size-band pre-filter: j = i/(|A|+|B|-i) >= 1/4 forces i >= (|A|+|B|)/5
     # and i <= min(|A|,|B|), hence max <= 4*min — pairs outside the band can
