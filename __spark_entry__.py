@@ -2175,6 +2175,16 @@ def _q109_grouped_pandas(spark, sf):
     return grouped_pandas_stats(docs, ["source"], "n_chars")
 
 
+def _q110_debounce(spark, sf):
+    """Burst suppression: keep only the first event of every ≤30-min
+    burst per user (alert de-noising) — sessionize + keep-rank-1."""
+    from polars_pipe_spark.operators.windows import debounce
+
+    ev = _t(spark, sf, "events")
+    out = debounce(ev, "user_id", "ts", 30.0, tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2289,6 +2299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_streaming_hopping": _q107_streaming_hopping,
     "q108_feature_hashing": _q108_feature_hashing,
     "q109_grouped_pandas": _q109_grouped_pandas,
+    "q110_debounce": _q110_debounce,
 }
 
 
@@ -3722,6 +3733,25 @@ _ORACLES["q109_grouped_pandas"] = """
            quantile_cont(n_chars, 0.75) AS q3,
            quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr
     FROM documents GROUP BY source
+"""
+
+
+_ORACLES["q110_debounce"] = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+      FROM gaps
+    )
+    SELECT user_id, event_id, ts, event_type
+    FROM sessions
+    QUALIFY row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) = 1
 """
 
 

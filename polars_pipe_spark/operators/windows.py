@@ -94,3 +94,29 @@ def time_spine(
     if agg_exprs is None:
         out = out.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
     return out
+
+
+def debounce(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    cooldown_minutes: float = 30.0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep only the FIRST event of each burst per key: an event is
+    suppressed when it follows its predecessor by ≤ ``cooldown_minutes``
+    (alert de-noising, retry collapsing, at-most-once-per-window
+    triggers). A burst is exactly a session, so this is sessionize +
+    keep-rank-1 — one shuffle on the key, one ordered window pass.
+    """
+    s = sessionize(
+        df, key_col, ts_col, gap_minutes=cooldown_minutes,
+        tiebreak_cols=tiebreak_cols, session_col="__sess",
+    )
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col, "__sess").orderBy(*order)
+    return (
+        s.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sess")
+    )

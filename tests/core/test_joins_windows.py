@@ -206,3 +206,26 @@ class TestSaltedJoin:
         df = spark.createDataFrame([("a", 1)], "k string, v long")
         with _pytest.raises(ValueError, match="inner/left"):
             salted_join(df, df, "k", how="full")
+
+
+class TestDebounce:
+    def test_keeps_first_of_each_burst(self, spark):
+        from polars_pipe_spark.operators.windows import debounce
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [
+                (1, 100, t0),                                  # burst 1 head
+                (1, 101, t0 + dt.timedelta(minutes=10)),       # suppressed
+                (1, 102, t0 + dt.timedelta(minutes=39)),       # chained: 29m after 101
+                (1, 103, t0 + dt.timedelta(minutes=75)),       # >30m gap: new burst
+                (2, 200, t0),                                  # other key unaffected
+            ],
+            "user_id long, event_id long, ts timestamp",
+        )
+        out = sorted(r.event_id for r in
+                     debounce(df, "user_id", "ts", 30.0, ["event_id"]).collect())
+        # 102 is suppressed even though it is 39m after burst head: the
+        # gap is measured to the PREVIOUS event (chained bursts), like
+        # sessionization — not to the kept head
+        assert out == [100, 103, 200]

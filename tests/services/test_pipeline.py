@@ -233,3 +233,33 @@ class TestLLMOpsInPipeline:
         assert texts[2] == "clean"
         err = io.files[f"{DST}/abc-123/error_records"]
         assert {r.doc_id for r in err.collect()} == {3}
+
+
+class TestCli:
+    def test_main_runs_yaml_config_end_to_end(self, tmp_path):
+        """python -m polars_pipe_spark <config.yaml> drives the full
+        service: transformed data + error records + stats + run log land
+        under the run GUID."""
+        import yaml as _yaml
+
+        from polars_pipe_spark.__main__ import main
+
+        dst = str(tmp_path / "out")
+        cfg = {
+            "process_name": "cli_e2e",
+            "src_path": "/root/testdata/sf0.001/customer.parquet",
+            "src_file_type": "parquet",
+            "dst_root": dst,
+            "dst_file_type": "parquet",
+            "validation": {"bal > -500": ["c_acctbal", "gt", -500]},
+            "transformations": {"clip_map": {"c_acctbal": [0, 8000]}},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        cfg_path.write_text(_yaml.safe_dump(cfg))
+        assert main([str(cfg_path)]) == 0
+        from pathlib import Path
+
+        run_dirs = [p for p in Path(dst).iterdir() if p.is_dir()]
+        assert len(run_dirs) == 1
+        produced = {p.name for p in run_dirs[0].iterdir()}
+        assert {"transformed_data", "desc_stats", "config"} <= produced
