@@ -2185,6 +2185,37 @@ def _q110_debounce(spark, sf):
     return out.select("user_id", "event_id", "ts", "event_type")
 
 
+def _q111_source_overlap(spark, sf):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT word 8-grams they share verbatim (who copies from
+    whom). Grams md5-hashed and (source, gram)-deduplicated before the
+    self-join, so the pair enumeration runs on the distinct-gram table,
+    never raw positions."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    k = 8
+    t = tokens("text")
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    gram = F.when(
+        F.size(t) >= k,
+        F.transform(idx, lambda i: F.md5(F.array_join(F.slice(t, i, k), " "))),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (
+        docs.select("source", F.explode(F.array(gram)).alias("__g"))
+        .select("source", F.explode("__g").alias("g"))
+        .distinct()
+    )
+    a, b = sg.alias("a"), sg.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2300,6 +2331,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_feature_hashing": _q108_feature_hashing,
     "q109_grouped_pandas": _q109_grouped_pandas,
     "q110_debounce": _q110_debounce,
+    "q111_source_overlap": _q111_source_overlap,
 }
 
 
@@ -3752,6 +3784,21 @@ _ORACLES["q110_debounce"] = """
     SELECT user_id, event_id, ts, event_type
     FROM sessions
     QUALIFY row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) = 1
+"""
+
+
+_ORACLES["q111_source_overlap"] = f"""
+    WITH tok AS (SELECT source, {_TOKS} AS t FROM documents),
+    sg AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 6),
+                    i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+      FROM tok WHERE len(t) >= 8
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_grams
+    FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
 """
 
 

@@ -263,3 +263,44 @@ class TestCli:
         assert len(run_dirs) == 1
         produced = {p.name for p in run_dirs[0].iterdir()}
         assert {"transformed_data", "desc_stats", "config"} <= produced
+
+    def test_dedup_and_split_as_custom_transformations(self, spark):
+        """A training-data prep pipeline from config alone: validate,
+        exact-dedup by content, deterministic train/test split — the
+        dedup + sampling surface composes through the same registry."""
+        from polars_pipe_spark.functions.dedup import exact_dedup
+        from polars_pipe_spark.functions.sampling import train_test_split
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the same text", "s"),
+                (2, "the same text", "s"),     # exact dup of 1
+                (3, "unique text", "s"),
+                (4, None, "s"),                # fails validation
+            ],
+            "doc_id long, text string, source string",
+        )
+        io = FakeIOWrapper(spark, files={"/fake/docs.parquet": docs})
+
+        def dedup(df, col):
+            return exact_dedup(df, col, "doc_id")
+
+        def split(df, key):
+            return train_test_split(df, key, test_fraction=0.5)
+
+        cfg = {
+            "process_name": "prep",
+            "src_path": "/fake/docs.parquet",
+            "src_file_type": "parquet",
+            "dst_root": DST,
+            "dst_file_type": "parquet",
+            "validation": {"text present": ["text", "is_not_null", None]},
+            "custom_transformations": {"dedup": {"col": "text"}, "split": {"key": "doc_id"}},
+        }
+        run_pipeline(io, cfg, custom_transformation_fns={"dedup": dedup, "split": split})
+        out = io.files[f"{DST}/abc-123/transformed_data"].collect()
+        ids = sorted(r.doc_id for r in out)
+        assert len(ids) == 2 and 3 in ids and ids[0] in (1, 2)  # one dup survivor
+        assert all(r.split in ("train", "test") for r in out)
+        err = io.files[f"{DST}/abc-123/error_records"]
+        assert {r.doc_id for r in err.collect()} == {4}
