@@ -2216,6 +2216,21 @@ def _q111_source_overlap(spark, sf):
     )
 
 
+def _q112_audio_features(spark, sf):
+    """Byte-level audio featurization (no codec needed): windowed RMS
+    energy, peak, zero crossings over the raw payload via numpy inside
+    mapInPandas. Payloads here are UTF-8 of ASCII text, so the oracle
+    recomputes every feature from character codes."""
+    from polars_pipe_spark.functions.multimodal import (
+        extract_audio_features,
+        media_from_text_column,
+    )
+
+    docs = _t_par(spark, sf, "documents")
+    media = media_from_text_column(docs, "text")
+    return extract_audio_features(media, window_bytes=64)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2332,6 +2347,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_grouped_pandas": _q109_grouped_pandas,
     "q110_debounce": _q110_debounce,
     "q111_source_overlap": _q111_source_overlap,
+    "q112_audio_features": _q112_audio_features,
 }
 
 
@@ -3799,6 +3815,25 @@ _ORACLES["q111_source_overlap"] = f"""
            COUNT(*) AS n_shared_grams
     FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
     GROUP BY 1, 2
+"""
+
+
+_ORACLES["q112_audio_features"] = """
+    WITH chars AS (
+      SELECT doc_id, md5(text) AS content_hash,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+      FROM documents
+    )
+    SELECT doc_id, content_hash, n_bytes,
+           CAST(greatest(n_bytes // 64, 1) AS INT) AS n_windows,
+           sqrt(CAST(list_sum(list_transform(codes, x -> x * x)) AS DOUBLE)
+                / greatest(n_bytes, 1)) AS rms_energy,
+           CAST(COALESCE(list_max(codes), 0) AS INT) AS peak_byte,
+           CAST(COALESCE(len(list_filter(range(1, len(codes)),
+                i -> (codes[i] >= 128) != (codes[i+1] >= 128))), 0) AS BIGINT)
+             AS zero_crossings
+    FROM chars
 """
 
 

@@ -157,3 +157,53 @@ class TestStreaming:
         q.awaitTermination(60)
         q.stop()
         assert spark.table("t_dedup_out").count() == 2
+
+
+class TestAudioFeatures:
+    def test_byte_features_match_model(self, spark):
+        import hashlib
+        import math
+
+        from polars_pipe_spark.functions.multimodal import (
+            extract_audio_features,
+            pack_media,
+        )
+        from pyspark.sql import functions as F
+
+        payloads = [bytes([0, 255, 0, 255]), bytes([10] * 8), b"", bytes([200])]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)], "doc_id long, raw binary"
+        ).select(
+            "doc_id",
+            pack_media(F.col("raw"), F.lit(None).cast("string"), F.lit("audio/raw")).alias("media"),
+        )
+        out = {r.doc_id: r for r in extract_audio_features(df, window_bytes=4).collect()}
+        # doc 0: alternating 0/255 -> rms sqrt((0+255²+0+255²)/4), 3 crossings
+        assert math.isclose(out[0].rms_energy, math.sqrt(2 * 255 * 255 / 4))
+        assert out[0].peak_byte == 255 and out[0].zero_crossings == 3
+        # doc 1: constant 10s -> rms 10, no crossings, 2 windows of 4
+        assert math.isclose(out[1].rms_energy, 10.0)
+        assert out[1].zero_crossings == 0 and out[1].n_windows == 2
+        # doc 2: empty payload -> zeros, min 1 window
+        assert out[2].rms_energy == 0.0 and out[2].peak_byte == 0
+        assert out[2].n_windows == 1 and out[2].zero_crossings == 0
+        # doc 3: single byte 200
+        assert out[3].rms_energy == 200.0 and out[3].peak_byte == 200
+        assert out[3].zero_crossings == 0
+        # content hashes ride through
+        assert out[0].content_hash == hashlib.md5(payloads[0]).hexdigest()
+
+    def test_real_codec_seam_raises(self, spark):
+        import pytest as _pytest
+
+        from polars_pipe_spark.functions.multimodal import (
+            extract_audio_features,
+            media_from_text_column,
+        )
+
+        df = media_from_text_column(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"), "text"
+        )
+        out = extract_audio_features(df, use_real_codec=True)
+        with _pytest.raises(Exception, match="NotImplementedError|audio library"):
+            out.collect()
