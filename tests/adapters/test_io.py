@@ -203,3 +203,28 @@ class TestCompaction:
         back = spark.read.parquet(dst)
         assert back.count() == 10_000
         assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
+class TestPythonDataSource:
+    def test_synth_source_reads_partitioned_and_deterministic(self, spark):
+        from polars_pipe_spark.sources.synth import register_synth_source
+
+        register_synth_source(spark)
+        df = (
+            spark.read.format("pps_synth")
+            .option("rows", 500).option("partitions", 8).option("seed", 7)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 8  # shards become read tasks
+        rows = df.collect()
+        assert len(rows) == 500
+        assert len({r.event_id for r in rows}) == 500
+        assert {r.event_type for r in rows} <= {"view", "click", "purchase", "signup"}
+        # pure function of (seed, index): identical on re-read…
+        again = spark.read.format("pps_synth") \
+            .option("rows", 500).option("partitions", 3).option("seed", 7).load()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+        # …and different under another seed
+        other = spark.read.format("pps_synth") \
+            .option("rows", 500).option("seed", 8).load()
+        assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
