@@ -29,7 +29,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 SYNTH_SCHEMA_DDL = (
@@ -69,8 +74,31 @@ class _SynthReader(DataSourceReader):
             yield _row(partition.seed, i)
 
 
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream of the same deterministic rows: the offset is
+    just the next row index, so replay (``readBetweenOffsets``) is
+    trivially exactly-once — re-generating a committed range yields the
+    identical rows. ``batch_rows`` rows arrive per micro-batch."""
+
+    def __init__(self, options: dict) -> None:
+        self.seed = int(options.get("seed", 0))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        s = int(start["idx"])
+        e = s + self.batch_rows
+        return iter([_row(self.seed, i) for i in range(s, e)]), {"idx": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([_row(self.seed, i) for i in range(int(start["idx"]), int(end["idx"]))])
+
+
 class SynthEventsDataSource(DataSource):
-    """``format("pps_synth")`` — deterministic synthetic events."""
+    """``format("pps_synth")`` — deterministic synthetic events, batch
+    AND micro-batch streaming from one registration."""
 
     @classmethod
     def name(cls) -> str:
@@ -81,6 +109,9 @@ class SynthEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _SynthReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return _SynthStreamReader(self.options)
 
 
 def register_synth_source(spark) -> None:

@@ -228,3 +228,36 @@ class TestPythonDataSource:
         other = spark.read.format("pps_synth") \
             .option("rows", 500).option("seed", 8).load()
         assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+    def test_synth_source_streams_micro_batches(self, spark):
+        import time
+
+        from polars_pipe_spark.sources.synth import register_synth_source
+
+        register_synth_source(spark)
+        stream = (
+            spark.readStream.format("pps_synth")
+            .option("seed", 7).option("batch_rows", 50)
+            .load()
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory").queryName("synth_stream")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                n = spark.table("synth_stream").count()
+                if n >= 100:  # at least two micro-batches arrived
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        rows = spark.table("synth_stream").collect()
+        assert len(rows) >= 100
+        # streamed rows are the SAME deterministic rows as the batch read
+        batch = spark.read.format("pps_synth") \
+            .option("rows", len(rows)).option("seed", 7).load().collect()
+        assert sorted(map(tuple, rows))[:100] == sorted(map(tuple, batch))[:100]
