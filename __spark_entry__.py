@@ -2231,6 +2231,90 @@ def _q112_audio_features(spark, sf):
     return extract_audio_features(media, window_bytes=64)
 
 
+def _q113_tpch_q8_shape(spark, sf):
+    """TPC-H Q8 shape (national market share): NATION_3 suppliers' share
+    of ASIA customers' 1995-1996 revenue by order year — conditional
+    decimal sum over the same aggregation, share as one double division."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia_nations), "c_nationkey")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(supp_nation), "s_nationkey")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double").alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+    )
+
+
+def _q114_tpch_q14_shape(spark, sf):
+    """TPC-H Q14 shape (promotion revenue ratio): one pass, conditional
+    decimal sum / total, broadcast part lookup."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double").alias("promo_revenue"),
+            F.sum(vol).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_ratio", F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        )
+    )
+
+
+def _q115_tpch_q15_shape(spark, sf):
+    """TPC-H Q15 shape (top supplier): per-supplier period revenue, keep
+    the max — revenue kept DECIMAL until output so the max-equality join
+    is exact (double ties would be unreliable)."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    supp = _t(spark, sf, "supplier")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2348,6 +2432,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_debounce": _q110_debounce,
     "q111_source_overlap": _q111_source_overlap,
     "q112_audio_features": _q112_audio_features,
+    "q113_tpch_q8_shape": _q113_tpch_q8_shape,
+    "q114_tpch_q14_shape": _q114_tpch_q14_shape,
+    "q115_tpch_q15_shape": _q115_tpch_q15_shape,
 }
 
 
@@ -3834,6 +3921,65 @@ _ORACLES["q112_audio_features"] = """
                 i -> (codes[i] >= 128) != (codes[i+1] >= 128))), 0) AS BIGINT)
              AS zero_crossings
     FROM chars
+"""
+
+
+_ORACLES["q113_tpch_q8_shape"] = """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+             AS nation_volume,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+    GROUP BY 1
+"""
+
+_ORACLES["q114_tpch_q14_shape"] = """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4))) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_ratio
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+_ORACLES["q115_tpch_q15_shape"] = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
 """
 
 
