@@ -155,26 +155,22 @@ def lsh_topk(
     )
 
 
-def ivf_topk(
+def ivf_train(
     corpus: DataFrame,
-    queries: DataFrame,
     vec_col: str,
-    id_col: str,
-    query_id_col: str,
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 2,
     max_iter: int = 5,
+    sample_rows: int = 10_000,
 ) -> DataFrame:
-    """IVF-flat: k-means coarse quantiser (trained driver-side on a
-    sample), then search only the n_probe nearest inverted lists per
-    query. Iterative training → no SQL oracle; the search join itself is
-    an equi-join on centroid id.
-    """
+    """Train the IVF coarse quantiser: driver-side k-means on a bounded
+    sample, returned as a (centroid_id, cvec) DataFrame. PERSIST this
+    with plain ``df.write.parquet`` and reload for later searches —
+    training once and reusing the quantiser across runs is the normal
+    production flow (re-training shifts every list assignment)."""
     import numpy as np
 
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(10_000).collect()],
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
         dtype="float64",
     )
     rng_idx = [int(i * len(sample) / n_centroids) for i in range(n_centroids)]
@@ -187,8 +183,33 @@ def ivf_topk(
             if len(pts):
                 cents[ci] = pts.mean(0)
     cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(n_centroids)]
-    cent_df = corpus.sparkSession.createDataFrame(
+    return corpus.sparkSession.createDataFrame(
         cent_rows, "centroid_id int, cvec array<double>"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    max_iter: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat: k-means coarse quantiser (trained driver-side on a
+    sample, or passed in pre-trained via ``centroids`` — see
+    ``ivf_train`` for the persistence story), then search only the
+    n_probe nearest inverted lists per query. Iterative training → no
+    SQL oracle; the search join itself is an equi-join on centroid id.
+    """
+    cent_df = (
+        centroids
+        if centroids is not None
+        else ivf_train(corpus, vec_col, n_centroids, max_iter)
     )
 
     # assign corpus rows to their nearest centroid (broadcast centroids)

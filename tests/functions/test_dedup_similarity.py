@@ -299,3 +299,25 @@ class TestMultiprobeLsh:
                            n_planes=4, multiprobe=True).collect()
         pairs = [(r.query_id, r.neighbor_id) for r in out]
         assert len(pairs) == len(set(pairs))
+
+
+class TestIvfPersistence:
+    def test_saved_quantiser_reproduces_search(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in rng.randn(8)]) for i in range(150)],
+            "vec_id long, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") < 5)
+        cents = sim.ivf_train(df, "embedding", n_centroids=4)
+        path = str(tmp_path / "quantiser")
+        cents.write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        inline = sim.ivf_topk(df, q, "embedding", "vec_id", "vec_id",
+                              k=3, centroids=cents).collect()
+        persisted = sim.ivf_topk(df, q, "embedding", "vec_id", "vec_id",
+                                 k=3, centroids=reloaded).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, persisted))
+        assert len(inline) > 0
