@@ -2315,6 +2315,42 @@ def _q115_tpch_q15_shape(spark, sf):
     )
 
 
+def _q116_robust_outliers(spark, sf):
+    """Robust outlier counts: documents beyond 3 scaled-MADs from their
+    source's median length (the quality-filter decision q88's stats
+    exist for). Stats broadcast back onto the scan — one extra pass."""
+    from polars_pipe_spark.operators.aggregates import robust_group_stats
+
+    docs = _t(spark, sf, "documents")
+    stats = robust_group_stats(docs, ["source"], "n_chars", "med", "mad")
+    flagged = docs.join(F.broadcast(stats), "source").withColumn(
+        "is_outlier",
+        F.abs(F.col("n_chars") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+def _q117_running_distinct_users(spark, sf):
+    """Cumulative distinct users by day, the scale-right way: windowed
+    countDistinct over an expanding frame is quadratic state — instead,
+    each user reduces to their FIRST-seen day (one groupBy), daily
+    first-appearance counts cumulative-sum into the running total. The
+    only ordered window runs over day-level rows (thousands, not
+    events)."""
+    ev = _t(spark, sf, "events")
+    # .cast("date"): DuckDB's date_trunc('day') yields DATE, Spark's a
+    # midnight TIMESTAMP — align the type for the oracle compare
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.withColumn("cum_users", F.sum("new_users").over(w))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2435,6 +2471,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_tpch_q8_shape": _q113_tpch_q8_shape,
     "q114_tpch_q14_shape": _q114_tpch_q14_shape,
     "q115_tpch_q15_shape": _q115_tpch_q15_shape,
+    "q116_robust_outliers": _q116_robust_outliers,
+    "q117_running_distinct_users": _q117_running_distinct_users,
 }
 
 
@@ -3980,6 +4018,34 @@ _ORACLES["q115_tpch_q15_shape"] = """
     SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
     FROM rev JOIN supplier ON l_suppkey = s_suppkey
     WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+_ORACLES["q116_robust_outliers"] = """
+    WITH med AS (
+      SELECT source, median(n_chars) AS med FROM documents GROUP BY source
+    ), stats AS (
+      SELECT m.source, m.med, median(abs(d.n_chars - m.med)) AS mad
+      FROM documents d JOIN med m ON d.source = m.source
+      GROUP BY m.source, m.med
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN abs(d.n_chars - s.med) > 3.0 * 1.4826 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN stats s ON d.source = s.source
+    GROUP BY d.source
+"""
+
+_ORACLES["q117_running_distinct_users"] = """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS day FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily
 """
 
 
