@@ -254,3 +254,63 @@ def extract_audio_features(
             )
 
     return flat.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, content_hash string, mime string, "
+    "target_w int, target_h int, resized_hash string, resized_n_bytes long"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Image resize over ``mapInPandas`` — the transform-shaped multimodal
+    stage (decode → resize → re-encode): output rows carry the target
+    dimensions plus the resized payload's hash/size. ``use_fake_decoder``
+    derives a deterministic fake resized payload (md5 of
+    (content_hash, w, h), byte size scaled by target/1024² area ratio) so
+    schema, batching, and downstream joins are fully testable; the real
+    branch raises until a codec library exists — dropping one in changes
+    ONLY the body of ``batches``, never the schema or the callers.
+    """
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.content_hash").alias("content_hash"),
+        F.col(f"{media_col}.mime").alias("mime"),
+        F.col(f"{media_col}.n_bytes").alias("n_bytes"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real image resize needs a codec library (PIL/opencv) — "
+                    "not available in this environment; "
+                    "pass use_fake_decoder=True for the deterministic stub"
+                )
+            rh = [
+                hashlib.md5(f"{h}:{target_w}x{target_h}".encode()).hexdigest()
+                for h in pdf["content_hash"]
+            ]
+            scale = (target_w * target_h) / (1024.0 * 1024.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content_hash": pdf["content_hash"],
+                    "mime": pdf["mime"],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized_hash": rh,
+                    "resized_n_bytes": (pdf["n_bytes"] * scale).astype("int64") + 1,
+                }
+            )
+
+    return flat.mapInPandas(batches, schema=RESIZE_SCHEMA)

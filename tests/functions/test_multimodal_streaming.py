@@ -207,3 +207,43 @@ class TestAudioFeatures:
         out = extract_audio_features(df, use_real_codec=True)
         with _pytest.raises(Exception, match="NotImplementedError|audio library"):
             out.collect()
+
+
+class TestResizeImages:
+    def test_fake_resize_schema_and_determinism(self, spark):
+        import hashlib
+
+        from polars_pipe_spark.functions.multimodal import (
+            media_from_text_column,
+            resize_images,
+        )
+
+        df = media_from_text_column(
+            spark.createDataFrame(
+                [(1, "some image bytes here"), (2, "x" * 500)],
+                "doc_id long, text string",
+            ),
+            "text",
+        )
+        out = {r.doc_id: r for r in resize_images(df, 256, 256).collect()}
+        assert out[1].target_w == 256 and out[1].target_h == 256
+        expect = hashlib.md5(f"{out[1].content_hash}:256x256".encode()).hexdigest()
+        assert out[1].resized_hash == expect
+        assert 0 < out[1].resized_n_bytes < 100  # area-scaled below source
+        # deterministic on re-run
+        again = {r.doc_id: r.resized_hash for r in resize_images(df, 256, 256).collect()}
+        assert again == {k: v.resized_hash for k, v in out.items()}
+
+    def test_real_decoder_seam_raises(self, spark):
+        import pytest as _pytest
+
+        from polars_pipe_spark.functions.multimodal import (
+            media_from_text_column,
+            resize_images,
+        )
+
+        df = media_from_text_column(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"), "text"
+        )
+        with _pytest.raises(Exception, match="NotImplementedError|codec"):
+            resize_images(df, 64, 64, use_fake_decoder=False).collect()
