@@ -47,6 +47,36 @@ def train_test_split(
     )
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/test split: every member of a near-duplicate
+    cluster lands in the SAME split, so no test document has a training
+    near-copy (the leakage a naive per-row split causes). Rows outside
+    any cluster are their own singleton cluster (cluster_id = own id).
+
+    Shape: transitive closure over the pair list (iterative min-label,
+    lineage-truncated), one left join to attach cluster ids, then the
+    content-hash split keyed by cluster id. The pair/cluster frames are
+    proportional to the duplicate population, not the corpus.
+    """
+    from .dedup import dedup_clusters
+
+    clusters = dedup_clusters(pairs, id_a, id_b)
+    with_cluster = (
+        df.join(clusters, df[id_col] == clusters["node"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+        .drop("node")
+    )
+    return train_test_split(with_cluster, "cluster_id", test_fraction, split_col)
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,

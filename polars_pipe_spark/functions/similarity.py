@@ -82,14 +82,19 @@ def brute_force_topk(
     id_col: str,
     query_id_col: str,
     k: int = 5,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (broadcast the
     query side; ties broken by corpus id for determinism). Self-matches
-    (same id) are excluded."""
+    (same id) are excluded. ``carry_cols`` are corpus columns threaded
+    through to the output (e.g. a label for kNN voting) — carried in the
+    scan, not re-joined afterwards."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), *carry_cols
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -101,7 +106,38 @@ def brute_force_topk(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
+        .select("query_id", "neighbor_id", "cosine", "rk", *carry_cols)
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """kNN classification by embedding: majority label among the exact
+    top-k cosine neighbors (vote ties broken by the smaller label, so the
+    prediction is deterministic). The label rides through the top-k scan
+    via ``carry_cols`` — no second join against the corpus.
+
+    Scale: cost is the brute-force top-k (O(corpus × queries) with the
+    query side broadcast); swap in ``lsh_topk`` candidates upstream when
+    the query set is large."""
+    nn = brute_force_topk(
+        corpus, queries, vec_col, id_col, query_id_col, k=k, carry_cols=(label_col,)
+    )
+    votes = nn.groupBy("query_id", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("query_id", F.col(label_col).alias("pred_label"), "votes")
     )
 
 
