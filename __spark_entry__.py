@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from polars_pipe_spark.sources.tables import _tz_normalise
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_pipe_spark.sources import read_parquet_table
@@ -644,7 +646,7 @@ def _q32_streaming_windowed(spark, sf):
         batch.write.mode("overwrite").parquet(staged)
         path = staged
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = windowed_event_counts(stream, "ts", "1 hour", group_cols=["event_type"])
     name = "pps_stream_out"
     q = (
@@ -1485,7 +1487,7 @@ def _q75_streaming_session(spark, sf):
         batch.write.mode("overwrite").parquet(staged)
         path = staged
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = session_event_stats(stream, "ts", "30 minutes", group_cols=["user_id"])
     name = "pps_sess_out"
     q = (
@@ -1826,8 +1828,8 @@ def _q93_streaming_attribution(spark, sf):
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/clicks")
     p_schema = spark.read.parquet(f"{staged}/purchases").schema
     c_schema = spark.read.parquet(f"{staged}/clicks").schema
-    p = spark.readStream.schema(p_schema).parquet(f"{staged}/purchases")
-    c = spark.readStream.schema(c_schema).parquet(f"{staged}/clicks")
+    p = _tz_normalise(spark.readStream.schema(p_schema).parquet(f"{staged}/purchases"))
+    c = _tz_normalise(spark.readStream.schema(c_schema).parquet(f"{staged}/clicks"))
     joined = click_attribution_join(p, c, lookback="1 hour")
     name = "pps_ss_join_out"
     q = (
@@ -2118,7 +2120,7 @@ def _q107_streaming_hopping(spark, sf):
     batch.coalesce(1).write.mode("overwrite").parquet(staged)
     path = staged
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(path)
+    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = windowed_event_counts(
         stream, "ts", "1 hour", slide="30 minutes", group_cols=["event_type"]
     )
@@ -2351,6 +2353,207 @@ def _q117_running_distinct_users(spark, sf):
     return daily_new.withColumn("cum_users", F.sum("new_users").over(w))
 
 
+def _q118_tpch_q5(spark, sf):
+    """TPC-H Q5 (local supplier volume): ASIA 1995 revenue where supplier
+    and customer share a nation. Dims broadcast; the only large shuffle
+    is lineitem⨝orders. Completes the join surface of SURVEY §2.9 with
+    the multi-equality join condition (l_suppkey AND c_nationkey)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    asia = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(asia), supp.s_nationkey == asia.n_nationkey)
+    )
+    return joined.groupBy("n_name").agg(F.sum(vol).cast("double").alias("revenue"))
+
+
+def _q119_tpch_q2_shape(spark, sf):
+    """TPC-H Q2 shape (best supplier per part): the testdata has no
+    partsupp, so the catalog is DISTINCT (part, supplier) pairs from
+    lineitem and "best" is max s_acctbal. The plan shape is the point:
+    per-group argmax as agg + equality join back on the group key
+    (tie-keeping, deterministic, shuffles on l_partkey both sides so AQE
+    can reuse the exchange) — never a global window. Deterministic
+    LIMIT 100 via a total sort key."""
+    pairs = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    part = _t(spark, sf, "part").filter(F.col("p_size") == 15)
+    europe = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    cand = pairs.join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(europe), supp.s_nationkey == europe.n_nationkey
+    )
+    best = cand.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
+    return (
+        cand.join(best, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("best_bal"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def _q120_tpch_q9_shape(spark, sf):
+    """TPC-H Q9 shape (product-type profit): no ps_supplycost, so cost is
+    proxied as 20% of p_retailprice × quantity. All arithmetic DECIMAL
+    until the output cast (exact, oracle-stable); part/supplier/nation
+    broadcast, single big shuffle on the orders join."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    part = _t(spark, sf, "part").filter(F.col("p_name").contains("gear")).select("p_partkey", "p_retailprice")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dec_disc = F.col("l_discount").cast("decimal(18,4)")
+    vol = dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)
+    cost = (
+        F.lit("0.2").cast("decimal(3,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("supp_nation").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(vol - cost).cast("double").alias("sum_profit"))
+    )
+
+
+def _q121_tpch_q11_shape(spark, sf):
+    """TPC-H Q11 shape (important stock): per-part value held by
+    NATION_1 suppliers, keeping parts whose value exceeds 0.1% of the
+    grand total. The scalar-subquery threshold becomes a 1-row broadcast
+    cross join — no second scan of the grouped data, no collect."""
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier")
+    nation = _t(spark, sf, "nation")
+    n1_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_1")),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    value = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_part = (
+        li.join(F.broadcast(n1_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("part_value"))
+    )
+    total = per_part.agg(
+        (F.sum("part_value") * F.lit("0.001").cast("decimal(6,3)")).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
+    )
+
+
+def _q122_tpch_q20_shape(spark, sf):
+    """TPC-H Q20 shape (excess-availability suppliers): suppliers that
+    shipped > 500 units of Brand#1 parts in 1995, reported as a LEFT SEMI
+    join into supplier — the aggregate feeds a semi-join, nothing from
+    the big side is carried past the groupBy."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    part = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    supp = _t(spark, sf, "supplier")
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def _q123_tpch_q21_shape(spark, sf):
+    """TPC-H Q21 shape (waiting suppliers): the classic double
+    EXISTS/NOT-EXISTS correlation rewritten as one per-order aggregate —
+    n_suppliers and n_returning_suppliers per finished order — joined
+    back to the returning lines. One shuffle on l_orderkey replaces two
+    correlated scans; the scale-right rewrite for 100 TB."""
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    li = _t(spark, sf, "lineitem").join(
+        orders, F.col("l_orderkey") == orders.o_orderkey
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    culprits = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1)), "l_orderkey")
+    )
+    supp = _t(spark, sf, "supplier")
+    return (
+        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def _q124_tpch_q22_shape(spark, sf):
+    """TPC-H Q22 shape (global sales opportunity): odd-nation customers
+    with above-average positive balance and no URGENT orders — scalar AVG
+    as a 1-row broadcast, then a LEFT ANTI join against filtered orders. Balance sums
+    in DECIMAL so the aggregate is order-insensitive."""
+    cust = _t(spark, sf, "customer")
+    orders = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2473,6 +2676,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_tpch_q15_shape": _q115_tpch_q15_shape,
     "q116_robust_outliers": _q116_robust_outliers,
     "q117_running_distinct_users": _q117_running_distinct_users,
+    "q118_tpch_q5": _q118_tpch_q5,
+    "q119_tpch_q2_shape": _q119_tpch_q2_shape,
+    "q120_tpch_q9_shape": _q120_tpch_q9_shape,
+    "q121_tpch_q11_shape": _q121_tpch_q11_shape,
+    "q122_tpch_q20_shape": _q122_tpch_q20_shape,
+    "q123_tpch_q21_shape": _q123_tpch_q21_shape,
+    "q124_tpch_q22_shape": _q124_tpch_q22_shape,
 }
 
 
@@ -4046,6 +4256,126 @@ _ORACLES["q117_running_distinct_users"] = """
            CAST(SUM(new_users) OVER (ORDER BY day
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM daily
+"""
+
+
+_ORACLES["q118_tpch_q5"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+_ORACLES["q119_tpch_q2_shape"] = """
+    WITH cand AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), enriched AS (
+      SELECT l_partkey, s_acctbal, s_name, n_name
+      FROM cand
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT l_partkey, MAX(s_acctbal) AS best_bal FROM enriched GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM enriched
+    JOIN best USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE s_acctbal = best_bal AND p_size = 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+_ORACLES["q120_tpch_q9_shape"] = """
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    - CAST('0.2' AS DECIMAL(3,2))
+                      * CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+"""
+
+_ORACLES["q121_tpch_q11_shape"] = """
+    WITH per_part AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+    FROM per_part
+    WHERE part_value > (SELECT SUM(part_value) * CAST('0.001' AS DECIMAL(6,3))
+                        FROM per_part)
+"""
+
+_ORACLES["q122_tpch_q20_shape"] = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#1'
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100
+    )
+"""
+
+_ORACLES["q123_tpch_q21_shape"] = """
+    WITH fli AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail
+      FROM fli GROUP BY l_orderkey
+    ), culprits AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM fli f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+      WHERE f.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_fail = 1
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+_ORACLES["q124_tpch_q22_shape"] = """
+    SELECT c_nationkey AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
 """
 
 

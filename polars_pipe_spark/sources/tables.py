@@ -40,10 +40,29 @@ def _nanos_cols(path: str) -> list[str]:
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _tz_normalise(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz, pinned UTC).
+
+    Parquet written with isAdjustedToUTC=false (pandas/polars default for
+    naive datetimes) reads as TIMESTAMP_NTZ in Spark 3.4+. NTZ cannot be
+    an event-time watermark column and rejects numeric casts, while DuckDB
+    reads the same file as its naive TIMESTAMP. With the session timezone
+    pinned to UTC the NTZ→TZ cast is value-preserving and bijective, so
+    oracle parity holds and every downstream operator (streaming
+    watermarks, epoch arithmetic) sees the one timestamp type.
+    """
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def read_parquet_table(spark: SparkSession, path: str, **kw) -> DataFrame:
     ns = _nanos_cols(path)
     if not ns:
-        return spark.read.parquet(path, **kw)
+        return _tz_normalise(spark.read.parquet(path, **kw))
     # The conf is captured by the DataFrame at creation (verified: collect
     # succeeds after restore), so restoring here cannot corrupt this read —
     # and later plain reads of ns files fail LOUDLY (PARQUET_TYPE_ILLEGAL)
@@ -57,8 +76,8 @@ def read_parquet_table(spark: SparkSession, path: str, **kw) -> DataFrame:
             spark.conf.unset(_NANOS_CONF)
         else:
             spark.conf.set(_NANOS_CONF, prev)
-    return df.withColumns(
-        {c: F.expr(f"timestamp_micros(`{c}` div 1000)") for c in ns}
+    return _tz_normalise(
+        df.withColumns({c: F.expr(f"timestamp_micros(`{c}` div 1000)") for c in ns})
     )
 
 

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from polars_pipe_spark.sources.tables import _tz_normalise
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -145,7 +147,7 @@ def streaming_pipeline(
     from polars_pipe_spark.session import get_spark
 
     spark = get_spark()
-    stream = (
+    stream = _tz_normalise(
         spark.readStream.format(file_format).schema(schema).load(source_dir)
     )
     writer = (
@@ -243,7 +245,9 @@ def streaming_upsert_sink(
             shutil.rmtree(str(tgt))
         Path(staging).rename(str(tgt))
 
-    stream = spark.readStream.format(file_format).schema(schema).load(source_dir)
+    stream = _tz_normalise(
+        spark.readStream.format(file_format).schema(schema).load(source_dir)
+    )
     writer = (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -154,7 +154,9 @@ class TestNanosTimestampReads:
         # conf restored immediately — later plain reads of ns files fail
         # loudly instead of silently yielding raw longs
         assert spark.conf.get(self.CONF, None) is None
-        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        # driver testdata is timestamp[us] isAdjustedToUTC=false → NTZ is the
+        # faithful read; ns files rebuild to TimestampType via timestamp_micros
+        assert isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType))
         assert df.select("ts").first().ts is not None  # executes post-restore
 
     def test_io_wrapper_parquet_read_is_ns_safe(self, spark):
@@ -162,7 +164,7 @@ class TestNanosTimestampReads:
 
         io = IOWrapper(spark)
         df = io.read("/root/testdata/sf0.001/events.parquet", FileType.PARQUET)
-        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType))
         assert spark.conf.get(self.CONF, None) is None
 
 
