@@ -19,6 +19,7 @@ Determinism policy for oracle parity:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -640,8 +641,9 @@ def _q32_streaming_windowed(spark, sf):
 
     path = f"{sf}/events.parquet"
     batch = _t(spark, sf, "events")
-    if _nanos_cols(path):
-        # file stream can't rebuild nanos; stage a µs-timestamp copy once
+    if _nanos_cols(path) or not os.path.isdir(path):
+        # file stream needs a DIRECTORY source and can't rebuild nanos;
+        # stage a µs-timestamp copy once
         staged = tempfile.mkdtemp(prefix="pps_stream_src_") + "/events"
         batch.write.mode("overwrite").parquet(staged)
         path = staged
@@ -1482,7 +1484,8 @@ def _q75_streaming_session(spark, sf):
 
     path = f"{sf}/events.parquet"
     batch = _t(spark, sf, "events")
-    if _nanos_cols(path):
+    if _nanos_cols(path) or not os.path.isdir(path):
+        # streaming file source requires a directory
         staged = tempfile.mkdtemp(prefix="pps_sess_src_") + "/events"
         batch.write.mode("overwrite").parquet(staged)
         path = staged

@@ -274,3 +274,69 @@ class TestRound2bQueryPlans:
         back = spark.read.parquet(dst).filter(F.col("lang") == "en")
         p = physical(back)
         assert re.search(r"PartitionFilters:.*lang", p)
+
+
+class TestTpchSweepPlans:
+    """Plan guarantees for the TPC-H completion queries (q118-q124)."""
+
+    def _q(self, name, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_q118_q5_dims_broadcast_no_cartesian(self, spark):
+        p = physical(self._q("q118_tpch_q5", spark))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_q119_argmax_join_back_is_take_ordered(self, spark):
+        p = physical(self._q("q119_tpch_q2_shape", spark))
+        assert "TakeOrderedAndProject" in p  # LIMIT 100 never a global sort
+
+    def test_q121_threshold_is_broadcast_not_collect(self, spark):
+        # scalar-subquery threshold: the 1-row aggregate must broadcast
+        p = physical(self._q("q121_tpch_q11_shape", spark))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_q122_semi_join_present(self, spark):
+        p = physical(self._q("q122_tpch_q20_shape", spark))
+        assert "LeftSemi" in p
+
+    def test_q123_no_correlated_rescan(self, spark):
+        # the EXISTS/NOT-EXISTS pair is one per-order aggregate, so the
+        # plan has hash aggregates and no nested-loop correlation
+        p = physical(self._q("q123_tpch_q21_shape", spark))
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_q124_anti_join_present(self, spark):
+        p = physical(self._q("q124_tpch_q22_shape", spark))
+        assert "LeftAnti" in p
+        assert "CartesianProduct" not in p
+
+
+class TestNtzNormalisation:
+    def test_event_ts_reads_as_tz_timestamp(self, spark):
+        from pyspark.sql import types as T
+
+        from polars_pipe_spark.sources.tables import read_parquet_table
+
+        df = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+    def test_ntz_cast_preserves_wall_clock(self, spark):
+        # UTC session: NTZ wall-clock == TZ instant rendering
+        import datetime
+
+        from polars_pipe_spark.sources.tables import _tz_normalise
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = spark.createDataFrame(
+            [(datetime.datetime(2025, 6, 1, 12, 30, 15),)], "ts timestamp_ntz"
+        )
+        out = _tz_normalise(src).first().ts
+        assert out == datetime.datetime(2025, 6, 1, 12, 30, 15)
