@@ -216,3 +216,50 @@ def stratified_sample(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def md5_unit(col: str | Column) -> Column:
+    """Deterministic uniform double in (0, 1) from 8 md5 nibbles of the
+    key — portable expression arithmetic (the DuckDB oracle reproduces
+    it digit for digit), stable under repartitioning."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    val = F.lit(0).cast("long")
+    for i in range(1, 9):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        val = val * 16 + nib
+    return (val + 1).cast("double") / float(16**8 + 1)
+
+
+def weighted_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: ``k`` rows
+    (per group), inclusion probability proportional to ``weight_col``.
+
+    Efraimidis–Spirakis A-ES: rank by ``ln(u)/w`` descending where ``u``
+    is a content-hash uniform — equivalent to ranking ``u^(1/w)`` but
+    numerically stable for large weights. Content-derived ``u`` makes
+    the draw reproducible across engines, partitionings and reruns —
+    ``df.sample``'s seed is none of those.
+
+    Scale: one shuffle on the group keys + per-group sort of rank keys
+    (doubles). For the global case (``group_cols=None``) the ordered
+    window would collapse to one partition, so take the top-k with
+    ``orderBy().limit()`` (TakeOrderedAndProject) instead.
+    """
+    es_key = F.log(md5_unit(key_col)) / F.col(weight_col).cast("double")
+    if not group_cols:
+        return df.orderBy(es_key.desc(), F.col(key_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(es_key.desc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
