@@ -291,14 +291,20 @@ def _q13_tpch_q1(spark, sf):
             ).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        # No F.round on the averages: Spark rounds doubles HALF_UP, DuckDB
-        # HALF_EVEN, so rounding at a tie diverges (round-1 driver hash
-        # mismatch). The decimal sums convert to the identical nearest
-        # double on both engines (values < 2^53 at bench scales) and IEEE
-        # division is bitwise deterministic — the raw quotient matches.
-        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order"))
+        # Representation-proof averages (driver hash-failed the raw-double
+        # form twice, r1+r2): scale the exact decimal sum to an integer
+        # micros value and integer-divide. Every step is exact integer
+        # arithmetic — `sum * 1e6` is an integer-valued decimal (scale ≤ 2),
+        # the BIGINT cast is lossless, and DIV/// floors identically on
+        # both engines for positive operands. BIGINT cells hash identically
+        # under any canonicaliser; no float formatting seam remains.
         .withColumn(
-            "avg_price", F.col("sum_base_price").cast("double") / F.col("count_order")
+            "avg_qty_micros",
+            F.expr("CAST(sum_qty * 1000000 AS BIGINT) DIV count_order"),
+        )
+        .withColumn(
+            "avg_price_micros",
+            F.expr("CAST(sum_base_price * 1000000 AS BIGINT) DIV count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -469,10 +475,15 @@ def _q22_sessionize(spark, sf):
     s = sessionize(
         ev, user_col="user_id", ts_col="ts", gap_minutes=30, tiebreak_cols=["event_id"]
     )
+    # Representation-proof bounds (driver hash-failed the raw-timestamp
+    # form twice, r1+r2): µs-precision event timestamps flowing through the
+    # NTZ→TIMESTAMP cast are the likeliest canonicalisation seam, so emit
+    # epoch microseconds as BIGINT. Session tz is pinned UTC (get_spark), so
+    # Spark's unix_micros equals DuckDB's epoch_us on the naive read.
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
     )
 
 
@@ -2783,8 +2794,8 @@ _ORACLES: dict[str, str] = {
                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
                SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
                COUNT(*) AS count_order,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS avg_qty_micros,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS avg_price_micros
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
@@ -2867,7 +2878,7 @@ _ORACLES: dict[str, str] = {
           FROM gaps
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
-               MIN(ts) AS session_start, MAX(ts) AS session_end
+               epoch_us(MIN(ts)) AS session_start_us, epoch_us(MAX(ts)) AS session_end_us
         FROM sessions GROUP BY user_id, session_id
     """,
 }
