@@ -2552,13 +2552,21 @@ def _q124_tpch_q22_shape(spark, sf):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
+    # Division-free above-average test (ADVICE r2): comparing the raw
+    # double against a float AVG is partition-order-dependent at the
+    # boundary. `bal * n > sum` over exact decimals is the same predicate
+    # with every step exact integer arithmetic on both engines.
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_pos"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n_pos"),
     )
     return (
         cust.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
         .crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            F.col("c_acctbal").cast("decimal(12,2)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
         .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
@@ -2566,6 +2574,50 @@ def _q124_tpch_q22_shape(spark, sf):
             F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+def _q125_bm25_topk(spark, sf):
+    """BM25 top-20 for a fixed bag-of-words query over ``documents``.
+
+    Corpus stats (df/avgdl/N) are single aggregates broadcast to the
+    scorers; the explode is term-filtered before any shuffle; per-term
+    scores round to 6 decimals and sum as DECIMAL so the total is
+    order-insensitive and oracle-exact.
+    """
+    from polars_pipe_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t_par(spark, sf, "documents"), "text", "doc_id",
+        ["hash", "join", "vector", "stream"], k=20,
+    )
+
+
+def _q126_zorder_code(spark, sf):
+    """Z-order (Morton) clustering key over two order dimensions.
+
+    The code is a pure expression — linear quantization against broadcast
+    min/max bounds, bit interleave — so any engine reproduces it bit for
+    bit (IEEE -, /, *, floor are exactly specified). Sorting files by
+    this key is what makes min/max stats prune on EITHER dimension.
+    """
+    from polars_pipe_spark.operators.layout import zorder_by
+
+    orders = _t(spark, sf, "orders")
+    return zorder_by(orders, ["o_custkey", "o_totalprice"], bits=8).select(
+        "o_orderkey", "__zorder"
+    )
+
+
+def _q127_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (A-ES): 5 docs
+    per source, inclusion probability ∝ n_chars, rank key derived from a
+    content-hash uniform so the draw reproduces across engines/reruns."""
+    from polars_pipe_spark.functions.sampling import weighted_topk
+
+    docs = _t_par(spark, sf, "documents")
+    return weighted_topk(
+        docs, "doc_id", "n_chars", 5, group_cols=["source"]
+    ).select("doc_id", "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------
@@ -2697,6 +2749,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_tpch_q20_shape": _q122_tpch_q20_shape,
     "q123_tpch_q21_shape": _q123_tpch_q21_shape,
     "q124_tpch_q22_shape": _q124_tpch_q22_shape,
+    "q125_bm25_topk": _q125_bm25_topk,
+    "q126_zorder_code": _q126_zorder_code,
+    "q127_weighted_sample": _q127_weighted_sample,
 }
 
 
@@ -4385,11 +4440,98 @@ _ORACLES["q124_tpch_q22_shape"] = """
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_nationkey IN (1, 3, 5, 7, 9)
-      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND CAST(c_acctbal AS DECIMAL(12,2))
+            * (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey
                         AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
+"""
+
+
+# q125: mirrors functions/retrieval.py::bm25_topk term by term. Float
+# constants (k1=1.2, b=0.75) go through CAST('…' AS DOUBLE) so DuckDB's
+# decimal-literal parsing can't change the arithmetic type; per-term
+# scores round to 6 decimals then sum as DECIMAL, so the totals are
+# addition-order-free on both engines.
+_ORACLES["q125_bm25_topk"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('hash', 'join', 'vector', 'stream')
+      GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(CAST('1.0' AS DOUBLE)
+                  + (n_docs - df + CAST('0.5' AS DOUBLE)) / (df + CAST('0.5' AS DOUBLE)))
+               * ((tf * CAST('2.2' AS DOUBLE))
+                  / (tf + CAST('1.2' AS DOUBLE)
+                          * (CAST('0.25' AS DOUBLE)
+                             + (CAST('0.75' AS DOUBLE) * dl) / avgdl)))
+             , 6) AS DECIMAL(14,6)) AS term_score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS DECIMAL(18,6)) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+"""
+
+# q126: mirrors operators/layout.py::quantize + morton_code for bits=8
+# over (o_custkey, o_totalprice). Every step is IEEE-exact (-, /, *,
+# floor) or integer bit arithmetic, so the codes match bit for bit.
+_Z_INTERLEAVE = " | ".join(
+    f"(((q{j} >> {i}) & 1) << {i * 2 + j})" for i in range(8) for j in range(2)
+)
+_ORACLES["q126_zorder_code"] = f"""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS mn0, MAX(o_custkey) AS mx0,
+             MIN(o_totalprice) AS mn1, MAX(o_totalprice) AS mx1
+      FROM orders
+    ), q AS (
+      SELECT o_orderkey,
+        CASE WHEN CAST(mx0 - mn0 AS DOUBLE) > 0
+             THEN CAST(floor(((CAST(o_custkey AS DOUBLE) - CAST(mn0 AS DOUBLE))
+                              / CAST(mx0 - mn0 AS DOUBLE)) * 255.0) AS BIGINT)
+             ELSE 0 END AS q0,
+        CASE WHEN CAST(mx1 - mn1 AS DOUBLE) > 0
+             THEN CAST(floor(((CAST(o_totalprice AS DOUBLE) - CAST(mn1 AS DOUBLE))
+                              / CAST(mx1 - mn1 AS DOUBLE)) * 255.0) AS BIGINT)
+             ELSE 0 END AS q1
+      FROM orders CROSS JOIN b
+    )
+    SELECT o_orderkey, {_Z_INTERLEAVE} AS __zorder FROM q
+"""
+
+# q127: mirrors functions/sampling.py::md5_unit + weighted_topk. The
+# A-ES rank key ln(u)/w is derived from md5 nibbles of the key, so both
+# engines draw the identical sample; n_chars <= 0 rows are excluded by
+# the guard on both sides.
+_Q127_VAL = "0"
+for _i in range(1, 9):
+    _Q127_VAL = (
+        f"(({_Q127_VAL}) * 16 + (strpos('0123456789abcdef',"
+        f" substr(md5(CAST(doc_id AS VARCHAR)), {_i}, 1)) - 1))"
+    )
+_ORACLES["q127_weighted_sample"] = f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (ln(CAST({_Q127_VAL} + 1 AS DOUBLE) / CAST(4294967297 AS DOUBLE))
+                         / CAST(n_chars AS DOUBLE)) DESC,
+                        doc_id ASC) AS rk
+      FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+    ) WHERE rk <= 5
 """
 
 

@@ -70,6 +70,9 @@ def bm25_topk(
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .groupBy(id_col)
-        .agg(F.sum(term_score).cast("double").alias("bm25"))
+        # DECIMAL out, not double: decimal cells hash identically under
+        # any canonicaliser (the q13 lesson), and the sum of scale-6
+        # decimals is already exact.
+        .agg(F.sum(term_score).cast("decimal(18,6)").alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), id_col).limit(k)

@@ -251,8 +251,15 @@ def weighted_topk(
     (doubles). For the global case (``group_cols=None``) the ordered
     window would collapse to one partition, so take the top-k with
     ``orderBy().limit()`` (TakeOrderedAndProject) instead.
+
+    Rows with NULL or non-positive weight are excluded up front: weight 0
+    would yield ``ln(u)/0 = -inf`` (silent exclusion) and a negative
+    weight a positive rank key that sorts FIRST, silently inverting the
+    sampling semantics.
     """
-    es_key = F.log(md5_unit(key_col)) / F.col(weight_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    df = df.filter(wt > 0)
+    es_key = F.log(md5_unit(key_col)) / wt
     if not group_cols:
         return df.orderBy(es_key.desc(), F.col(key_col).asc()).limit(k)
     from pyspark.sql import Window

@@ -50,10 +50,19 @@ def morton_code(cols: list[Column], bits: int = 16) -> Column:
     return code
 
 
-def zorder_by(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
-    """Return ``df`` with a ``__zorder`` column and range-partitioned by
-    it (each output file covers one tight Z-range). Bounds come from one
-    corpus aggregate broadcast back — no collect, no second scan plan.
+def zorder_by(
+    df: DataFrame, cols: list[str], bits: int = 16, n_files: int | None = None
+) -> DataFrame:
+    """Return ``df`` with a ``__zorder`` column, range-partitioned AND
+    sorted by it (each output file covers one tight Z-range, and row
+    groups within a file are Z-contiguous for min/max pruning). Bounds
+    come from one corpus aggregate broadcast back — no collect, no
+    second scan plan.
+
+    Pass ``n_files`` to pin the output file count: without it the range
+    shuffle inherits ``spark.sql.shuffle.partitions`` and AQE may
+    coalesce small outputs into one partition, which collapses the
+    layout (observed at test scale).
 
     Write the result with ``.write.parquet`` to materialise the layout;
     drop ``__zorder`` afterwards if undesired.
@@ -73,4 +82,5 @@ def zorder_by(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
         .withColumn("__zorder", morton_code(quantized, bits))
         .drop(*[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
     )
-    return out.repartitionByRange("__zorder")
+    parts = [n_files] if n_files else []
+    return out.repartitionByRange(*parts, "__zorder").sortWithinPartitions("__zorder")

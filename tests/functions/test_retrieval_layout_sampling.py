@@ -1,0 +1,176 @@
+"""Tests for the retrieval / layout / weighted-sampling trio.
+
+Covers functions/retrieval.py (BM25), operators/layout.py (Z-order),
+and functions/sampling.py::weighted_topk — each also has a driver-facing
+query (q125/q126/q127) with a DuckDB oracle; these tests pin the unit
+semantics the oracles assume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.functions.retrieval import bm25_topk
+from polars_pipe_spark.functions.sampling import weighted_topk
+from polars_pipe_spark.operators.layout import morton_code, quantize, zorder_by
+
+
+# ---------------------------------------------------------------- BM25 ----
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "spark shuffles the hash join"),
+        (2, "hash hash hash tables everywhere"),
+        (3, "a vector index for streams"),
+        (4, "nothing relevant here at all"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_scores_match_reference_formula(corpus):
+    out = {r.doc_id: float(r.bm25) for r in
+           bm25_topk(corpus, "text", "doc_id", ["hash"], k=10).collect()}
+    # Only docs 1 and 2 contain 'hash'.
+    assert set(out) == {1, 2}
+    # Hand-computed Lucene-style BM25: N=5, df=2, dl1=dl2=5, avgdl=20/5
+    # (the empty doc counts 0 tokens but still counts toward N).
+    n_docs, df, k1, b, avgdl = 5, 2, 1.2, 0.75, 4.0
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        norm = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(idf * norm, 6)
+
+    assert out[1] == pytest.approx(score(1, 5), abs=1e-6)
+    assert out[2] == pytest.approx(score(3, 5), abs=1e-6)
+    # tf saturation: three occurrences score higher, but < 3x.
+    assert out[1] < out[2] < 3 * out[1]
+
+
+def test_bm25_topk_truncates_and_orders(corpus):
+    rows = bm25_topk(corpus, "text", "doc_id", ["hash", "vector"], k=2).collect()
+    assert len(rows) == 2
+    scores = [float(r.bm25) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rejects_empty_query(corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "text", "doc_id", [])
+
+
+# ------------------------------------------------------------- Z-order ----
+
+
+def test_morton_code_known_bits(spark):
+    # x=0b11, y=0b01 with 2 bits -> interleave: bit i of col j at i*2+j
+    # x bits at even positions (1,1 -> 0b0101), y at odd (1,0 -> 0b0010).
+    df = spark.range(1).select(
+        morton_code([F.lit(3).cast("long"), F.lit(1).cast("long")], bits=2).alias("z")
+    )
+    assert df.first().z == 0b0111
+
+    # Interleaving is a bijection on the quantized grid.
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"]
+    )
+    codes = grid.select(
+        morton_code([F.col("x").cast("long"), F.col("y").cast("long")], bits=3).alias("z")
+    )
+    assert codes.distinct().count() == 64
+    assert codes.agg(F.max("z")).first()[0] == 63
+
+
+def test_morton_code_overflow_guard():
+    with pytest.raises(ValueError):
+        morton_code([F.lit(1), F.lit(2), F.lit(3)], bits=21)
+
+
+def test_quantize_bounds(spark):
+    df = spark.createDataFrame([(0.0,), (50.0,), (100.0,)], ["v"])
+    q = df.select(
+        quantize(F.col("v"), F.lit(0.0), F.lit(100.0), bits=8).alias("q")
+    ).collect()
+    assert [r.q for r in q] == [0, 127, 255]
+    # Degenerate span quantizes to 0 instead of dividing by zero.
+    flat = df.select(quantize(F.col("v"), F.lit(5.0), F.lit(5.0), 8).alias("q"))
+    assert {r.q for r in flat.collect()} == {0}
+
+
+def test_zorder_by_tightens_file_ranges(spark, tmp_path):
+    # 32x32 grid written as 8 files: Z-ordered files must cover far
+    # smaller per-file spans in BOTH dimensions than a row-major sort,
+    # which is exactly the min/max-stat pruning the layout exists for.
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(32), repeat=2)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    def avg_file_span(frame, col):
+        per_file = (
+            frame.withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+        )
+        spans = [r.span for r in per_file.collect()]
+        return sum(spans) / len(spans)
+
+    z = zorder_by(df, ["x", "y"], bits=5, n_files=8)
+    z.write.mode("overwrite").parquet(str(tmp_path / "z"))
+    zread = spark.read.parquet(str(tmp_path / "z"))
+
+    df.repartitionByRange(8, "x").write.mode("overwrite").parquet(str(tmp_path / "rows"))
+    rread = spark.read.parquet(str(tmp_path / "rows"))
+
+    # Row-major: x is tight but y spans the full 0..31 range per file.
+    assert avg_file_span(rread, "y") > 25
+    # Z-order: both dimensions stay well under half the full span.
+    assert avg_file_span(zread, "x") < 16
+    assert avg_file_span(zread, "y") < 16
+
+
+# ---------------------------------------------------- weighted sampling ----
+
+
+def test_weighted_topk_deterministic_and_grouped(spark):
+    rows = [(i, "g" + str(i % 2), float(1 + i % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "g", "w"])
+    a = weighted_topk(df, "k", "w", 3, group_cols=["g"])
+    b = weighted_topk(df.repartition(7), "k", "w", 3, group_cols=["g"])
+    got_a = sorted((r.g, r.k) for r in a.collect())
+    got_b = sorted((r.g, r.k) for r in b.collect())
+    assert got_a == got_b  # content-hash draw is partitioning-invariant
+    assert len(got_a) == 6 and len({g for g, _ in got_a}) == 2
+
+
+def test_weighted_topk_weight_bias(spark):
+    # One heavy key among uniform light ones: the heavy key must appear
+    # in the sample far more often than 1/n across disjoint key spaces.
+    hits = 0
+    trials = 20
+    for t in range(trials):
+        rows = [(t * 100 + i, 1.0 if i else 50.0) for i in range(20)]
+        df = spark.createDataFrame(rows, ["k", "w"])
+        top = {r.k for r in weighted_topk(df, "k", "w", 3).collect()}
+        hits += (t * 100) in top
+    assert hits >= trials // 2  # p(inclusion) ~ 50/69 per trial
+
+
+def test_weighted_topk_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -2.0), (4, None), (5, 1.0)], ["k", "w"]
+    )
+    got = {r.k for r in weighted_topk(df, "k", "w", 10).collect()}
+    assert got == {1, 5}
+
+
+def test_weighted_topk_global_plans_take_ordered(spark):
+    df = spark.createDataFrame([(i, 1.0 + i) for i in range(100)], ["k", "w"])
+    plan = weighted_topk(df, "k", "w", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
