@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from polars_pipe_spark.sources.tables import _tz_normalise
+from polars_pipe_spark.sources.tables import tz_normalise
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -659,7 +659,7 @@ def _q32_streaming_windowed(spark, sf):
         batch.write.mode("overwrite").parquet(staged)
         path = staged
     schema = spark.read.parquet(path).schema
-    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
+    stream = tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = windowed_event_counts(stream, "ts", "1 hour", group_cols=["event_type"])
     name = "pps_stream_out"
     q = (
@@ -1501,7 +1501,7 @@ def _q75_streaming_session(spark, sf):
         batch.write.mode("overwrite").parquet(staged)
         path = staged
     schema = spark.read.parquet(path).schema
-    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
+    stream = tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = session_event_stats(stream, "ts", "30 minutes", group_cols=["user_id"])
     name = "pps_sess_out"
     q = (
@@ -1842,8 +1842,8 @@ def _q93_streaming_attribution(spark, sf):
     ).coalesce(1).write.mode("overwrite").parquet(f"{staged}/clicks")
     p_schema = spark.read.parquet(f"{staged}/purchases").schema
     c_schema = spark.read.parquet(f"{staged}/clicks").schema
-    p = _tz_normalise(spark.readStream.schema(p_schema).parquet(f"{staged}/purchases"))
-    c = _tz_normalise(spark.readStream.schema(c_schema).parquet(f"{staged}/clicks"))
+    p = tz_normalise(spark.readStream.schema(p_schema).parquet(f"{staged}/purchases"))
+    c = tz_normalise(spark.readStream.schema(c_schema).parquet(f"{staged}/clicks"))
     joined = click_attribution_join(p, c, lookback="1 hour")
     name = "pps_ss_join_out"
     q = (
@@ -2134,7 +2134,7 @@ def _q107_streaming_hopping(spark, sf):
     batch.coalesce(1).write.mode("overwrite").parquet(staged)
     path = staged
     schema = spark.read.parquet(path).schema
-    stream = _tz_normalise(spark.readStream.schema(schema).parquet(path))
+    stream = tz_normalise(spark.readStream.schema(schema).parquet(path))
     agg = windowed_event_counts(
         stream, "ts", "1 hour", slide="30 minutes", group_cols=["event_type"]
     )

@@ -40,7 +40,7 @@ def _nanos_cols(path: str) -> list[str]:
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
-def _tz_normalise(df: DataFrame) -> DataFrame:
+def tz_normalise(df: DataFrame) -> DataFrame:
     """Cast TIMESTAMP_NTZ columns to TIMESTAMP (session tz, pinned UTC).
 
     Parquet written with isAdjustedToUTC=false (pandas/polars default for
@@ -57,6 +57,11 @@ def _tz_normalise(df: DataFrame) -> DataFrame:
     if not ntz:
         return df
     return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
+# Internal alias kept for in-package callers; external modules (streaming,
+# the entry file) import the public name above.
+_tz_normalise = tz_normalise
 
 
 def read_parquet_table(spark: SparkSession, path: str, **kw) -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from polars_pipe_spark.sources.tables import _tz_normalise
+from polars_pipe_spark.sources.tables import tz_normalise
 
 
 def windowed_event_counts(
@@ -147,7 +147,7 @@ def streaming_pipeline(
     from polars_pipe_spark.session import get_spark
 
     spark = get_spark()
-    stream = _tz_normalise(
+    stream = tz_normalise(
         spark.readStream.format(file_format).schema(schema).load(source_dir)
     )
     writer = (
@@ -245,7 +245,7 @@ def streaming_upsert_sink(
             shutil.rmtree(str(tgt))
         Path(staging).rename(str(tgt))
 
-    stream = _tz_normalise(
+    stream = tz_normalise(
         spark.readStream.format(file_format).schema(schema).load(source_dir)
     )
     writer = (

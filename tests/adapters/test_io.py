@@ -154,9 +154,11 @@ class TestNanosTimestampReads:
         # conf restored immediately — later plain reads of ns files fail
         # loudly instead of silently yielding raw longs
         assert spark.conf.get(self.CONF, None) is None
-        # driver testdata is timestamp[us] isAdjustedToUTC=false → NTZ is the
-        # faithful read; ns files rebuild to TimestampType via timestamp_micros
-        assert isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType))
+        # read_parquet_table always tz-normalises: NTZ reads cast to
+        # TimestampType (session tz pinned UTC), ns files rebuild via
+        # timestamp_micros. Strict assertion so a normalisation regression
+        # cannot hide behind an accepted NTZ type.
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
         assert df.select("ts").first().ts is not None  # executes post-restore
 
     def test_io_wrapper_parquet_read_is_ns_safe(self, spark):
@@ -164,7 +166,7 @@ class TestNanosTimestampReads:
 
         io = IOWrapper(spark)
         df = io.read("/root/testdata/sf0.001/events.parquet", FileType.PARQUET)
-        assert isinstance(df.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType))
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
         assert spark.conf.get(self.CONF, None) is None
 
 

@@ -332,11 +332,11 @@ class TestNtzNormalisation:
         # UTC session: NTZ wall-clock == TZ instant rendering
         import datetime
 
-        from polars_pipe_spark.sources.tables import _tz_normalise
+        from polars_pipe_spark.sources.tables import tz_normalise
 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         src = spark.createDataFrame(
             [(datetime.datetime(2025, 6, 1, 12, 30, 15),)], "ts timestamp_ntz"
         )
-        out = _tz_normalise(src).first().ts
+        out = tz_normalise(src).first().ts
         assert out == datetime.datetime(2025, 6, 1, 12, 30, 15)
