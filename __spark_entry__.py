@@ -1055,6 +1055,9 @@ def _q54_vocab_topk(spark, sf):
     # vocabulary (round-1 scale-killer: one reducer for a 100 TB corpus).
     # The rank window then runs over just the 20 surviving rows.
     top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    # Deliberate unpartitioned window: it runs AFTER the limit, over a
+    # frame whose cardinality is bounded at exactly 20 rows regardless of
+    # corpus size. Do not copy this into an unbounded context.
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.withColumn("rk", F.row_number().over(w)).select("token", "n", "rk")
 
@@ -2363,6 +2366,10 @@ def _q117_running_distinct_users(spark, sf):
         F.date_trunc("day", F.min("ts")).cast("date").alias("day")
     )
     daily_new = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    # Deliberate unpartitioned window: the frame is day-level (one row
+    # per calendar day — thousands of rows for decades of data), not
+    # event-level, so the single-partition sort is bounded and cheap.
+    # Do not copy this into an unbounded context.
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily_new.withColumn("cum_users", F.sum("new_users").over(w))
 

@@ -8,11 +8,17 @@ name, floats at full round-trip precision, rows sorted; then sha256).
 
 Usage: python tools/check_oracle.py [query ...]    # default: all
        SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
+       python tools/check_oracle.py --json CORRECTNESS_LOCAL_r3.json
+
+``--json PATH`` additionally writes a per-query artifact in the same
+shape as the driver's CORRECTNESS_r*.json, so the local replica's
+verdict on driver-unchecked queries is recorded and diffable per round.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -81,12 +87,27 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    wanted = sys.argv[1:] or list(queries)
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    wanted = args or list(queries)
+
+    report: dict[str, dict] = {}
+
+    def record(name, *, rows=None, orows=None, err=None, rm=None, sm=None, hm=None):
+        report[name] = {
+            "rows_match": rm, "schema_match": sm, "hash_match": hm,
+            "spark_rows": rows, "oracle_rows": orows, "err": err,
+        }
 
     n_pass = n_fail = n_weak = 0
     for name in wanted:
         if name not in queries:
             print(f"{name}: NOT IN queries()")
+            record(name, err="not_in_queries")
             n_fail += 1
             continue
         # queries that persist() intermediates must not leak caches into
@@ -99,11 +120,13 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
+            record(name, err=f"spark:{type(e).__name__}")
             n_fail += 1
             continue
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"{name}: rows={len(s_rows)} (rows-only check, no oracle) [{spark_s:.1f}s]")
+            record(name, rows=len(s_rows), err="no_oracle")
             n_weak += 1
             continue
         try:
@@ -112,11 +135,16 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}")
+            record(name, rows=len(s_rows), err=f"duckdb:{type(e).__name__}")
             n_fail += 1
             continue
 
         sc, sh = canon_rows(s_cols, s_rows)
         dc, dh = canon_rows(d_cols, d_rows)
+        record(
+            name, rows=len(s_rows), orows=len(d_rows),
+            rm=len(s_rows) == len(d_rows), sm=sc == dc, hm=sh == dh,
+        )
         problems = []
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
@@ -142,6 +170,10 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} failed / {len(wanted)} total")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path} ({len(report)} queries)")
     return 1 if n_fail else 0
 
 
