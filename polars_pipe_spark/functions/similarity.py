@@ -355,7 +355,9 @@ def quantized_topk(
 # -- one-pass gram / covariance statistics ----------------------------------
 
 
-def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
+def gram_matrix(
+    df: DataFrame, vec_col: str, dims: int = 16, impl: str = "pandas"
+) -> DataFrame:
     """Exact second-moment (gram/covariance) statistics over the first
     ``dims`` dimensions of an int8-quantized embedding column — the
     distributed half of PCA/whitening: collect this d×d summary (tiny),
@@ -377,9 +379,67 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
     integers so the caller (or oracle) divides at whatever precision it
     wants. Fits BIGINT while n × 255² × dims-max-code stays < 2^63
     (n < ~1e14 rows); cast ``v`` to decimal beyond that.
+
+    ``impl``: ``"pandas"`` (default) computes per-partition partials
+    with one Arrow-batched numpy kernel (``C.T @ C`` in int64 — exact,
+    same totals) and reduces ~136 rows per partition in a tiny groupBy;
+    ``"expr"`` keeps the pure-expression single agg. The expression form
+    evaluates 1 + d + d(d+1)/2 = 153 aggregate expressions per row,
+    which is JVM expression-eval-bound, not data-bound (measured at
+    sf0.1: 3.5s expr vs ~0.5s pandas for 2000x64 vectors); the numpy
+    kernel is the right shape whenever d(d+1)/2 dwarfs the row work.
+    Both are one scan + one (tiny) reduction and quantize with the same
+    single-source-of-truth expression.
     """
     v = F.col(vec_col)
     codes = F.slice(quantize_vec(v)["codes"], 1, dims)
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+
+    if impl == "pandas":
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        c_df = df.select(codes.alias("__c"))
+
+        def part(batches):
+            n, s, p = 0, None, None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(pdf["__c"].to_numpy()).astype(np.int64)
+                n += mat.shape[0]
+                s = mat.sum(0) if s is None else s + mat.sum(0)
+                g = mat.T @ mat
+                p = g if p is None else p + g
+            if n == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "i": [i for i, _ in pairs],
+                    "j": [j for _, j in pairs],
+                    "n": n,
+                    "s_i": [int(s[i]) for i, _ in pairs],
+                    "s_j": [int(s[j]) for _, j in pairs],
+                    "s_ij": [int(p[i, j]) for i, j in pairs],
+                }
+            )
+
+        partials = c_df.mapInPandas(
+            part, "i int, j int, n long, s_i long, s_j long, s_ij long"
+        )
+        return (
+            partials.groupBy("i", "j")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("s_i").alias("s_i"),
+                F.sum("s_j").alias("s_j"),
+                F.sum("s_ij").alias("s_ij"),
+            )
+            .select(
+                "i", "j", "n", "s_i", "s_j", "s_ij",
+                (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias("cov_num"),
+            )
+        )
     # explode(array(x)) materialises the quantized array exactly once per
     # row (Generate blocks projection collapse) — the 150+ aggregate
     # expressions below then reference a cheap column, never a copy of
@@ -390,7 +450,6 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int = 16) -> DataFrame:
     # products) with map-side partial aggregation — no per-term explode,
     # no reshape joins, no persist; the d² fan-out happens on the single
     # result row.
-    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
     row = c_df.agg(
         F.count(F.lit(1)).alias("n"),
         *[F.sum(F.get(c, i).cast("long")).alias(f"__s{i}") for i in range(dims)],
