@@ -2627,6 +2627,103 @@ def _q127_weighted_sample(spark, sf):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q128_quality_classifier(spark, sf):
+    """Document quality classifier: logistic composition of the
+    text_stats features + Gopher-style hard reject rules, keep/drop
+    verdict. Pure expressions over one scan."""
+    from polars_pipe_spark.functions.text import quality_classifier
+
+    docs = _t_par(spark, sf, "documents")
+    cls = quality_classifier("text")
+    return docs.select("doc_id", *[e.alias(n) for n, e in cls.items()])
+
+
+def _q129_rerank(spark, sf):
+    """Two-stage retrieval: batch BM25 over 3 bag-of-words queries, then
+    a cross-encoder-style feature rerank (normalised BM25 + quality +
+    length prior), top-10 per query."""
+    from polars_pipe_spark.functions.retrieval import rerank_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
+         (3, "filter"), (3, "scan")],
+        "query_id int, term string",
+    )
+    return rerank_topk(_t_par(spark, sf, "documents"), "text", "doc_id", queries, k=10)
+
+
+def _q130_streaming_minhash_dedup(spark, sf):
+    """Incremental near-dup detection as a real stream: minhash
+    signatures computed per micro-batch, aggregated into
+    (signature, n_docs, canonical_id) groups in complete mode — the
+    stateful-streaming twin of the batch q24/q25 dedup path. Checked
+    against the batch SQL oracle (same signature arithmetic)."""
+    import tempfile
+
+    from polars_pipe_spark.functions.dedup import minhash_signature
+
+    path = f"{sf}/documents.parquet"
+    batch = _t_par(spark, sf, "documents")
+    if not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_mh_src_") + "/documents"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    sig = stream.select(
+        "doc_id",
+        F.array_join(minhash_signature("text", shingle_k=3, sig_k=8), "|").alias("sig"),
+    )
+    agg = sig.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id")
+    )
+    name = "pps_mh_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def _q131_unigram_logprob(spark, sf):
+    """Unigram-LM document scoring (perplexity-style quality signal):
+    per-token log-probability against the corpus unigram distribution,
+    rounded per token and decimal-summed per document. The token→vocab
+    join shuffles on term (vocab is corpus-derived, not broadcastable in
+    general); averages emit as scaled BIGINT via positive integer
+    division so both engines floor identically."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 6).cast(
+        "decimal(14,6)"
+    )
+    scored = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(lp).cast("decimal(18,6)").alias("sum_logprob"),
+        )
+    )
+    # logprobs are negative: negate before the integer division so both
+    # engines divide positives (Spark DIV truncates toward zero, DuckDB
+    # // floors — they only agree on non-negative operands).
+    return scored.withColumn(
+        "avg_lp_micros",
+        F.expr("-(CAST(sum_logprob * -1000000 AS BIGINT) DIV n_toks)"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2759,6 +2856,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_bm25_topk": _q125_bm25_topk,
     "q126_zorder_code": _q126_zorder_code,
     "q127_weighted_sample": _q127_weighted_sample,
+    "q128_quality_classifier": _q128_quality_classifier,
+    "q129_rerank": _q129_rerank,
+    "q130_streaming_minhash_dedup": _q130_streaming_minhash_dedup,
+    "q131_unigram_logprob": _q131_unigram_logprob,
 }
 
 
@@ -4539,6 +4640,158 @@ _ORACLES["q127_weighted_sample"] = f"""
                         doc_id ASC) AS rk
       FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
     ) WHERE rk <= 5
+"""
+
+
+# q128: mirrors functions/text.py::quality_classifier — same feature
+# fragments as the q23 oracle, weights binary-exact, additions in the
+# same left-associative order, sigmoid rounded to 6 before comparison.
+_LANG_PRED = f"""
+    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+         WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+         ELSE 'fr' END
+"""
+_ORACLES["q128_quality_classifier"] = f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS ntok,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> t IN {_in_list(_MARKERS["en"])})) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS awl,
+             {_lang_score("de")} AS s_de, {_lang_score("en")} AS s_en,
+             {_lang_score("es")} AS s_es, {_lang_score("fr")} AS s_fr
+      FROM tok
+    ), z AS (
+      SELECT doc_id, ntok, sr, pr, awl,
+             -1.5 + least(ntok / 200.0, 1.0) * 2.5
+                  + least(sr * 5.0, 1.0) * 3.0
+                  - least(pr * 10.0, 1.0) * 2.0
+                  + (CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN ({_LANG_PRED}) = 'en' THEN 0.5 ELSE 0.0 END) AS z
+      FROM feat
+    ), p AS (
+      SELECT doc_id, ntok, sr, pr, awl,
+             round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob,
+             CASE WHEN ntok < 10 THEN 'too_short'
+                  WHEN sr < 0.01 THEN 'low_stopword'
+                  WHEN pr > 0.2 THEN 'high_punct'
+                  WHEN awl < 2.0 OR awl > 12.0 THEN 'weird_word_len'
+                  ELSE 'ok' END AS reject_reason
+      FROM z
+    )
+    SELECT doc_id, quality_prob, reject_reason,
+           CASE WHEN reject_reason = 'ok' AND quality_prob >= 0.5
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM p
+"""
+
+# q129: two-stage retrieval. The BM25 stage mirrors q125's oracle with a
+# (query_id, term) VALUES table; the rerank mirrors retrieval.py::
+# rerank_topk (double division of the decimal scores, binary-exact-ish
+# weights interpolated via CAST to pin the arithmetic type).
+_ORACLES["q129_rerank"] = f"""
+    WITH q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'stream'),
+             (3, 'filter'), (3, 'scan')
+    ), tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, len({_TOKS}) AS dl FROM documents
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT query_id, tf.doc_id,
+             CAST(SUM(CAST(round(
+               ln(CAST('1.0' AS DOUBLE)
+                  + (n_docs - df + CAST('0.5' AS DOUBLE)) / (df + CAST('0.5' AS DOUBLE)))
+               * ((tf * CAST('2.2' AS DOUBLE))
+                  / (tf + CAST('1.2' AS DOUBLE)
+                          * (CAST('0.25' AS DOUBLE)
+                             + (CAST('0.75' AS DOUBLE) * dl) / avgdl)))
+             , 6) AS DECIMAL(14,6))) AS DECIMAL(18,6)) AS bm25
+      FROM tf JOIN dfreq USING (term) JOIN q USING (term)
+              JOIN dl USING (doc_id) CROSS JOIN corpus
+      GROUP BY query_id, tf.doc_id
+    ), qmax AS (
+      SELECT query_id, MAX(bm25) AS qmax FROM scored GROUP BY query_id
+    ), feat AS (
+      SELECT doc_id,
+             round(least(len(toks) / 100.0, 1.0) * 0.4
+                   + least((CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, t -> t IN {_in_list(_MARKERS["en"])})) AS DOUBLE) / len(toks)
+                            ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                   + (1.0 - least((CASE WHEN length(text) > 0
+                            THEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END) * 10.0, 1.0)) * 0.2, 6) AS quality,
+             CAST(len(toks) AS DOUBLE) AS ntok
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ), rer AS (
+      SELECT query_id, doc_id, bm25,
+             round(CAST(bm25 AS DOUBLE) / CAST(qmax AS DOUBLE) * CAST('0.6' AS DOUBLE)
+                   + quality * CAST('0.3' AS DOUBLE)
+                   + least(ntok / 200.0, 1.0) * CAST('0.1' AS DOUBLE), 6) AS rerank
+      FROM scored JOIN qmax USING (query_id) JOIN feat USING (doc_id)
+    )
+    SELECT query_id, doc_id, bm25, rerank,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rerank DESC, doc_id ASC) AS INT) AS rk
+    FROM rer QUALIFY rk <= 10
+"""
+
+# q130: batch twin of the streaming minhash-group dedup (signature
+# arithmetic identical to the q25 oracle fragments).
+_ORACLES["q130_streaming_minhash_dedup"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), dsh AS (
+      SELECT doc_id, list_distinct({_SHINGLES3}) AS dsh FROM tok
+    ), sig AS (
+      SELECT doc_id,
+             array_to_string((list_sort(list_transform(dsh, s -> md5(s))))[1:8], '|') AS sig
+      FROM dsh
+    )
+    SELECT sig, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM sig GROUP BY sig
+"""
+
+# q131: unigram-LM scoring; per-token logprobs round to 6 then sum as
+# DECIMAL; the scaled-integer average divides positives only (Spark DIV
+# truncates toward zero, DuckDB // floors — equal only for >= 0).
+_ORACLES["q131_unigram_logprob"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term
+    ), total AS (
+      SELECT SUM(cnt) AS total FROM vocab
+    ), lp AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(cnt AS DOUBLE) / total), 6) AS DECIMAL(14,6)) AS lp
+      FROM tok JOIN vocab USING (term) CROSS JOIN total
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             CAST(SUM(lp) AS DECIMAL(18,6)) AS sum_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, sum_logprob,
+           -(CAST(sum_logprob * -1000000 AS BIGINT) // n_toks) AS avg_lp_micros
+    FROM agg
 """
 
 

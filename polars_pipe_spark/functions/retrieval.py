@@ -26,31 +26,33 @@ from pyspark.sql import functions as F
 from polars_pipe_spark.functions.text import token_count, tokens
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     text_col: str,
     id_col: str,
-    query_terms: list[str],
+    queries: DataFrame,
     *,
     k1: float = 1.2,
     b: float = 0.75,
-    k: int = 20,
 ) -> DataFrame:
-    """Top-``k`` documents for a bag-of-words query under BM25.
+    """Per-(query, document) BM25 for a batch of bag-of-words queries.
+
+    ``queries`` is a small ``(query_id, term)`` frame — broadcast into
+    both the token filter and the per-query fan-out, so the only
+    corpus-scaled shuffles are the term-frequency aggregation and the
+    per-(query, doc) score reduction (both map-side combinable).
 
     idf uses the Lucene-style non-negative form
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; document frequency is global
+    per term, shared across queries.
 
-    Scale notes: the explode is filtered to the query's terms before any
-    aggregation, so the shuffled volume is ``O(matching tokens)``, not
-    corpus size; df/avgdl/N are one aggregate each, broadcast to the
-    scorers; the final top-k plans as TakeOrderedAndProject.
+    Returns ``(query_id, <id_col>, bm25 DECIMAL(18,6))`` for every doc
+    matching at least one of the query's terms.
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
+    terms = queries.select("term").distinct()
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).filter(F.col("term").isin(list(query_terms)))
+    ).join(F.broadcast(terms), "term")
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
     corpus = dl.agg(
@@ -65,14 +67,96 @@ def bm25_topk(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     term_score = F.round(idf * norm, 6).cast("decimal(14,6)")
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(queries), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
-        .groupBy(id_col)
+        .groupBy("query_id", id_col)
         # DECIMAL out, not double: decimal cells hash identically under
         # any canonicaliser (the q13 lesson), and the sum of scale-6
         # decimals is already exact.
         .agg(F.sum(term_score).cast("decimal(18,6)").alias("bm25"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents for ONE bag-of-words query under BM25 — the
+    single-query wrapper over :func:`bm25_scores`. The final top-k plans
+    as TakeOrderedAndProject (per-partition top-k + driver merge)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    queries = docs.sparkSession.createDataFrame(
+        [(0, t) for t in query_terms], "query_id int, term string"
+    )
+    scored = bm25_scores(docs, text_col, id_col, queries, k1=k1, b=b).drop(
+        "query_id"
+    )
     return scored.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def rerank_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    w_bm25: float = 0.6,
+    w_quality: float = 0.3,
+    w_len: float = 0.1,
+) -> DataFrame:
+    """Two-stage retrieval: BM25 first stage, then a cross-encoder-style
+    rerank blending per-query-max-normalised BM25 with document quality
+    and a length prior — the feature-join shape a learned reranker at
+    100 TB uses (scores broadcast/joined per candidate, never per-corpus).
+
+    rerank = round6(w_bm25 * bm25/max_bm25(query)
+                    + w_quality * quality_score
+                    + w_len * min(n_tokens/200, 1))
+
+    The rank window partitions by query_id over the CANDIDATE set (docs
+    matching ≥1 query term), which first-stage pruning keeps far below
+    corpus size. Ties break on doc id; output is top-``k`` per query.
+    """
+    from polars_pipe_spark.functions.text import quality_score
+
+    s = bm25_scores(docs, text_col, id_col, queries)
+    qmax = s.groupBy("query_id").agg(F.max("bm25").alias("qmax"))
+    feats = docs.select(
+        F.col(id_col),
+        quality_score(text_col).alias("quality"),
+        token_count(text_col).cast("double").alias("ntok"),
+    )
+    scored = (
+        s.join(F.broadcast(qmax), "query_id")
+        .join(feats, id_col)
+        .withColumn(
+            "rerank",
+            F.round(
+                F.col("bm25").cast("double") / F.col("qmax").cast("double") * w_bm25
+                + F.col("quality") * w_quality
+                + F.least(F.col("ntok") / 200.0, F.lit(1.0)) * w_len,
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rerank").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", id_col, "bm25", "rerank", "rk")
+    )

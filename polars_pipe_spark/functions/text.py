@@ -95,6 +95,53 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+def quality_classifier(
+    col: str | Column, threshold: float = 0.5
+) -> dict[str, Column]:
+    """Document-level quality classifier: a logistic composition of the
+    ``text_stats`` features plus Gopher-style hard reject rules.
+
+    ``quality_prob`` is sigmoid(z) rounded to 6 decimals, with
+
+        z = -1.5 + 2.5*min(n_tokens/200, 1) + 3*min(stopword_ratio*5, 1)
+            - 2*min(punct_ratio*10, 1) + [2 <= avg_word_len <= 12]
+            + 0.5*[lang_pred = 'en']
+
+    ``reject_reason`` applies rule gates in a fixed order (too_short /
+    low_stopword / high_punct / weird_word_len / ok), and ``verdict`` is
+    'keep' iff no rule fired AND quality_prob >= threshold.
+
+    Everything is expression arithmetic over already-oracled features —
+    the only transcendental is one exp(), rounded to 6 decimals before
+    any comparison. Weights are binary-exact floats, additions mirror
+    the oracle's left-associative order.
+    """
+    ntok = token_count(col).cast("double")
+    sr = stopword_ratio(col)
+    pr = punct_ratio(col)
+    awl = avg_word_len(col)
+    z = (
+        F.lit(-1.5)
+        + F.least(ntok / 200.0, F.lit(1.0)) * 2.5
+        + F.least(sr * 5.0, F.lit(1.0)) * 3.0
+        - F.least(pr * 10.0, F.lit(1.0)) * 2.0
+        + F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+        + F.when(lang_id(col) == "en", F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    reason = (
+        F.when(ntok < 10, F.lit("too_short"))
+        .when(sr < 0.01, F.lit("low_stopword"))
+        .when(pr > 0.2, F.lit("high_punct"))
+        .when((awl < 2.0) | (awl > 12.0), F.lit("weird_word_len"))
+        .otherwise(F.lit("ok"))
+    )
+    verdict = F.when(
+        (reason == "ok") & (prob >= threshold), F.lit("keep")
+    ).otherwise(F.lit("drop"))
+    return {"quality_prob": prob, "reject_reason": reason, "verdict": verdict}
+
+
 def lang_scores(col: str | Column) -> dict[str, Column]:
     """Marker-hit count per language over the token array."""
     t = tokens(col)

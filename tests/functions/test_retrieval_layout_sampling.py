@@ -174,3 +174,41 @@ def test_weighted_topk_global_plans_take_ordered(spark):
     df = spark.createDataFrame([(i, 1.0 + i) for i in range(100)], ["k", "w"])
     plan = weighted_topk(df, "k", "w", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------- multi-query BM25 ----
+
+
+def test_bm25_scores_multi_query_independent(spark, corpus):
+    from polars_pipe_spark.functions.retrieval import bm25_scores, bm25_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (2, "vector")], "query_id int, term string"
+    )
+    out = bm25_scores(corpus, "text", "doc_id", queries).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, {})[r.doc_id] = float(r.bm25)
+    assert set(by_q[1]) == {1, 2}       # docs containing 'hash'
+    assert set(by_q[2]) == {3}          # doc containing 'vector'
+    # single-query wrapper agrees with the multi-query scorer
+    single = {r.doc_id: float(r.bm25)
+              for r in bm25_topk(corpus, "text", "doc_id", ["hash"], k=10).collect()}
+    assert single == by_q[1]
+
+
+def test_rerank_topk_orders_within_query(spark, corpus):
+    from polars_pipe_spark.functions.retrieval import rerank_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector")], "query_id int, term string"
+    )
+    out = rerank_topk(corpus, "text", "doc_id", queries, k=2).collect()
+    for qid in {r.query_id for r in out}:
+        rows = sorted((r for r in out if r.query_id == qid), key=lambda r: r.rk)
+        assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+        scores = [float(r.rerank) for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len(rows) <= 2
+    # the per-query best doc has normalised bm25 = 1, so rerank <= 1.0
+    assert all(float(r.rerank) <= 1.0 for r in out)

@@ -195,3 +195,45 @@ class TestSourceMixing:
         exp_a = {r.key for r in df.filter("source = 'a'")
                  .filter(md5_bucket("key", 1000) < 200).collect()}
         assert kept_a == exp_a
+
+
+class TestQualityClassifier:
+    def test_verdicts_and_reasons(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_pipe_spark.functions.text import quality_classifier
+
+        good = ("the quick brown fox jumps over the lazy dog and then it "
+                "runs to the forest where it is happy and the day is long "
+                "and the sun is warm in the sky over the green hills")
+        rows = [
+            (1, good),                       # keep: english, stopwords, mid length
+            (2, ""),                         # too_short
+            (3, "short text only here"),     # too_short (< 10 tokens)
+            (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),  # low_stopword
+            (5, "a !!! b ... c ??? d ,,, e ;;; f ::: g (((h))) i [j] k {l} "
+                "m !!! n ... o ??? p ,,, q ;;; r ::: s !!! t"),       # high_punct
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        cls = quality_classifier("text")
+        out = {r.doc_id: r for r in
+               df.select("doc_id", *[e.alias(n) for n, e in cls.items()]).collect()}
+        assert out[1].verdict == "keep" and out[1].reject_reason == "ok"
+        assert out[2].reject_reason == "too_short"
+        assert out[3].reject_reason == "too_short"
+        assert out[4].reject_reason == "low_stopword"
+        assert out[5].reject_reason == "high_punct"
+        assert all(out[i].verdict == "drop" for i in (2, 3, 4, 5))
+        # probability is a valid rounded sigmoid
+        assert 0.0 < out[1].quality_prob < 1.0
+
+    def test_threshold_gates_keep(self, spark):
+        from polars_pipe_spark.functions.text import quality_classifier
+
+        good = " ".join(["the cat sat on the mat and it was good"] * 5)
+        df = spark.createDataFrame([(1, good)], ["doc_id", "text"])
+        lax = quality_classifier("text", threshold=0.0)
+        strict = quality_classifier("text", threshold=1.1)
+        assert df.select(lax["verdict"].alias("v")).first().v == "keep"
+        assert df.select(strict["verdict"].alias("v")).first().v == "drop"
