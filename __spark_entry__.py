@@ -2724,6 +2724,36 @@ def _q131_unigram_logprob(spark, sf):
     )
 
 
+def _q132_span_dedup(spark, sf):
+    """Span-level dedup APPLY: 20-token spans, keep the first corpus-wide
+    occurrence of each distinct span, reassemble surviving text per doc
+    (the removal step downstream of q94's dup_span_stats)."""
+    from polars_pipe_spark.functions.dedup import span_dedup
+
+    return span_dedup(_t_par(spark, sf, "documents"), "text", "doc_id", span_tokens=20)
+
+
+def _q133_ann_recall(spark, sf):
+    """ANN evaluation harness: recall@5 of the LSH index (q29) against
+    the exact brute-force ranking (q28), per query — the measurement any
+    production ANN deployment runs before trusting the approximate path.
+    Scaled-integer recall via positive integer division (engine-safe)."""
+    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    lsh = _q29_lsh_topk(spark, sf).select("query_id", "neighbor_id")
+    overlap = (
+        bf.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(overlap, "query_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn("recall_micros", F.expr("(n_overlap * 1000000) DIV n_exact"))
+        .select("query_id", "n_exact", "n_overlap", "recall_micros")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2860,6 +2890,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_rerank": _q129_rerank,
     "q130_streaming_minhash_dedup": _q130_streaming_minhash_dedup,
     "q131_unigram_logprob": _q131_unigram_logprob,
+    "q132_span_dedup": _q132_span_dedup,
+    "q133_ann_recall": _q133_ann_recall,
 }
 
 
@@ -4792,6 +4824,52 @@ _ORACLES["q131_unigram_logprob"] = f"""
     SELECT doc_id, n_toks, sum_logprob,
            -(CAST(sum_logprob * -1000000 AS BIGINT) // n_toks) AS avg_lp_micros
     FROM agg
+"""
+
+
+# q132: mirrors functions/dedup.py::span_dedup — 20-token spans, first
+# corpus-wide occurrence wins (owner = min doc_id*1e6 + pos), surviving
+# spans string-agg'd back in position order.
+_ORACLES["q132_span_dedup"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(floor((len(toks) + 19) / 20.0) AS INT)),
+                            i -> array_to_string(toks[i*20+1 : i*20+20], ' ')) AS spans
+      FROM tok
+    ), ex0 AS (
+      SELECT doc_id, unnest(range(1, len(spans) + 1)) AS i, spans FROM sp
+    ), ex AS (
+      SELECT doc_id, i - 1 AS pos, spans[i] AS span, md5(spans[i]) AS skey FROM ex0
+    ), own AS (
+      SELECT skey, MIN(doc_id * 1000000 + pos) AS owner FROM ex GROUP BY skey
+    ), k AS (
+      SELECT ex.*, (doc_id * 1000000 + pos) = owner AS kept
+      FROM ex JOIN own USING (skey)
+    )
+    SELECT doc_id, COUNT(*) AS n_spans,
+           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+           COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos), '') AS cleaned_text
+    FROM k GROUP BY doc_id
+"""
+
+# q133: composes the q28 (exact) and q29 (LSH) oracles and measures
+# their per-query overlap; recall emitted as scaled BIGINT via //.
+_ORACLES["q133_ann_recall"] = f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q28_cosine_topk"]})
+    ), lsh AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q29_lsh_topk"]})
+    ), ov AS (
+      SELECT query_id, COUNT(*) AS n_overlap
+      FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY query_id
+    ), base AS (
+      SELECT query_id, COUNT(*) AS n_exact FROM bf GROUP BY query_id
+    )
+    SELECT base.query_id, n_exact, COALESCE(n_overlap, 0) AS n_overlap,
+           (COALESCE(n_overlap, 0) * 1000000) // n_exact AS recall_micros
+    FROM base LEFT JOIN ov USING (query_id)
 """
 
 

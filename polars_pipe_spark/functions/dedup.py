@@ -492,3 +492,62 @@ def dup_span_stats(
             "dup_fraction"
         ),
     )
+
+
+def span_dedup(
+    df: DataFrame, text_col: str, id_col: str, span_tokens: int = 20
+) -> DataFrame:
+    """Span-level (paragraph-granularity) corpus dedup APPLY: split each
+    document into fixed ``span_tokens``-token spans, keep only the FIRST
+    corpus-wide occurrence of each distinct span (owner = smallest
+    (doc, position)), and reassemble the surviving text per document —
+    the ExactSubstr-style removal step downstream of ``dup_span_stats``.
+
+    Scale shape: spans are md5-keyed BEFORE the ownership shuffle (32-char
+    keys, not span text), ownership is one min-aggregation, and the
+    reassembly groupBy collects only the per-document span structs.
+    Documents with zero tokens produce no spans and drop out (mirrored by
+    the oracle). Owner keys pack as ``id * 1e6 + pos`` — positions must
+    stay below 1e6 (50M tokens/doc at the default span size).
+
+    Output: (<id_col>, n_spans, n_kept, cleaned_text).
+    """
+    from polars_pipe_spark.functions.text import tokens
+
+    # Materialise the token array as a column FIRST: subexpressions
+    # inside a higher-order-function lambda are re-evaluated per element,
+    # so inlining tokens() here would re-run the whole normalise+split
+    # pipeline once per span (O(doc_len × n_spans) per doc). The Generate
+    # node below keeps the projections from collapsing back together.
+    tok_df = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    n_spans = F.floor((n + span_tokens - 1) / F.lit(float(span_tokens))).cast("int")
+    spans = F.when(n_spans > 0, F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(t, i * span_tokens + 1, span_tokens), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = tok_df.select(
+        "id", F.posexplode(spans).alias("pos", "span")
+    ).withColumn("skey", F.md5("span"))
+    own = ex.groupBy("skey").agg(
+        F.min(F.col("id") * 1000000 + F.col("pos")).alias("owner")
+    )
+    kept = ex.join(own, "skey").withColumn(
+        "kept", (F.col("id") * 1000000 + F.col("pos")) == F.col("owner")
+    )
+    return kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct(F.col("pos"), F.col("span")))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    ).withColumnRenamed("id", id_col)

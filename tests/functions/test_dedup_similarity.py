@@ -321,3 +321,40 @@ class TestIvfPersistence:
                                  k=3, centroids=reloaded).collect()
         assert sorted(map(tuple, inline)) == sorted(map(tuple, persisted))
         assert len(inline) > 0
+
+
+class TestSpanDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from polars_pipe_spark.functions.dedup import span_dedup
+
+        # span size 3: doc 1 owns spans A=(a b c), B=(d e f); doc 2 repeats
+        # span A then adds its own G=(x y z); doc 3 is entirely duplicated.
+        rows = [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "d e f"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+        assert out[1].n_spans == 2 and out[1].n_kept == 2
+        assert out[1].cleaned_text == "a b c d e f"
+        assert out[2].n_spans == 2 and out[2].n_kept == 1
+        assert out[2].cleaned_text == "x y z"
+        assert out[3].n_spans == 1 and out[3].n_kept == 0
+        assert out[3].cleaned_text == ""
+        assert 4 not in out  # zero tokens -> no spans -> dropped
+
+    def test_partial_tail_span_is_its_own_unit(self, spark):
+        from polars_pipe_spark.functions.dedup import span_dedup
+
+        # 4 tokens with span size 3 -> spans (a b c) and (d); the tail
+        # span ('d') is distinct from a full span containing d elsewhere.
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "d")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r for r in
+               span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
+        assert out[1].n_spans == 2 and out[1].n_kept == 2
+        assert out[2].n_spans == 1 and out[2].n_kept == 0  # 'd' owned by doc 1
