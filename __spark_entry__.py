@@ -2754,6 +2754,79 @@ def _q133_ann_recall(spark, sf):
     )
 
 
+def _q134_training_pairs(spark, sf):
+    """Retrieval training-pair generation: for each query, the reranked
+    top-1 document as the positive and 3 deterministic hash-selected
+    hard-ish negatives (docs matching NONE of the query's terms, ordered
+    by md5(query:doc)). The negative pool is anti-joined, never sampled
+    with a seed — reruns and repartitions give the identical dataset.
+    The per-query rank window is bounded by the (small) query batch."""
+    from polars_pipe_spark.functions.retrieval import bm25_scores, rerank_topk
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
+         (3, "filter"), (3, "scan")],
+        "query_id int, term string",
+    )
+    docs = _t_par(spark, sf, "documents")
+    pos = rerank_topk(docs, "text", "doc_id", queries, k=1).select(
+        "query_id", F.col("doc_id").alias("pos_id")
+    )
+    cands = bm25_scores(docs, "text", "doc_id", queries).select(
+        "query_id", "doc_id"
+    )
+    qids = queries.select("query_id").distinct()
+    pool = docs.select("doc_id").crossJoin(F.broadcast(qids)).join(
+        cands, ["query_id", "doc_id"], "left_anti"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(F.concat_ws(":", F.col("query_id"), F.col("doc_id"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    negs = (
+        pool.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("query_id", F.col("doc_id").alias("neg_id"), "neg_rank")
+    )
+    return pos.join(negs, "query_id").select(
+        "query_id", "pos_id", "neg_id", "neg_rank"
+    )
+
+
+def _q135_schema_union(spark, sf):
+    """Schema-evolution-safe union: an old snapshot (with `lang`) and a
+    new snapshot (lang dropped, `quality` added) union BY NAME with
+    missing columns null-filled — the mergeSchema read path expressed as
+    an operator. Oracle: DuckDB UNION ALL BY NAME."""
+    docs = _t_par(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars",
+        F.length("text").cast("long").alias("quality"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+def _q136_scd2(spark, sf):
+    """SCD2 history construction: per-user purchase value history as
+    validity intervals — effective_from/effective_to = lead(ts) over the
+    (user, ts, event_id) order, open interval marked current. Interval
+    bounds emit as epoch-micros BIGINT (the q22 lesson: never raw
+    µs timestamps through the hash gate)."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("effective_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("effective_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2892,6 +2965,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_unigram_logprob": _q131_unigram_logprob,
     "q132_span_dedup": _q132_span_dedup,
     "q133_ann_recall": _q133_ann_recall,
+    "q134_training_pairs": _q134_training_pairs,
+    "q135_schema_union": _q135_schema_union,
+    "q136_scd2": _q136_scd2,
 }
 
 
@@ -4870,6 +4946,55 @@ _ORACLES["q133_ann_recall"] = f"""
     SELECT base.query_id, n_exact, COALESCE(n_overlap, 0) AS n_overlap,
            (COALESCE(n_overlap, 0) * 1000000) // n_exact AS recall_micros
     FROM base LEFT JOIN ov USING (query_id)
+"""
+
+
+# q134: positive = q129's rerank winner; negatives = per-query anti-join
+# pool ordered by md5(query:doc) — fully deterministic, no seeds.
+_ORACLES["q134_training_pairs"] = f"""
+    WITH q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'stream'),
+             (3, 'filter'), (3, 'scan')
+    ), pos AS (
+      SELECT query_id, doc_id AS pos_id FROM ({_ORACLES["q129_rerank"]}) WHERE rk = 1
+    ), tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), cands AS (
+      SELECT DISTINCT query_id, doc_id FROM tok JOIN q USING (term)
+    ), pool AS (
+      SELECT qd.query_id, qd.doc_id
+      FROM (SELECT query_id, doc_id
+            FROM (SELECT DISTINCT query_id FROM q) CROSS JOIN
+                 (SELECT doc_id FROM documents)) qd
+      ANTI JOIN cands ON cands.query_id = qd.query_id AND cands.doc_id = qd.doc_id
+    ), negs AS (
+      SELECT query_id, doc_id AS neg_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY md5(CAST(query_id AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS INT) AS neg_rank
+      FROM pool QUALIFY neg_rank <= 3
+    )
+    SELECT pos.query_id, pos_id, neg_id, neg_rank
+    FROM pos JOIN negs ON pos.query_id = negs.query_id
+"""
+
+# q135: schema-evolution union — BY NAME with null fill on both engines.
+_ORACLES["q135_schema_union"] = """
+    SELECT doc_id, source, n_chars, lang FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, source, n_chars, CAST(length(text) AS BIGINT) AS quality
+    FROM documents WHERE doc_id % 2 = 1
+"""
+
+# q136: SCD2 validity intervals; bounds as epoch-micros BIGINT.
+_ORACLES["q136_scd2"] = """
+    SELECT user_id, event_id, value,
+           epoch_us(ts) AS effective_from_us,
+           epoch_us(LEAD(ts) OVER w) AS effective_to_us,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 

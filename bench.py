@@ -45,6 +45,10 @@ HEADLINE = [
     "q63_dedup_clusters",
     "q87_gram_matrix",
     "q94_dup_spans",
+    # round-3 additions: two-stage retrieval, corpus LM scoring, span dedup
+    "q129_rerank",
+    "q131_unigram_logprob",
+    "q132_span_dedup",
 ]
 
 

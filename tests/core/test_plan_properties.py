@@ -221,13 +221,25 @@ class TestRound2bQueryPlans:
         assert "SinglePartition" not in p  # never a global-sort window
 
     def test_q87_single_aggregation_no_joins(self, spark):
-        # every moment is one column of ONE partial-aggregable agg over
-        # the materialised code array; the d² fan-out explodes the single
-        # result row — no joins, no second scan
+        # default (pandas) path: one scan into an Arrow-batched partial
+        # kernel + one tiny groupBy — no joins, no second scan
         p = physical(self._q("q87_gram_matrix", spark))
         assert "Join" not in p and "CartesianProduct" not in p
-        assert "Generate" in p
+        assert "MapInPandas" in p
         assert p.count("Scan parquet") + p.count("FileScan") <= 2  # one source read
+
+    def test_q87_expr_impl_single_aggregation(self, spark):
+        # expression fallback: every moment is one column of ONE
+        # partial-aggregable agg over the materialised code array; the d²
+        # fan-out explodes the single result row
+        from polars_pipe_spark.functions.similarity import gram_matrix
+        from polars_pipe_spark.sources.tables import read_parquet_table
+
+        emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        p = physical(gram_matrix(emb, "embedding", dims=16, impl="expr"))
+        assert "Join" not in p and "CartesianProduct" not in p
+        assert "Generate" in p
+        assert p.count("Scan parquet") + p.count("FileScan") <= 2
 
     def test_q89_topk_is_take_ordered(self, spark):
         p = physical(self._q("q89_bigram_pmi", spark))
