@@ -352,3 +352,70 @@ class TestNtzNormalisation:
         )
         out = tz_normalise(src).first().ts
         assert out == datetime.datetime(2025, 6, 1, 12, 30, 15)
+
+
+class TestRound3QueryPlans:
+    """Plan guarantees for the round-3 surface (q125-q136)."""
+
+    def _q(self, name, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_q125_bm25_broadcasts_stats_and_takes_ordered(self, spark):
+        p = physical(self._q("q125_bm25_topk", spark))
+        # df/corpus stats reach the scorers as broadcasts; final top-k is
+        # TakeOrderedAndProject, never a global sort of all candidates
+        assert "BroadcastExchange" in p
+        assert "TakeOrderedAndProject" in p
+        assert "CartesianProduct" not in p
+
+    def test_q126_zorder_is_pure_expression_range_partition(self, spark):
+        p = physical(self._q("q126_zorder_code", spark))
+        # bounds come back as a 1-row broadcast (BNLJ), the code is
+        # rangepartitioned — no UDFs, no cartesian pair blowup
+        assert "BroadcastNestedLoopJoin" in p
+        assert "rangepartitioning" in p.lower()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_q127_weighted_sample_window_is_partitioned(self, spark):
+        p = physical(self._q("q127_weighted_sample", spark))
+        assert "Window" in p
+        assert "SinglePartition" not in p  # grouped draw, no global sort
+
+    def test_q128_quality_classifier_stays_jvm_side(self, spark):
+        p = physical(self._q("q128_quality_classifier", spark))
+        # one scan, pure expressions: no Python eval, no aggregation; the
+        # only exchange is _t_par's deliberate round-robin parallelism
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "hashpartitioning" not in p.lower()
+        assert "HashAggregate" not in p
+
+    def test_q129_rerank_broadcasts_query_side(self, spark):
+        p = physical(self._q("q129_rerank", spark))
+        # query terms / corpus stats / per-query max all broadcast; the
+        # rank window partitions by query_id (never a global sort)
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        assert "Window" in p
+        assert re.search(r"Window .*windowspecdefinition\(query_id", p)
+
+    def test_q132_span_dedup_shuffles_hash_keys_not_text(self, spark):
+        p = physical(self._q("q132_span_dedup", spark))
+        # ownership groupBy keys on the md5 span key
+        assert "md5" in p.lower()
+        assert "CartesianProduct" not in p
+
+    def test_q134_training_pairs_anti_join_and_broadcast_pool(self, spark):
+        p = physical(self._q("q134_training_pairs", spark))
+        assert "LeftAnti" in p
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_q136_scd2_window_is_partitioned(self, spark):
+        p = physical(self._q("q136_scd2", spark))
+        assert "Window" in p
+        assert "SinglePartition" not in p  # per-user lead, never global
