@@ -2827,6 +2827,27 @@ def _q136_scd2(spark, sf):
     )
 
 
+def _q137_ivf_pretrained(spark, sf):
+    """IVF search with a persisted/pretrained coarse quantiser — the
+    search half of q33 upgraded to a hard oracle signal. Centroids are
+    pinned to the first 16 corpus vectors (the production flow loads
+    them from parquet), so list assignment, n_probe fan-out, and cosine
+    scoring are pure expressions reproducible on both engines; only
+    k-means TRAINING (iterative, driver-side sample) stays rows-only in
+    q33."""
+    from polars_pipe_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
+        k=5, n_probe=2, centroids=cent,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2968,6 +2989,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_training_pairs": _q134_training_pairs,
     "q135_schema_union": _q135_schema_union,
     "q136_scd2": _q136_scd2,
+    "q137_ivf_pretrained": _q137_ivf_pretrained,
 }
 
 
@@ -4995,6 +5017,45 @@ _ORACLES["q136_scd2"] = """
            (LEAD(ts) OVER w IS NULL) AS is_current
     FROM events WHERE event_type = 'purchase'
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# q137: mirrors similarity.py::ivf_topk with pinned centroids — nearest
+# list per vector = argmin of -dot (ties on centroid_id), queries probe
+# 2 lists, candidates score with the shared cosine fragment.
+_ORACLES["q137_ivf_pretrained"] = f"""
+    WITH cent AS (
+      SELECT CAST(vec_id AS INT) AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), c_assigned AS (
+      SELECT neighbor_id, cv, centroid_id FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -({_DOT.format(a="e.embedding", b="cent.cvec")}) ASC,
+                          cent.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent
+      ) WHERE rn = 1
+    ), q_assigned AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -({_DOT.format(a="e.embedding", b="cent.cvec")}) ASC,
+                          cent.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent
+        WHERE e.vec_id < 20
+      ) WHERE rn <= 2
+    ), s AS (
+      SELECT query_id, neighbor_id, {_cosine_sql("cv", "qv")} AS cosine
+      FROM c_assigned JOIN q_assigned USING (centroid_id)
+      WHERE neighbor_id != query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 5
 """
 
 
