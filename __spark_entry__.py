@@ -2848,6 +2848,29 @@ def _q137_ivf_pretrained(spark, sf):
     )
 
 
+def _q138_text_clean(spark, sf):
+    """C4-style cleaning battery over deterministically-dirtied text
+    (the synthetic corpus is already clean, so dirt is injected first to
+    make the transformation observable): control-char strip, punctuation
+    squeeze, whitespace collapse — all RE2-safe regexes that behave
+    identically under Java regex and DuckDB."""
+    from polars_pipe_spark.functions.text import clean_text
+
+    docs = _t_par(spark, sf, "documents")
+    dirty = F.concat(
+        F.lit("\x01  "),
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" !!!  wow,,,  ")).otherwise(
+            F.lit(" .....  end;;; ")
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        clean_text(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(clean_text(dirty))).alias("n_removed_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2990,6 +3013,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_schema_union": _q135_schema_union,
     "q136_scd2": _q136_scd2,
     "q137_ivf_pretrained": _q137_ivf_pretrained,
+    "q138_text_clean": _q138_text_clean,
 }
 
 
@@ -5056,6 +5080,31 @@ _ORACLES["q137_ivf_pretrained"] = f"""
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rk
     FROM s QUALIFY rk <= 5
+"""
+
+
+# q138: mirrors functions/text.py::clean_text over the same injected
+# dirt; every regex is RE2-safe so Java and RE2 agree byte for byte.
+_Q138_DIRTY = (
+    "chr(1) || '  ' || text || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' !!!  wow,,,  ' ELSE ' .....  end;;; ' END"
+)
+_Q138_CLEAN = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(" + _Q138_DIRTY + ", "
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), "
+    "'!{2,}', '!', 'g'), "
+    r"'\?{2,}', '?', 'g'), "
+    "',{2,}', ',', 'g'), "
+    "';{2,}', ';', 'g'), "
+    r"'\.{4,}', '...', 'g'), "
+    r"'\s+', ' ', 'g'))"
+)
+_ORACLES["q138_text_clean"] = f"""
+    SELECT doc_id,
+           {_Q138_CLEAN} AS clean_text,
+           length({_Q138_DIRTY}) - length({_Q138_CLEAN}) AS n_removed_chars
+    FROM documents
 """
 
 

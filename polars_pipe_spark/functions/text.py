@@ -142,6 +142,25 @@ def quality_classifier(
     return {"quality_prob": prob, "reject_reason": reason, "verdict": verdict}
 
 
+def clean_text(col: str | Column) -> Column:
+    """C4-style cleaning battery, RE2-safe (no backreferences, so the
+    same patterns run identically under Java regex and DuckDB's RE2):
+
+    1. strip control characters (C0 except tab/newline, DEL),
+    2. squeeze runs of ! ? , ; to one, runs of 4+ dots to '...',
+    3. collapse whitespace runs to a single space and trim.
+    """
+    c = _c(col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"!{2,}", "!")
+    c = F.regexp_replace(c, r"\?{2,}", "?")
+    c = F.regexp_replace(c, r",{2,}", ",")
+    c = F.regexp_replace(c, r";{2,}", ";")
+    c = F.regexp_replace(c, r"\.{4,}", "...")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def lang_scores(col: str | Column) -> dict[str, Column]:
     """Marker-hit count per language over the token array."""
     t = tokens(col)

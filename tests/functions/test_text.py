@@ -237,3 +237,22 @@ class TestQualityClassifier:
         strict = quality_classifier("text", threshold=1.1)
         assert df.select(lax["verdict"].alias("v")).first().v == "keep"
         assert df.select(strict["verdict"].alias("v")).first().v == "drop"
+
+
+class TestCleanText:
+    def test_cleaning_battery(self, spark):
+        from polars_pipe_spark.functions.text import clean_text
+
+        rows = [
+            (1, "\x01\x02 hello\x7f world \x1f"),
+            (2, "wow!!! really??? yes,,, no;;;"),
+            (3, "wait..... ok.. fine...."),
+            (4, "  too   many\t\tspaces\n\nhere  "),
+        ]
+        df = spark.createDataFrame(rows, ["i", "t"])
+        out = {r.i: r.c for r in df.select("i", clean_text("t").alias("c")).collect()}
+        assert out[1] == "hello world"
+        assert out[2] == "wow! really? yes, no;"
+        # 4+ dots squeeze to ellipsis; 2-3 dots stay untouched
+        assert out[3] == "wait... ok.. fine..."
+        assert out[4] == "too many spaces here"
