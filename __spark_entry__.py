@@ -2871,6 +2871,64 @@ def _q138_text_clean(spark, sf):
     )
 
 
+def _q139_streaming_quality_gate(spark, sf):
+    """Quality-gated ingest as a real stream: the q128 classifier runs
+    per micro-batch and keep/drop counts accumulate per source in
+    complete mode — batch and stream share the one expression bundle,
+    checked against the batch SQL oracle."""
+    import tempfile
+
+    from polars_pipe_spark.functions.text import quality_classifier
+
+    path = f"{sf}/documents.parquet"
+    batch = _t_par(spark, sf, "documents")
+    if not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_qg_src_") + "/documents"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = (
+        stream.withColumn("verdict", quality_classifier("text")["verdict"])
+        .groupBy("source", "verdict")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    name = "pps_qg_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def _q140_locf(spark, sf):
+    """Last-observation-carried-forward backfill (time-series gap fill):
+    nulls injected deterministically, then F.last(ignorenulls) over the
+    per-user (ts, event_id) order — one partitioned window, no loops.
+    Timestamps emit as epoch micros (the q22 lesson)."""
+    ev = _t(spark, sf, "events")
+    gapped = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        gapped.alias("value_gapped"),
+        F.last(gapped, ignorenulls=True).over(w).alias("value_filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3014,6 +3072,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_scd2": _q136_scd2,
     "q137_ivf_pretrained": _q137_ivf_pretrained,
     "q138_text_clean": _q138_text_clean,
+    "q139_streaming_quality_gate": _q139_streaming_quality_gate,
+    "q140_locf": _q140_locf,
 }
 
 
@@ -5105,6 +5165,26 @@ _ORACLES["q138_text_clean"] = f"""
            {_Q138_CLEAN} AS clean_text,
            length({_Q138_DIRTY}) - length({_Q138_CLEAN}) AS n_removed_chars
     FROM documents
+"""
+
+
+# q139: batch twin of the streaming quality gate — the q128 oracle
+# joined back to documents for the source column, grouped.
+_ORACLES["q139_streaming_quality_gate"] = f"""
+    SELECT d.source, v.verdict, COUNT(*) AS n_docs
+    FROM ({_ORACLES["q128_quality_classifier"]}) v
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source, v.verdict
+"""
+
+# q140: LOCF gap fill; same injected nulls, IGNORE NULLS window.
+_ORACLES["q140_locf"] = """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_gapped,
+           last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS value_filled
+    FROM events
 """
 
 
