@@ -50,12 +50,19 @@ def bm25_scores(
     matching at least one of the query's terms.
     """
     terms = queries.select("term").distinct()
+    # dl rides along through the explode (constant per doc, folded back
+    # with first() in the tf aggregation) — one corpus scan feeds both
+    # term frequencies AND document lengths, instead of a second
+    # tokenizing scan shuffle-joined back on doc id.
     tok = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        F.col(id_col),
+        token_count(text_col).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
     ).join(F.broadcast(terms), "term")
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select(F.col(id_col), token_count(text_col).alias("dl"))
-    corpus = dl.agg(
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    corpus = docs.select(token_count(text_col).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -70,7 +77,6 @@ def bm25_scores(
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(queries), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", id_col)
         # DECIMAL out, not double: decimal cells hash identically under
