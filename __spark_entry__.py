@@ -2929,6 +2929,63 @@ def _q140_locf(spark, sf):
     )
 
 
+def _q141_snapshot_diff(spark, sf):
+    """Table-diff between two snapshot versions (data versioning): full
+    outer join on the key classifies every row added / removed /
+    changed / unchanged. Snapshots derive deterministically from the one
+    documents table (v2 drops some rows, adds others, perturbs a
+    third)."""
+    docs = _t_par(spark, sf, "documents")
+    v1 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.col("n_chars").alias("v_old")
+    )
+    v2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars"))
+        .alias("v_new"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("removed"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", "v_old", "v_new", status.alias("status"))
+
+
+def _q142_psi_drift(spark, sf):
+    """Population-stability-index drift between per-source length
+    distributions (ML-ops data-drift check): 100-char buckets, per-pair
+    PSI = Σ (p−q)·ln(p/q) over buckets populated on BOTH sides (the
+    standard epsilon-free form), per-bucket terms rounded to 6 and
+    decimal-summed so the total is addition-order-free."""
+    docs = _t_par(spark, sf, "documents")
+    buck = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", (F.floor(F.col("n_chars") / 100)).alias("bucket")
+    )
+    counts = buck.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("tot"))
+    dist = counts.join(F.broadcast(totals), "source").select(
+        "source", "bucket", (F.col("n").cast("double") / F.col("tot")).alias("p")
+    )
+    a = dist.filter(F.col("source") == "src0").select("bucket", F.col("p").alias("p_a"))
+    b = dist.filter(F.col("source") == "src1").select("bucket", F.col("p").alias("p_b"))
+    term = F.round(
+        (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b")), 6
+    ).cast("decimal(14,6)")
+    return (
+        a.join(b, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_buckets"),
+            F.sum(term).cast("decimal(18,6)").alias("psi"),
+        )
+        .select(F.lit("src0").alias("src_a"), F.lit("src1").alias("src_b"),
+                "n_shared_buckets", "psi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3074,6 +3131,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_text_clean": _q138_text_clean,
     "q139_streaming_quality_gate": _q139_streaming_quality_gate,
     "q140_locf": _q140_locf,
+    "q141_snapshot_diff": _q141_snapshot_diff,
+    "q142_psi_drift": _q142_psi_drift,
 }
 
 
@@ -5185,6 +5244,45 @@ _ORACLES["q140_locf"] = """
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS value_filled
     FROM events
+"""
+
+
+# q141: snapshot diff via FULL OUTER + classification.
+_ORACLES["q141_snapshot_diff"] = """
+    WITH v1 AS (
+      SELECT doc_id, n_chars AS v_old FROM documents WHERE doc_id % 5 != 0
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END AS v_new
+      FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, v_old, v_new,
+           CASE WHEN v_old IS NULL THEN 'added'
+                WHEN v_new IS NULL THEN 'removed'
+                WHEN v_old != v_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+# q142: PSI drift; probabilities are exact-count ratios in double, terms
+# round to 6 and sum as DECIMAL.
+_ORACLES["q142_psi_drift"] = """
+    WITH buck AS (
+      SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), counts AS (
+      SELECT source, bucket, COUNT(*) AS n FROM buck GROUP BY source, bucket
+    ), totals AS (
+      SELECT source, SUM(n) AS tot FROM counts GROUP BY source
+    ), dist AS (
+      SELECT counts.source, bucket, CAST(n AS DOUBLE) / tot AS p
+      FROM counts JOIN totals USING (source)
+    ), a AS (SELECT bucket, p AS p_a FROM dist WHERE source = 'src0'),
+       b AS (SELECT bucket, p AS p_b FROM dist WHERE source = 'src1')
+    SELECT 'src0' AS src_a, 'src1' AS src_b,
+           COUNT(*) AS n_shared_buckets,
+           CAST(SUM(CAST(round((p_a - p_b) * ln(p_a / p_b), 6) AS DECIMAL(14,6))) AS DECIMAL(18,6)) AS psi
+    FROM a JOIN b USING (bucket)
 """
 
 
