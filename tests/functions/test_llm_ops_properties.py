@@ -108,3 +108,69 @@ class TestEquidepthProperties:
         # …and bucket value-ranges are disjoint and ordered
         for lo_r, hi_r in zip(out, out[1:]):
             assert lo_r.hi <= hi_r.lo
+
+
+class TestWeightedTopkProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        weights=st.lists(
+            st.floats(-5, 50, allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=15,
+        ),
+        k=st.integers(1, 6),
+    )
+    def test_sample_size_and_eligibility(self, spark, weights, k):
+        """|sample| = min(k, #rows with weight > 0), and every sampled
+        row has positive weight (the A-ES guard)."""
+        from polars_pipe_spark.functions.sampling import weighted_topk
+
+        rows = [(i, float(w)) for i, w in enumerate(weights)]
+        df = spark.createDataFrame(rows, "key long, w double")
+        got = weighted_topk(df, "key", "w", k).collect()
+        eligible = [i for i, w in enumerate(weights) if w > 0]
+        assert len(got) == min(k, len(eligible))
+        assert all(weights[r.key] > 0 for r in got)
+
+
+class TestSpanDedupProperties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(" ".join),
+            min_size=1, max_size=6,
+        ),
+        span=st.integers(1, 4),
+    )
+    def test_kept_spans_equal_distinct_spans(self, spark, texts, span):
+        """Exactly one owner per distinct span: Σ n_kept == |distinct
+        spans| and Σ n_spans == total spans, matching a Python model."""
+        from polars_pipe_spark.functions.dedup import span_dedup
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        out = span_dedup(df, "text", "doc_id", span_tokens=span).collect()
+        model_spans, model_distinct = 0, set()
+        for t in texts:
+            toks = t.split() if t.strip() else []
+            chunks = [" ".join(toks[i:i + span]) for i in range(0, len(toks), span)]
+            model_spans += len(chunks)
+            model_distinct.update(chunks)
+        assert sum(r.n_spans for r in out) == model_spans
+        assert sum(r.n_kept for r in out) == len(model_distinct)
+
+
+class TestBm25Properties:
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8).map(" ".join),
+            min_size=2, max_size=6,
+        )
+    )
+    def test_scores_positive_and_only_matching_docs(self, spark, docs):
+        from polars_pipe_spark.functions.retrieval import bm25_topk
+
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        out = bm25_topk(df, "text", "doc_id", ["x"], k=50).collect()
+        matching = {i for i, t in enumerate(docs) if "x" in t.split()}
+        assert {r.doc_id for r in out} == matching
+        assert all(float(r.bm25) > 0 for r in out)
