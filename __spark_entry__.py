@@ -2986,6 +2986,32 @@ def _q142_psi_drift(spark, sf):
     )
 
 
+def _q143_hypertable_rollup(spark, sf):
+    """Hypertable-style tiered rollup (continuous-aggregate pattern): a
+    minute-grain aggregate is materialised once, and the hour grain
+    derives FROM the minute rollup — count-of-counts and sum-of-DECIMAL-
+    sums compose losslessly, so re-aggregating rollups replaces rescans
+    of the raw hypertable. The oracle aggregates raw events straight to
+    hours, proving the tier composition exact."""
+    ev = _t(spark, sf, "events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", F.col("ts")).alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", F.col("m")).alias("h"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("decimal(18,2)").alias("sum_value"),
+    )
+    return hour.select(
+        F.unix_micros(F.col("h")).alias("hour_us"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3133,6 +3159,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_locf": _q140_locf,
     "q141_snapshot_diff": _q141_snapshot_diff,
     "q142_psi_drift": _q142_psi_drift,
+    "q143_hypertable_rollup": _q143_hypertable_rollup,
 }
 
 
@@ -5246,6 +5273,15 @@ _ORACLES["q140_locf"] = """
     FROM events
 """
 
+
+# q143: the oracle aggregates raw events DIRECTLY to hours — matching
+# proves the minute→hour tier composition is lossless.
+_ORACLES["q143_hypertable_rollup"] = """
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
 
 # q141: snapshot diff via FULL OUTER + classification.
 _ORACLES["q141_snapshot_diff"] = """
