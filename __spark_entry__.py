@@ -3012,6 +3012,58 @@ def _q143_hypertable_rollup(spark, sf):
     )
 
 
+def _q144_quality_rep_dedup(spark, sf):
+    """Quality-aware near-dup representative selection: clusters from
+    MinHash pairs (q63's machinery), but the kept doc per cluster is the
+    HIGHEST-quality member (ties → smallest id) instead of the smallest
+    id — what a production corpus dedup actually keeps. Deterministic
+    argmax via lexicographic struct max (q, -id)."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters, minhash_near_dups
+    from polars_pipe_spark.functions.text import quality_score
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+    ).select("id_a", "id_b").persist()
+    clusters = dedup_clusters(pairs)
+    qual = docs.select(F.col("doc_id"), quality_score("text").alias("q"))
+    j = clusters.join(qual, clusters.node == qual.doc_id).select(
+        "node", "cluster_id", "q"
+    )
+    best = F.max(
+        F.struct(F.col("q").alias("q"), (-F.col("node")).alias("negid"))
+    )
+    return j.groupBy("cluster_id").agg(
+        (-best["negid"]).alias("rep_id"),
+        best["q"].alias("rep_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def _q145_ohlc_bars(spark, sf):
+    """Time-bar (OHLC) aggregation: per (hour, event_type) the opening /
+    highest / lowest / closing value — open and close resolved by
+    lexicographic struct min/max over (ts, event_id, value), so ties are
+    deterministic without a sort. One shuffle, map-side combinable."""
+    ev = _t(spark, sf, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.groupBy(h.alias("h"), "event_type")
+        .agg(
+            F.min(s)["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s)["value"].alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("h")).alias("hour_us"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3160,6 +3212,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_snapshot_diff": _q141_snapshot_diff,
     "q142_psi_drift": _q142_psi_drift,
     "q143_hypertable_rollup": _q143_hypertable_rollup,
+    "q144_quality_rep_dedup": _q144_quality_rep_dedup,
+    "q145_ohlc_bars": _q145_ohlc_bars,
 }
 
 
@@ -5319,6 +5373,66 @@ _ORACLES["q142_psi_drift"] = """
            COUNT(*) AS n_shared_buckets,
            CAST(SUM(CAST(round((p_a - p_b) * ln(p_a / p_b), 6) AS DECIMAL(14,6))) AS DECIMAL(18,6)) AS psi
     FROM a JOIN b USING (bucket)
+"""
+
+
+# q144: q63's recursive-CTE clusters + per-cluster argmax on the shared
+# quality fragment (max q, ties -> min doc_id, mirroring the struct max).
+_ORACLES["q144_quality_rep_dedup"] = f"""
+    WITH RECURSIVE prs AS (
+      {_Q25_BODY}
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM edges
+    ), walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    ), clusters AS (
+      SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n
+    ), qual AS (
+      SELECT doc_id,
+             round(least(len(toks) / 100.0, 1.0) * 0.4
+                   + least((CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, t -> t IN {_in_list(_MARKERS["en"])})) AS DOUBLE) / len(toks)
+                            ELSE 0.0 END) * 5.0, 1.0) * 0.4
+                   + (1.0 - least((CASE WHEN length(text) > 0
+                            THEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text)
+                            ELSE 0.0 END) * 10.0, 1.0)) * 0.2, 6) AS q
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ), ranked AS (
+      SELECT cluster_id, c.doc_id, q,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, c.doc_id ASC) AS rn
+      FROM clusters c JOIN qual ON qual.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS rep_id,
+           MAX(CASE WHEN rn = 1 THEN q END) AS rep_quality,
+           COUNT(*) AS n_members
+    FROM ranked GROUP BY cluster_id
+"""
+
+# q145: OHLC bars; open/close via row_number over the same
+# (ts, event_id) order the struct min/max encodes.
+_ORACLES["q145_ohlc_bars"] = """
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    )
+    SELECT epoch_us(h) AS hour_us, event_type,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY h, event_type
 """
 
 
