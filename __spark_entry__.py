@@ -3064,6 +3064,72 @@ def _q145_ohlc_bars(spark, sf):
     )
 
 
+def _q146_rag_chunks(spark, sf):
+    """Overlapping sliding-window chunking for retrieval indexing
+    (size 20, stride 10): the RAG-ingestion twin of q132's disjoint
+    spans. Token array materialised before the transform (HOF lambdas
+    re-evaluate captured subexpressions per element)."""
+    from polars_pipe_spark.functions.text import tokens
+
+    size, stride = 20, 10
+    tok_df = _t_par(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("__toks")
+    )
+    t = F.col("__toks")
+    n = F.size(t)
+    n_chunks = F.when(
+        n > 0,
+        (F.lit(1) + F.floor((F.greatest(n - size, F.lit(0)) + (stride - 1))
+                            / F.lit(float(stride)))).cast("int"),
+    ).otherwise(F.lit(0))
+    chunks = F.when(n_chunks > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(t, i * stride + 1, size),
+    )).otherwise(F.array().cast("array<array<string>>"))
+    return tok_df.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id", "chunk_idx",
+        F.size("c").alias("n_chunk_tokens"),
+        F.array_join("c", " ").alias("chunk_text"),
+    )
+
+
+def _q147_group_trend(spark, sf):
+    """Per-type linear trend (closed-form least squares) of daily value:
+    integer day index x, DECIMAL daily sum y, so all four regression
+    moments are exact and order-free; slope emits as sign-split scaled
+    integer division (Spark DIV truncates, DuckDB // floors — they only
+    agree on non-negative operands)."""
+    ev = _t(spark, sf, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    daily = ev.groupBy(F.col("event_type"), x.alias("x")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("y")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("decimal(28,2)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(28,2)").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "decimal(38,2)"
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    pos = F.expr("CAST(abs(num) * 1000000 AS BIGINT) DIV den")
+    return (
+        m.withColumn("num", num)
+        .withColumn("den", den)
+        .filter((F.col("n") >= 2) & (F.col("den") > 0))
+        .withColumn(
+            "slope_micros",
+            F.when(F.col("num") >= 0, pos).otherwise(-pos),
+        )
+        .select("event_type", "n", "num", "den", "slope_micros")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3214,6 +3280,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_hypertable_rollup": _q143_hypertable_rollup,
     "q144_quality_rep_dedup": _q144_quality_rep_dedup,
     "q145_ohlc_bars": _q145_ohlc_bars,
+    "q146_rag_chunks": _q146_rag_chunks,
+    "q147_group_trend": _q147_group_trend,
 }
 
 
@@ -5433,6 +5501,52 @@ _ORACLES["q145_ohlc_bars"] = """
            MAX(CASE WHEN rd = 1 THEN value END) AS close,
            COUNT(*) AS n_events
     FROM r GROUP BY h, event_type
+"""
+
+
+# q146: sliding-window chunks — same count formula and 1-based slices.
+_ORACLES["q146_rag_chunks"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(1 + floor((greatest(len(toks) - 20, 0) + 9) / 10.0) AS INT)
+                  ELSE 0 END AS n_chunks,
+             toks
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks FROM sp
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           len(toks[chunk_idx*10+1 : chunk_idx*10+20]) AS n_chunk_tokens,
+           array_to_string(toks[chunk_idx*10+1 : chunk_idx*10+20], ' ') AS chunk_text
+    FROM ex
+"""
+
+# q147: exact regression moments; slope via sign-split positive DIV.
+_ORACLES["q147_group_trend"] = """
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             SUM(CAST(value AS DECIMAL(18,2))) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(x AS BIGINT) * x) AS sxx,
+             CAST(SUM(y) AS DECIMAL(28,2)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(28,2)) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DECIMAL(38,2)) AS num,
+           n * sxx - sx * sx AS den,
+           CASE WHEN CAST(n * sxy - sx * sy AS DECIMAL(38,2)) >= 0
+                THEN CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS BIGINT) // (n * sxx - sx * sx)
+                ELSE -(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS BIGINT) // (n * sxx - sx * sx))
+           END AS slope_micros
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) > 0
 """
 
 
