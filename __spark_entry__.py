@@ -3130,6 +3130,28 @@ def _q147_group_trend(spark, sf):
     )
 
 
+def _q148_frame_dedup(spark, sf):
+    """Content-addressed frame store map: sampled frame hashes (q64's
+    Arrow-batched multimodal path) grouped corpus-wide into
+    (frame_hash, n_copies, canonical doc/idx) — duplicated frames
+    collapse onto one canonical owner, the dedup-by-reference layout a
+    multimodal store uses. The canonical owner packs as
+    doc_id*1000 + frame_idx so both engines take the identical
+    lexicographic min (frame_idx < 1000 by construction:
+    max_frames=3)."""
+    fr = _q64_frame_sampling(spark, sf)
+    key = F.col("doc_id") * 1000 + F.col("frame_idx")
+    return (
+        fr.groupBy("frame_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(key).alias("__k"))
+        .select(
+            "frame_hash", "n_copies",
+            F.expr("__k DIV 1000").alias("canonical_doc"),
+            (F.col("__k") % 1000).cast("int").alias("canonical_idx"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3282,6 +3304,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_ohlc_bars": _q145_ohlc_bars,
     "q146_rag_chunks": _q146_rag_chunks,
     "q147_group_trend": _q147_group_trend,
+    "q148_frame_dedup": _q148_frame_dedup,
 }
 
 
@@ -5503,6 +5526,16 @@ _ORACLES["q145_ohlc_bars"] = """
     FROM r GROUP BY h, event_type
 """
 
+
+# q148: frame dedup over the q64 fake-frame oracle; canonical owner via
+# packed positive integer min (DIV/// agree on non-negatives).
+_ORACLES["q148_frame_dedup"] = f"""
+    WITH fr AS ({_ORACLES["q64_frame_sampling"]})
+    SELECT frame_hash, COUNT(*) AS n_copies,
+           MIN(doc_id * 1000 + frame_idx) // 1000 AS canonical_doc,
+           CAST(MIN(doc_id * 1000 + frame_idx) % 1000 AS INT) AS canonical_idx
+    FROM fr GROUP BY frame_hash
+"""
 
 # q146: sliding-window chunks — same count formula and 1-based slices.
 _ORACLES["q146_rag_chunks"] = f"""
