@@ -3152,6 +3152,22 @@ def _q148_frame_dedup(spark, sf):
     )
 
 
+def _q149_pca_whiten(spark, sf):
+    """Distributed PCA/whitening end-to-end: exact integer gram summary
+    (q87) → driver-side d×d eigendecomposition → broadcast ZCA
+    projection through one Arrow-batched matmul. LAPACK math → rows-only
+    for the SQL oracle (declared, like IVF training); the unit test
+    asserts the whitened covariance is the identity."""
+    from polars_pipe_spark.functions.similarity import pca_whiten
+
+    emb = _t(spark, sf, "embeddings")
+    out = pca_whiten(emb, "embedding", "vec_id", dims=8)
+    return out.select(
+        "vec_id",
+        F.transform("whitened", lambda x: F.round(x, 4)).alias("whitened"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3305,6 +3321,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_rag_chunks": _q146_rag_chunks,
     "q147_group_trend": _q147_group_trend,
     "q148_frame_dedup": _q148_frame_dedup,
+    "q149_pca_whiten": _q149_pca_whiten,
 }
 
 

@@ -479,3 +479,56 @@ def gram_matrix(
         "t.s_ij",
         (F.col("n") * F.col("t.s_ij") - F.col("t.s_i") * F.col("t.s_j")).alias("cov_num"),
     )
+
+
+def pca_whiten(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int = 16,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """The second half of the distributed PCA/whitening flow that
+    ``gram_matrix`` opens: collect the tiny d(d+1)/2 exact-moment
+    summary, eigendecompose the covariance ON THE DRIVER (d×d, trivial),
+    and broadcast the whitening projection back through one
+    Arrow-batched matmul — the corpus is scanned twice total (moments +
+    projection), never moved to the driver.
+
+    Whitening operates on the same quantized codes the moments were
+    computed from, so the projected covariance is the identity by
+    construction (unit-tested). Iterative/LAPACK math keeps this
+    rows-only for the SQL oracle, like IVF training.
+
+    Output: (<id_col>, whitened array<double> of length ``dims``).
+    """
+    import numpy as np
+
+    stats = gram_matrix(df, vec_col, dims).collect()
+    n = stats[0]["n"]
+    mean = np.zeros(dims)
+    cov = np.zeros((dims, dims))
+    for r in stats:
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["s_i"] / n
+        # cov_num = n*s_ij - s_i*s_j = n² · Cov[i,j] (exact integers)
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov_num"] / (n * n)
+    w, v = np.linalg.eigh(cov)
+    proj = v @ np.diag(1.0 / np.sqrt(np.maximum(w, eps))) @ v.T  # ZCA
+
+    codes = F.slice(quantize_vec(F.col(vec_col))["codes"], 1, dims)
+    flat = df.select(F.col(id_col), codes.alias("__c"))
+
+    def batches(it):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf["__c"].to_numpy()).astype(np.float64)
+            out = (mat - mean) @ proj
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(out)}
+            )
+
+    return flat.mapInPandas(batches, f"{id_col} long, whitened array<double>")

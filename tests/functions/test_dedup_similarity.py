@@ -358,3 +358,38 @@ class TestSpanDedup:
                span_dedup(df, "text", "doc_id", span_tokens=3).collect()}
         assert out[1].n_spans == 2 and out[1].n_kept == 2
         assert out[2].n_spans == 1 and out[2].n_kept == 0  # 'd' owned by doc 1
+
+
+class TestPcaWhiten:
+    def test_whitened_covariance_is_identity(self, spark):
+        import numpy as np
+
+        from polars_pipe_spark.functions.similarity import pca_whiten
+
+        rng = np.random.RandomState(7)
+        # strongly correlated 4-dim data so whitening has real work to do
+        base = rng.randn(400, 2)
+        mat = np.hstack([base, base @ [[0.5, 0.2], [0.1, 0.9]] + 0.05 * rng.randn(400, 2)])
+        rows = [(i, [float(x) for x in mat[i]]) for i in range(400)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+        out = pca_whiten(df, "embedding", "vec_id", dims=4)
+        w = np.array([r.whitened for r in out.orderBy("vec_id").collect()])
+        cov = np.cov(w, rowvar=False, bias=True)
+        # ZCA-whitened quantized codes: covariance = I (within quantization
+        # + eigh tolerance)
+        assert np.allclose(cov, np.eye(4), atol=0.05), cov
+
+    def test_deterministic_across_repartition(self, spark):
+        import numpy as np
+
+        from polars_pipe_spark.functions.similarity import pca_whiten
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(100)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {r.vec_id: tuple(r.whitened)
+             for r in pca_whiten(df, "embedding", "vec_id", dims=4).collect()}
+        b = {r.vec_id: tuple(r.whitened)
+             for r in pca_whiten(df.repartition(7), "embedding", "vec_id", dims=4).collect()}
+        assert a == b  # exact integer moments -> identical projection
