@@ -21,7 +21,9 @@ def test_oracle_keys_subset_of_queries():
     o = set(entry_mod.oracle_sql())
     assert o <= q
     # the rows-only set is intentional and small
-    assert q - o == {"q12_lineage_hash", "q33_ivf_topk", "q40_approx_sketches"}
+    assert q - o == {
+        "q12_lineage_hash", "q33_ivf_topk", "q40_approx_sketches", "q149_pca_whiten",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
