@@ -3168,6 +3168,46 @@ def _q149_pca_whiten(spark, sf):
     )
 
 
+def _q150_corpus_funnel(spark, sf):
+    """Corpus-prep funnel observability — the oracle-checked twin of
+    examples/llm_corpus_prep.py: one row per pipeline stage with the
+    surviving doc count. Stages: 1 input corpus; 2 quality-classifier
+    keeps; 3 distinct contents among the keeps (exact-dedup survivors);
+    4 kept train-slice docs (doc_id % 197 != 0) not sharing >= 2 word
+    3-grams with the benchmark slice (doc_id % 197 == 0, q80's split)."""
+    from polars_pipe_spark.functions.dedup import ngram_contamination
+    from polars_pipe_spark.functions.text import doc_fingerprint, quality_classifier
+
+    docs = _t_par(spark, sf, "documents")
+    kept = docs.filter(quality_classifier("text")["verdict"] == "keep")
+    bench = docs.filter(F.col("doc_id") % 197 == 0)
+    kept_train = kept.filter(F.col("doc_id") % 197 != 0)
+    contaminated = (
+        ngram_contamination(kept_train, bench, "text", "doc_id", k=3, min_overlap=2)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    decontam = kept_train.join(contaminated, "doc_id", "left_anti")
+
+    def stage(name, frame):
+        return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    s3 = (
+        kept.select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("3_exact_distinct").alias("stage"), "n_docs")
+    )
+    return (
+        stage("1_input", docs)
+        .unionByName(stage("2_quality_keep", kept))
+        .unionByName(s3)
+        .unionByName(stage("4_decontaminated", decontam))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3322,6 +3362,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_group_trend": _q147_group_trend,
     "q148_frame_dedup": _q148_frame_dedup,
     "q149_pca_whiten": _q149_pca_whiten,
+    "q150_corpus_funnel": _q150_corpus_funnel,
 }
 
 
@@ -5543,6 +5584,47 @@ _ORACLES["q145_ohlc_bars"] = """
     FROM r GROUP BY h, event_type
 """
 
+
+# q150: funnel counts — quality keeps via the q128 oracle, exact-dedup
+# survivors via the q24 fingerprint, decontamination via q80's gram
+# split, each stage strictly nested in the previous.
+_ORACLES["q150_corpus_funnel"] = f"""
+    WITH kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN ({_ORACLES["q128_quality_classifier"]}) v USING (doc_id)
+      WHERE v.verdict = 'keep'
+    ), tg AS (
+      SELECT doc_id, {_TOKS} AS ws FROM kept WHERE doc_id % 197 <> 0
+    ), bg AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents WHERE doc_id % 197 = 0
+    ), tgrams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+                  ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS gram
+      FROM tg, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+    ), bgrams AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+                  ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS gram
+      FROM bg, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT t.doc_id, b.doc_id AS bench_id
+        FROM tgrams t JOIN bgrams b ON t.gram = b.gram
+        GROUP BY t.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+      )
+    )
+    SELECT '1_input' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL
+    SELECT '2_quality_keep', COUNT(*) FROM kept
+    UNION ALL
+    SELECT '3_exact_distinct', COUNT(DISTINCT md5({_NORM})) FROM kept
+    UNION ALL
+    SELECT '4_decontaminated', COUNT(*) FROM kept
+    WHERE doc_id % 197 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
 
 # q148: frame dedup over the q64 fake-frame oracle; canonical owner via
 # packed positive integer min (DIV/// agree on non-negatives).
