@@ -3208,6 +3208,53 @@ def _q150_corpus_funnel(spark, sf):
     )
 
 
+def _q151_ngram_novelty(spark, sf):
+    """N-gram novelty scoring: per document, the fraction of its
+    distinct 3-grams that appear in NO other document — the diversity
+    signal complementary to OOV (token-level) and contamination
+    (cross-split). One explode + gram-frequency join; fraction emitted
+    as scaled positive integer division."""
+    from polars_pipe_spark.functions.text import shingles
+
+    docs = _t_par(spark, sf, "documents")
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("gram")
+    )
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = g.join(counts, "gram").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+    )
+    return per_doc.withColumn(
+        "novelty_micros", F.expr("(n_unique * 1000000) DIV n_grams")
+    )
+
+
+def _q152_retention_cohorts(spark, sf):
+    """Weekly retention cohorts: users grouped by first-active week and
+    counted in each later week — the classic cohort matrix as two
+    map-side-combinable shuffles (first-seen reduction + cohort-week
+    count); the (user, week) frame is pre-distinct so COUNT(*) IS the
+    distinct-user count."""
+    ev = _t(spark, sf, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    first = uw.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    return (
+        uw.join(first, "user_id")
+        .groupBy("cohort", "w")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.unix_micros(F.col("cohort")).alias("cohort_us"),
+            F.expr("datediff(CAST(w AS DATE), CAST(cohort AS DATE)) DIV 7").alias(
+                "week_offset"
+            ),
+            "n_active",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3363,6 +3410,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_frame_dedup": _q148_frame_dedup,
     "q149_pca_whiten": _q149_pca_whiten,
     "q150_corpus_funnel": _q150_corpus_funnel,
+    "q151_ngram_novelty": _q151_ngram_novelty,
+    "q152_retention_cohorts": _q152_retention_cohorts,
 }
 
 
@@ -5679,6 +5728,40 @@ _ORACLES["q147_group_trend"] = """
            END AS slope_micros
     FROM m
     WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+"""
+
+
+# q151: novelty via the shared shingle fragment; df counts distinct
+# (doc, gram) pairs so df = 1 means corpus-unique.
+_ORACLES["q151_ngram_novelty"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS gram FROM tok
+    ), counts AS (
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+      FROM g JOIN counts USING (gram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_unique,
+           (n_unique * 1000000) // n_grams AS novelty_micros
+    FROM per
+"""
+
+# q152: cohort matrix; both engines truncate weeks to Monday 00:00.
+_ORACLES["q152_retention_cohorts"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cohort FROM uw GROUP BY user_id
+    )
+    SELECT epoch_us(cohort) AS cohort_us,
+           date_diff('day', CAST(cohort AS DATE), CAST(w AS DATE)) // 7 AS week_offset,
+           COUNT(*) AS n_active
+    FROM uw JOIN first USING (user_id)
+    GROUP BY 1, 2
 """
 
 
