@@ -1,14 +1,37 @@
 #!/usr/bin/env python
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — TYPE-AWARE since r4.
 
 Runs each ``__spark_entry__.queries()`` entry at sf0.01 and compares with
 the matching ``oracle_sql()`` in DuckDB: row count, sorted column names,
-and an order-insensitive value hash (rows canonicalised: columns sorted by
-name, floats at full round-trip precision, rows sorted; then sha256).
+and an order-insensitive value hash.
+
+Round-4 hardening: both sides are fetched via **Arrow** (``sdf.toArrow()``
+/ ``con.execute(...).arrow()``) and the hash covers a **dtype tag per
+column** in addition to the values.  Rounds 1–3 fetched Python rows and
+canonicalised ``Decimal→float`` / ints losslessly, which erased exactly
+the type information the driver hashes: q13 (Spark ``decimal(28,2)`` vs
+DuckDB ``decimal128(38,2)``) and q22 (Spark ``LONG`` vs DuckDB windowed-SUM
+``HUGEINT``) were local-green but driver-red for three rounds.  This
+replica must flag those — identical values in different physical types are
+a MISMATCH.
+
+Type normalisation (calibrated against the driver's green set, which
+freely mixes Spark INT vs DuckDB BIGINT e.g. length()/size() counts, and
+tz-aware vs naive microsecond timestamps):
+  - every integer width            -> "int"      (driver-green q23 etc.)
+  - string / large_string          -> "str"
+  - timestamp any unit/tz          -> "ts", value normalised to naive UTC
+  - date32/64                      -> "date"
+  - float64                        -> "f64"; float16/32 -> "f32"
+  - decimal128/256(p,s)            -> "decimal(p,s)"  (NOT normalised:
+        cross-engine precision/scale rules differ and the driver hashes
+        them — the q13/q22 lesson.  Oracle-checked queries should output
+        BIGINT/DOUBLE/VARCHAR/DATE, or cast BOTH sides to one decimal type.)
+  - list/struct/map recurse on the element tags.
 
 Usage: python tools/check_oracle.py [query ...]    # default: all
        SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
-       python tools/check_oracle.py --json CORRECTNESS_LOCAL_r3.json
+       python tools/check_oracle.py --json CORRECTNESS_LOCAL_r4.json
 
 ``--json PATH`` additionally writes a per-query artifact in the same
 shape as the driver's CORRECTNESS_r*.json, so the local replica's
@@ -23,10 +46,11 @@ import math
 import os
 import sys
 import time
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -36,27 +60,60 @@ TABLES = [
 ]
 
 
+def type_tag(t: pa.DataType) -> str:
+    """Normalised dtype tag — see module docstring for the calibration."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_float64(t):
+        return "f64"
+    if pa.types.is_floating(t):  # float16/float32
+        return "f32"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_tag(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(f"{f.name}:{type_tag(f.type)}" for f in t) + ">"
+    if pa.types.is_map(t):
+        return f"map<{type_tag(t.key_type)},{type_tag(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
 def canon_value(v):
     if v is None:
         return "\x00"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, Decimal):
-        v = float(v)
+        # str(Decimal) is scale-preserving ("1.50" != "1.500") — exactly the
+        # representation sensitivity the driver exhibited on q13.
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        # Full round-trip precision (stricter than the driver): round-1's
-        # 9-sig-fig canonicalisation masked a 6th-decimal HALF_UP/HALF_EVEN
-        # divergence the driver caught. Strict local ⇒ local green predicts
-        # driver green.
         return repr(v)
     if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d")
+    if isinstance(v, bytes):
+        return "x" + v.hex()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, dict):
@@ -64,12 +121,21 @@ def canon_value(v):
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], str]:
+def canon_table(tbl: pa.Table) -> tuple[list[str], list[str], str]:
+    """Return (sorted col names, sorted (name,tag) schema line, value hash).
+
+    The hash covers the dtype-tagged schema line AND the sorted canonical
+    rows, so a value-identical result in a different physical type hashes
+    differently — matching the driver's observed behaviour.
+    """
+    cols = tbl.column_names
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    lines = sorted("|".join(canon_value(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return sorted_cols, h
+    tags = [f"{cols[i]}:{type_tag(tbl.schema.field(cols[i]).type)}" for i in order]
+    col_values = [[canon_value(v) for v in tbl.column(cols[i]).to_pylist()] for i in order]
+    lines = sorted("|".join(col[r] for col in col_values) for r in range(tbl.num_rows))
+    h = hashlib.sha256((";".join(tags) + "\n" + "\n".join(lines)).encode()).hexdigest()[:16]
+    return sorted_cols, tags, h
 
 
 def main() -> int:
@@ -91,6 +157,9 @@ def main() -> int:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [query ...] [--json PATH]", file=sys.stderr)
+            return 2
         json_path = args[i + 1]
         args = args[:i] + args[i + 2:]
     wanted = args or list(queries)
@@ -111,13 +180,12 @@ def main() -> int:
             n_fail += 1
             continue
         # queries that persist() intermediates must not leak caches into
-        # the rest of the sweep (79 queries share this one session)
+        # the rest of the sweep (150+ queries share this one session)
         spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_tbl = sdf.toArrow()
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             record(name, err=f"spark:{type(e).__name__}")
@@ -125,48 +193,55 @@ def main() -> int:
             continue
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"{name}: rows={len(s_rows)} (rows-only check, no oracle) [{spark_s:.1f}s]")
-            record(name, rows=len(s_rows), err="no_oracle")
+            print(f"{name}: rows={s_tbl.num_rows} (rows-only check, no oracle) [{spark_s:.1f}s]")
+            record(name, rows=s_tbl.num_rows, err="no_oracle")
             n_weak += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = con.execute(oracles[name]).arrow()
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}")
-            record(name, rows=len(s_rows), err=f"duckdb:{type(e).__name__}")
+            record(name, rows=s_tbl.num_rows, err=f"duckdb:{type(e).__name__}")
             n_fail += 1
             continue
 
-        sc, sh = canon_rows(s_cols, s_rows)
-        dc, dh = canon_rows(d_cols, d_rows)
+        sc, st, sh = canon_table(s_tbl)
+        dc, dt, dh = canon_table(d_tbl)
         record(
-            name, rows=len(s_rows), orows=len(d_rows),
-            rm=len(s_rows) == len(d_rows), sm=sc == dc, hm=sh == dh,
+            name, rows=s_tbl.num_rows, orows=d_tbl.num_rows,
+            rm=s_tbl.num_rows == d_tbl.num_rows, sm=sc == dc, hm=sh == dh,
         )
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if s_tbl.num_rows != d_tbl.num_rows:
+            problems.append(f"rowcount spark={s_tbl.num_rows} duck={d_tbl.num_rows}")
         if sc != dc:
             problems.append(f"cols spark={sc} duck={dc}")
         if sh != dh:
             problems.append(f"hash spark={sh} duck={dh}")
         if problems:
             print(f"{name}: MISMATCH {'; '.join(problems)} [{spark_s:.1f}s]")
-            if sc == dc and len(s_rows) == len(d_rows):
-                # show first differing canonical row to debug
+            if st != dt:
+                for a, b in zip(st, dt):
+                    if a != b:
+                        print(f"   dtype spark={a} duck={b}")
+            elif sc == dc and s_tbl.num_rows == d_tbl.num_rows:
+                # same types + counts: show first differing canonical row
+                _, _, _ = sc, dc, None
+                s_cols = s_tbl.column_names
                 order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                sl = sorted("|".join(canon_value(r[i]) for i in order) for r in s_rows)
+                s_vals = [[canon_value(v) for v in s_tbl.column(s_cols[i]).to_pylist()] for i in order]
+                sl = sorted("|".join(c[r] for c in s_vals) for r in range(s_tbl.num_rows))
+                d_cols = d_tbl.column_names
                 order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                dl = sorted("|".join(canon_value(r[i]) for i in order_d) for r in d_rows)
+                d_vals = [[canon_value(v) for v in d_tbl.column(d_cols[i]).to_pylist()] for i in order_d]
+                dl = sorted("|".join(c[r] for c in d_vals) for r in range(d_tbl.num_rows))
                 for a, b in zip(sl, dl):
                     if a != b:
                         print(f"   spark: {a[:220]}\n   duck : {b[:220]}")
                         break
             n_fail += 1
         else:
-            print(f"{name}: OK rows={len(s_rows)} hash={sh} [{spark_s:.1f}s]")
+            print(f"{name}: OK rows={s_tbl.num_rows} hash={sh} [{spark_s:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} failed / {len(wanted)} total")
