@@ -275,36 +275,73 @@ def _q12_lineage_hash(spark, sf):
 def _q13_tpch_q1(spark, sf):
     """Group-by aggregation (TPC-H Q1 shape) with decimal-exact sums."""
     li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
-    dec_disc = F.col("l_discount").cast("decimal(18,4)")
-    dec_tax = F.col("l_tax").cast("decimal(18,4)")
+    # Narrow operand precisions so Spark's decimal-multiply rule keeps the
+    # EXACT product scale: (12,2)x(7,4) -> (20,6), x(7,4) -> (28,10), all
+    # under precision 38 so no scale-6 cap / HALF_UP rounding fires.  With
+    # the old (18,2)/(18,4) operands the charge chain hit the cap and Spark
+    # rounded each row's product at scale 6 while DuckDB summed the exact
+    # scale-10 value — a real 7th-decimal value divergence, not just a type
+    # seam (caught by the r4 type-aware checker).  Bounds: extendedprice
+    # < 1e10 fits (12,2); discount/tax in [0,1) fit (6,4).
+    dec_price = F.col("l_extendedprice").cast("decimal(12,2)")
+    dec_disc = F.col("l_discount").cast("decimal(6,4)")
+    dec_tax = F.col("l_tax").cast("decimal(6,4)")
+    one = F.lit(1).cast("decimal(6,4)")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(dec_price).alias("sum_base_price"),
-            F.sum(dec_price * (F.lit(1).cast("decimal(18,4)") - dec_disc)).alias("sum_disc_price"),
-            F.sum(
-                dec_price
-                * (F.lit(1).cast("decimal(18,4)") - dec_disc)
-                * (F.lit(1).cast("decimal(18,4)") + dec_tax)
-            ).alias("sum_charge"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(dec_price * (one - dec_disc)).alias("sum_disc_price"),
+            F.sum(dec_price * (one - dec_disc) * (one + dec_tax)).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        # Representation-proof averages (driver hash-failed the raw-double
-        # form twice, r1+r2): scale the exact decimal sum to an integer
-        # micros value and integer-divide. Every step is exact integer
-        # arithmetic — `sum * 1e6` is an integer-valued decimal (scale ≤ 2),
-        # the BIGINT cast is lossless, and DIV/// floors identically on
-        # both engines for positive operands. BIGINT cells hash identically
-        # under any canonicaliser; no float formatting seam remains.
-        .withColumn(
-            "avg_qty_micros",
-            F.expr("CAST(sum_qty * 1000000 AS BIGINT) DIV count_order"),
-        )
-        .withColumn(
-            "avg_price_micros",
-            F.expr("CAST(sum_base_price * 1000000 AS BIGINT) DIV count_order"),
+        # Driver hash-failed r1–r3 on *types*, not values: Spark sums are
+        # decimal(28,2)/(38,6) while DuckDB's are decimal128(38,2)/(38,10),
+        # and a dtype-tagged canonicaliser (the driver's, and ours since r4)
+        # hashes them differently even with equal values.  So the output
+        # carries only BIGINT cells; decimals stay internal.  DOUBLE is not
+        # safe either: DuckDB's decimal→DOUBLE cast goes int128→double→/10^s
+        # and is NOT correctly rounded once the unscaled value passes 2^53
+        # (observed at sf0.01 for the scale-10 charge sum), while Spark's
+        # BigDecimal.doubleValue is — so high-scale decimals must leave the
+        # query as exact integers:
+        #   - cents columns: `sum * 100` is an integer-valued decimal
+        #     (scale 2), cast lossless.  int64 bound: sum_base_price <
+        #     9.2e16 currency units ≈ sf 4e5 (~400 TB).
+        #   - disc/charge (≤6 real decimal places; the (12,2)x(6,4) operand
+        #     narrowing keeps Spark's product at exact scale 10, no cap):
+        #     exact (units, micros-remainder) BIGINT pair — valid at ANY
+        #     scale factor, unlike single-column micros which overflows
+        #     int64 at sf ≈ 9000 (the r3 ADVICE overflow seam).
+        #   - avgs: scaled integer division entirely in DECIMAL(38,0) /
+        #     HUGEINT.  Spark's DIV on decimals is divideToIntegralValue
+        #     (exact); DuckDB mirrors with HUGEINT `//` (exact; its DECIMAL
+        #     `//` is float-lossy and must not be used).
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.expr("CAST(sum_qty * 100 AS BIGINT)").alias("sum_qty_cents"),
+            F.expr("CAST(sum_base_price * 100 AS BIGINT)").alias("sum_base_price_cents"),
+            F.expr(
+                "CAST(sum_disc_price * 1000000 AS DECIMAL(38,0)) DIV 1000000"
+            ).alias("sum_disc_price_units"),
+            F.expr(
+                "CAST(CAST(sum_disc_price * 1000000 AS DECIMAL(38,0)) % 1000000 AS BIGINT)"
+            ).alias("sum_disc_price_micros"),
+            F.expr(
+                "CAST(sum_charge * 1000000 AS DECIMAL(38,0)) DIV 1000000"
+            ).alias("sum_charge_units"),
+            F.expr(
+                "CAST(CAST(sum_charge * 1000000 AS DECIMAL(38,0)) % 1000000 AS BIGINT)"
+            ).alias("sum_charge_micros"),
+            "count_order",
+            F.expr(
+                "CAST(sum_qty * 1000000 AS DECIMAL(38,0)) DIV count_order"
+            ).alias("avg_qty_micros"),
+            F.expr(
+                "CAST(sum_base_price * 1000000 AS DECIMAL(38,0)) DIV count_order"
+            ).alias("avg_price_micros"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -2760,7 +2797,15 @@ def _q134_training_pairs(spark, sf):
     hard-ish negatives (docs matching NONE of the query's terms, ordered
     by md5(query:doc)). The negative pool is anti-joined, never sampled
     with a seed — reruns and repartitions give the identical dataset.
-    The per-query rank window is bounded by the (small) query batch."""
+
+    The pool is nearly the whole corpus per query (few query_ids), so a
+    single row_number window over it would funnel corpus-sized partitions
+    through one reducer each (the q54 scale-killer shape — r3 ADVICE).
+    Instead: salted two-phase top-k. Phase 1 ranks within (query_id,
+    salt=hash(doc)%64) — 64-way parallel, each reducer sees corpus/64 —
+    and keeps 3 per salt; phase 2 ranks the surviving ≤192 rows per query.
+    Exact: the global top-3 by the md5 key is contained in the union of
+    per-salt top-3s."""
     from polars_pipe_spark.functions.retrieval import bm25_scores, rerank_topk
 
     queries = spark.createDataFrame(
@@ -2776,15 +2821,25 @@ def _q134_training_pairs(spark, sf):
         "query_id", "doc_id"
     )
     qids = queries.select("query_id").distinct()
-    pool = docs.select("doc_id").crossJoin(F.broadcast(qids)).join(
-        cands, ["query_id", "doc_id"], "left_anti"
+    pool = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(qids))
+        .join(cands, ["query_id", "doc_id"], "left_anti")
+        .withColumn(
+            "nk", F.md5(F.concat_ws(":", F.col("query_id"), F.col("doc_id")))
+        )
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(64)))
+    )
+    w_salt = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("nk").asc(), F.col("doc_id").asc()
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.md5(F.concat_ws(":", F.col("query_id"), F.col("doc_id"))).asc(),
-        F.col("doc_id").asc(),
+        F.col("nk").asc(), F.col("doc_id").asc()
     )
     negs = (
-        pool.withColumn("neg_rank", F.row_number().over(w))
+        pool.withColumn("r1", F.row_number().over(w_salt))
+        .filter(F.col("r1") <= 3)
+        .withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= 3)
         .select("query_id", F.col("doc_id").alias("neg_id"), "neg_rank")
     )
@@ -3117,7 +3172,12 @@ def _q147_group_trend(spark, sf):
         "decimal(38,2)"
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    pos = F.expr("CAST(abs(num) * 1000000 AS BIGINT) DIV den")
+    # abs(num)*1e6 stays in DECIMAL(38,0) through the integral divide: an
+    # intermediate BIGINT cast overflows once abs(num) > 9.2e12 (r3 ADVICE
+    # — Spark's non-ANSI cast nulls silently while DuckDB errors, so the
+    # engines would diverge exactly at large scale).  Spark DIV on decimal
+    # is divideToIntegralValue (exact); DuckDB mirrors via HUGEINT `//`.
+    pos = F.expr("CAST(abs(num) * 1000000 AS DECIMAL(38,0)) DIV den")
     return (
         m.withColumn("num", num)
         .withColumn("den", den)
@@ -3503,17 +3563,32 @@ _ORACLES: dict[str, str] = {
         SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
     """,
     "q13_tpch_q1": """
+        -- BIGINT-only output (type-seam-proof, r4): DuckDB's DECIMAL `//` is
+        -- float-lossy and its decimal->DOUBLE cast is not correctly rounded
+        -- past 2^53 unscaled, so every exact-integer step routes through
+        -- HUGEINT and the scale-10 sums leave as (units, micros) pairs.
+        WITH a AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS HUGEINT) AS qty_cents,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS HUGEINT) AS price_cents,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 1000000 AS HUGEINT) AS disc_micros,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4))) * (1 + CAST(l_tax AS DECIMAL(6,4)))) * 1000000 AS HUGEINT) AS charge_micros,
+                 COUNT(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS sum_charge,
-               COUNT(*) AS count_order,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS avg_qty_micros,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 1000000 AS BIGINT) // COUNT(*) AS avg_price_micros
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+               CAST(qty_cents AS BIGINT) AS sum_qty_cents,
+               CAST(price_cents AS BIGINT) AS sum_base_price_cents,
+               CAST(disc_micros // 1000000 AS BIGINT) AS sum_disc_price_units,
+               CAST(disc_micros % 1000000 AS BIGINT) AS sum_disc_price_micros,
+               CAST(charge_micros // 1000000 AS BIGINT) AS sum_charge_units,
+               CAST(charge_micros % 1000000 AS BIGINT) AS sum_charge_micros,
+               count_order,
+               CAST((qty_cents * 10000) // count_order AS BIGINT) AS avg_qty_micros,
+               CAST((price_cents * 10000) // count_order AS BIGINT) AS avg_price_micros
+        FROM a
         ORDER BY l_returnflag, l_linestatus
     """,
     "q14_join_revenue_by_nation": """
@@ -3587,9 +3662,12 @@ _ORACLES: dict[str, str] = {
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
+          -- CAST: DuckDB's windowed SUM yields HUGEINT (decimal128(38,0));
+          -- Spark's cumulative sum is LONG.  Identical values, different
+          -- physical type — the exact r1-r3 driver hash seam (r3 verdict).
           SELECT user_id, ts,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM gaps
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -5369,7 +5447,9 @@ _ORACLES["q132_span_dedup"] = f"""
       FROM ex JOIN own USING (skey)
     )
     SELECT doc_id, COUNT(*) AS n_spans,
-           SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+           -- BIGINT cast: DuckDB SUM(INT) is HUGEINT (decimal128(38,0)),
+           -- Spark's conditional count is integral — the q22 type seam
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            COALESCE(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos), '') AS cleaned_text
     FROM k GROUP BY doc_id
 """
@@ -5719,12 +5799,16 @@ _ORACLES["q147_group_trend"] = """
              CAST(SUM(x * y) AS DECIMAL(28,2)) AS sxy
       FROM daily GROUP BY event_type
     )
+    -- den/slope through HUGEINT: DuckDB SUM(BIGINT) and bigint arithmetic
+    -- promote to HUGEINT (decimal128(38,0)) — cast back to BIGINT so the
+    -- physical type matches Spark's LONG; abs(num)*1e6 // den stays in
+    -- HUGEINT (exact; never a lossy intermediate BIGINT/double).
     SELECT event_type, n,
            CAST(n * sxy - sx * sy AS DECIMAL(38,2)) AS num,
-           n * sxx - sx * sx AS den,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
            CASE WHEN CAST(n * sxy - sx * sy AS DECIMAL(38,2)) >= 0
-                THEN CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS BIGINT) // (n * sxx - sx * sx)
-                ELSE -(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS BIGINT) // (n * sxx - sx * sx))
+                THEN CAST(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS HUGEINT) // (n * sxx - sx * sx) AS BIGINT)
+                ELSE -CAST(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS HUGEINT) // (n * sxx - sx * sx) AS BIGINT)
            END AS slope_micros
     FROM m
     WHERE n >= 2 AND (n * sxx - sx * sx) > 0
@@ -5741,12 +5825,14 @@ _ORACLES["q151_ngram_novelty"] = f"""
     ), counts AS (
       SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
     ), per AS (
+      -- BIGINT casts: DuckDB SUM(INT) and HUGEINT `//` results are
+      -- decimal128(38,0) while Spark emits integrals — the q22 type seam
       SELECT doc_id, COUNT(*) AS n_grams,
-             SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
       FROM g JOIN counts USING (gram) GROUP BY doc_id
     )
     SELECT doc_id, n_grams, n_unique,
-           (n_unique * 1000000) // n_grams AS novelty_micros
+           CAST((n_unique * 1000000) // n_grams AS BIGINT) AS novelty_micros
     FROM per
 """
 

@@ -195,6 +195,13 @@ def minhash_near_dups(
     (object-serialized RDD scans of big array columns defeat
     whole-stage codegen) — the columnar cache is the right tool."""
     cache = {True: "all", False: "none"}.get(cache_intermediates, cache_intermediates)
+    if cache not in ("sets", "all", "none"):
+        # a typo like "set"/"ALL" would otherwise silently run with no
+        # persistence at all — a ~5x recompute with no error
+        raise ValueError(
+            f"cache_intermediates={cache_intermediates!r} not in "
+            "{'sets', 'all', 'none', True, False}"
+        )
     rows_per_band = sig_k // n_bands
     sets = df.select(
         F.col(id_col).alias("id"),

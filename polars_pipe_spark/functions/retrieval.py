@@ -79,9 +79,12 @@ def bm25_scores(
         .join(F.broadcast(queries), "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", id_col)
-        # DECIMAL out, not double: decimal cells hash identically under
-        # any canonicaliser (the q13 lesson), and the sum of scale-6
-        # decimals is already exact.
+        # DECIMAL(18,6) out, with the oracle casting to the SAME (p,s) on
+        # its side: cross-engine decimal comparison is only safe when both
+        # engines cast to one explicit type — engine-default precision/scale
+        # rules differ and a dtype-tagged canonicaliser hashes them apart
+        # (the real q13 lesson, r3 verdict).  The sum of scale-6 decimals
+        # is exact; prefer BIGINT/DOUBLE outputs for new queries.
         .agg(F.sum(term_score).cast("decimal(18,6)").alias("bm25"))
     )
 

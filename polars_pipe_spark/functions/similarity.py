@@ -395,11 +395,20 @@ def gram_matrix(
     codes = F.slice(quantize_vec(v)["codes"], 1, dims)
     pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
 
+    # Null / shorter-than-dims vectors are dropped up front so BOTH impls
+    # see the same well-formed rows (`n` counts only valid vectors).
+    # Previously the pandas kernel crashed in np.vstack on ragged input
+    # while the expr path silently treated them as nulls — two different
+    # answers for the same frame (r3 ADVICE).
+    valid = df.select(codes.alias("__c")).filter(
+        F.col("__c").isNotNull() & (F.size("__c") == dims)
+    )
+
     if impl == "pandas":
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        c_df = df.select(codes.alias("__c"))
+        c_df = valid
 
         def part(batches):
             n, s, p = 0, None, None
@@ -444,7 +453,7 @@ def gram_matrix(
     # row (Generate blocks projection collapse) — the 150+ aggregate
     # expressions below then reference a cheap column, never a copy of
     # the quantizer.
-    c_df = df.select(F.explode(F.array(codes)).alias("__c"))
+    c_df = valid.select(F.explode(F.array(F.col("__c"))).alias("__c"))
     c = F.col("__c")
     # ONE aggregation computes every moment (count + d linear + d(d+1)/2
     # products) with map-side partial aggregation — no per-term explode,
@@ -505,6 +514,15 @@ def pca_whiten(
     import numpy as np
 
     stats = gram_matrix(df, vec_col, dims).collect()
+    if not stats or not stats[0]["n"]:
+        # the pandas gram path yields 0 rows on an empty/all-invalid input
+        # (the expr path a 136-row skeleton with n=0) — either way there is
+        # nothing to whiten; fail with a real message, not IndexError or a
+        # division by zero (r3 ADVICE)
+        raise ValueError(
+            "pca_whiten: no valid vectors — need non-null embeddings with "
+            f"at least dims={dims} dimensions"
+        )
     n = stats[0]["n"]
     mean = np.zeros(dims)
     cov = np.zeros((dims, dims))
@@ -517,7 +535,11 @@ def pca_whiten(
     proj = v @ np.diag(1.0 / np.sqrt(np.maximum(w, eps))) @ v.T  # ZCA
 
     codes = F.slice(quantize_vec(F.col(vec_col))["codes"], 1, dims)
-    flat = df.select(F.col(id_col), codes.alias("__c"))
+    # same validity rule as gram_matrix: only whiten the vectors the
+    # moments were computed from
+    flat = df.select(F.col(id_col), codes.alias("__c")).filter(
+        F.col("__c").isNotNull() & (F.size("__c") == dims)
+    )
 
     def batches(it):
         import pandas as pd  # noqa: PLC0415

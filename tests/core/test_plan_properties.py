@@ -415,6 +415,13 @@ class TestRound3QueryPlans:
         assert "BroadcastExchange" in p
         assert "CartesianProduct" not in p
 
+    def test_q134_negative_pool_window_is_salted(self, spark):
+        """The corpus-sized negative pool must never sort through a
+        per-query single reducer: the first-phase rank window partitions
+        by (query_id, salt) so each partition is ~corpus/64 (r3 ADVICE)."""
+        p = physical(self._q("q134_training_pairs", spark))
+        assert re.search(r"windowspecdefinition\(query_id[^)]*, salt", p)
+
     def test_q136_scd2_window_is_partitioned(self, spark):
         p = physical(self._q("q136_scd2", spark))
         assert "Window" in p

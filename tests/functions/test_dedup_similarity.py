@@ -393,3 +393,47 @@ class TestPcaWhiten:
         b = {r.vec_id: tuple(r.whitened)
              for r in pca_whiten(df.repartition(7), "embedding", "vec_id", dims=4).collect()}
         assert a == b  # exact integer moments -> identical projection
+
+
+class TestRound4Guards:
+    def test_minhash_rejects_typo_cache_mode(self, near_dup_docs):
+        """A typo like 'set' or 'ALL' used to silently run with no
+        persistence (~5x recompute); now it's a loud ValueError."""
+        with pytest.raises(ValueError, match="cache_intermediates"):
+            dd.minhash_near_dups(
+                near_dup_docs, "text", "doc_id", cache_intermediates="set"
+            )
+        with pytest.raises(ValueError, match="cache_intermediates"):
+            dd.minhash_near_dups(
+                near_dup_docs, "text", "doc_id", cache_intermediates="ALL"
+            )
+
+    def test_pca_whiten_empty_input_raises_value_error(self, spark):
+        from polars_pipe_spark.functions.similarity import pca_whiten
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="no valid vectors"):
+            pca_whiten(empty, "embedding", "vec_id", dims=4)
+
+    def test_gram_matrix_drops_null_and_ragged_vectors(self, spark):
+        """Null / shorter-than-dims vectors are excluded from the moments
+        in BOTH impls (the pandas kernel used to crash in np.vstack)."""
+        rows = [
+            (1, [0.1, 0.2, 0.3, 0.4]),
+            (2, None),
+            (3, [0.5, 0.6]),          # ragged: shorter than dims
+            (4, [0.9, 0.8, 0.7, 0.6]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        for impl in ("pandas", "expr"):
+            out = sim.gram_matrix(df, "embedding", dims=4, impl=impl).collect()
+            assert all(r.n == 2 for r in out), impl
+
+    def test_pca_whiten_skips_invalid_rows(self, spark):
+        from polars_pipe_spark.functions.similarity import pca_whiten
+
+        rows = [(i, [float(i), 1.0 - i / 9, 0.5, float(i * i % 7)]) for i in range(10)]
+        rows += [(90, None), (91, [0.1])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = pca_whiten(df, "embedding", "vec_id", dims=4).collect()
+        assert {r.vec_id for r in out} == {i for i in range(10)}
