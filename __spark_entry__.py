@@ -712,14 +712,40 @@ def _q32_streaming_windowed(spark, sf):
 
 
 def _q33_ivf_topk(spark, sf):
-    """IVF-flat ANN: driver-trained k-means coarse quantiser, probe the 2
-    nearest lists. Iterative training → rows-only check."""
+    """IVF-flat ANN as an oracle-checkable PROPERTY query (r4, was
+    rows-only): run the driver-trained k-means IVF search (deterministic
+    fixed-seed training on a bounded sample) and score its recall@5
+    against the exact brute-force top-k.  The exact side (n_queries,
+    n_exact_total) is fully SQL-computable; the approximate side exits as
+    a bounded boolean the oracle asserts as literal TRUE.  Measured mean
+    recall: 0.49/0.44/0.67 at sf0.001/0.01/0.1 with n_probe=2 of 8 lists
+    — the 0.30 bound has ~47% margin at the driver's sf0.01.  Per-query
+    recall is NOT bounded (a query whose true neighbors all live in
+    unprobed lists scores 0.0 — observed at sf0.01), hence the aggregate.
+    The IVF search half also gets a real per-row oracle via q137
+    (pretrained quantiser)."""
     from polars_pipe_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
-    return ivf_topk(
+    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    ivf = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
         k=5, n_centroids=8, n_probe=2,
+    ).select("query_id", "neighbor_id")
+    ov = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    per = (
+        bf.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(ov, "query_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+        .withColumn("recall_micros", F.expr("(n_overlap * 1000000) DIV n_exact"))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_exact").alias("n_exact_total"),
+        (F.avg("recall_micros") >= 300000).alias("recall_ok"),
     )
 
 
@@ -814,14 +840,43 @@ def _q39_string_funcs(spark, sf):
 
 
 def _q40_approx_sketches(spark, sf):
-    """Scale-mode approximate aggregates: HLL distinct + quantile sketch.
-    Sketch algorithms differ across engines -> rows-only check; the exact
-    counterparts are oracle-checked in q10/q13."""
+    """Scale-mode approximate aggregates as an oracle-checkable PROPERTY
+    query (r4, was rows-only): sketch values differ across engines, so
+    the output pairs EXACT counts (SQL-checkable) with error-bound
+    booleans the oracle asserts as literal TRUE.  Bounds: HLL rsd=0.02
+    is checked at 10% (5 sigma); percentile_approx(accuracy=1000) has
+    rank error <= 0.1% and is checked against the exact p45..p55 band.
+    Both sketches are deterministic for a given dataset, so the booleans
+    are stable, not flaky.  The exact-distinct side is a two-phase
+    distinct->count (no Expand, q14's lesson); the exact percentiles are
+    validation-only (memory-heavy exact sort per group — fine at test SF,
+    not a 100 TB pattern; the sketch IS the scale path)."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    return sk.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.lit(0.1) * F.col("exact_orders")
+        ).alias("hll_within_rel_err"),
+        (
+            (F.col("approx_median") >= F.col("p45"))
+            & (F.col("approx_median") <= F.col("p55"))
+        ).alias("median_within_rank_err"),
     )
 
 
@@ -3939,6 +3994,19 @@ _ORACLES["q34_embedding_neardup"] = (
     "SELECT * FROM (" + _ORACLES["q34_embedding_neardup"] + ") WHERE cosine >= 0.4"
 )
 
+# q33 (r4, was rows-only): the exact-side counts come straight from the
+# q28 brute-force oracle; the IVF recall property is asserted as TRUE
+# (bound 0.30 vs measured mean 0.44 at the driver's sf0.01).
+_ORACLES["q33_ivf_topk"] = f"""
+    WITH bf AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q28_cosine_topk"]})
+    )
+    SELECT COUNT(DISTINCT query_id) AS n_queries,
+           COUNT(*) AS n_exact_total,
+           TRUE AS recall_ok
+    FROM bf
+"""
+
 _ORACLES["q35_cube"] = """
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -3977,6 +4045,17 @@ _ORACLES["q39_string_funcs"] = """
            strpos(c_name, '1') AS pos_one,
            length(c_name) AS name_len
     FROM customer
+"""
+
+# q40 (r4, was rows-only): exact counts are SQL-checkable; the sketch
+# error-bound booleans are asserted as literal TRUE (HLL at 5-sigma,
+# approx-median inside the exact p45..p55 band — both deterministic).
+_ORACLES["q40_approx_sketches"] = """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS hll_within_rel_err,
+           TRUE AS median_within_rank_err
+    FROM lineitem GROUP BY l_returnflag
 """
 
 _ORACLES["q41_grouping_sets_sql"] = """

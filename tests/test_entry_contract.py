@@ -20,10 +20,11 @@ def test_oracle_keys_subset_of_queries():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    # the rows-only set is intentional and small
-    assert q - o == {
-        "q12_lineage_hash", "q33_ivf_topk", "q40_approx_sketches", "q149_pca_whiten",
-    }
+    # the rows-only set is intentional and small: q12 = xxhash64 has no
+    # DuckDB twin; q149 = LAPACK eigendecomposition.  q33/q40 graduated to
+    # oracle-checked property queries in r4 (exact counts + bounded
+    # booleans the oracle asserts as literal TRUE).
+    assert q - o == {"q12_lineage_hash", "q149_pca_whiten"}
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
