@@ -41,14 +41,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan + round-robin repartition to full parallelism. Small testdata
-    tables arrive as ONE file -> one scan partition; compute-heavy
-    expression work (shingling, md5, per-pair set ops) would serialize on
-    that single task. A cheap repartition of the raw rows (a few MB)
-    parallelises everything downstream. At 100 TB the scan has thousands
-    of splits and this becomes a no-op choice -- explicit repartition is
-    still respected over AQE coalescing either way."""
-    return _t(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+    """Scan + round-robin repartition to full parallelism, GATED on the
+    scan actually being under-parallel.  Small testdata tables arrive as
+    ONE file -> one scan partition; compute-heavy expression work
+    (shingling, md5, per-pair set ops) would serialize on that single
+    task, so a cheap repartition of the raw rows (a few MB) parallelises
+    everything downstream.  At 100 TB the scan already has thousands of
+    splits — an UNconditional round-robin repartition there is a full
+    extra shuffle of the raw rows, not a no-op (r3 verdict item #6) —
+    so when the scan reaches default parallelism the frame passes
+    through untouched.  The gate reads the planned scan's partition
+    count (file-split arithmetic, no job runs)."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,7 @@ def bm25_scores(
     *,
     k1: float = 1.2,
     b: float = 0.75,
+    doc_cols: dict | None = None,
 ) -> DataFrame:
     """Per-(query, document) BM25 for a batch of bag-of-words queries.
 
@@ -46,26 +47,48 @@ def bm25_scores(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``; document frequency is global
     per term, shared across queries.
 
-    Returns ``(query_id, <id_col>, bm25 DECIMAL(18,6))`` for every doc
-    matching at least one of the query's terms.
+    ``doc_cols`` ({name: Column-over-docs}) lets a caller ride extra
+    per-document expressions through the SAME tokenizing scan instead of
+    re-scanning the corpus for them (rerank's quality/length features —
+    the r3 verdict's one remaining corpus scan).  They are constant per
+    doc, so they fold through both aggregations with ``first()``; the
+    shuffle carries one value per (doc, term) group thanks to map-side
+    partials, not one per token.
+
+    Returns ``(query_id, <id_col>, bm25 DECIMAL(18,6), *doc_cols)`` for
+    every doc matching at least one of the query's terms.
     """
+    doc_cols = doc_cols or {}
     terms = queries.select("term").distinct()
     # dl rides along through the explode (constant per doc, folded back
-    # with first() in the tf aggregation) — one corpus scan feeds both
-    # term frequencies AND document lengths, instead of a second
-    # tokenizing scan shuffle-joined back on doc id.
+    # with first() in the tf aggregation) — one corpus scan feeds term
+    # frequencies AND document lengths AND any caller doc_cols, instead
+    # of a second tokenizing scan shuffle-joined back on doc id.
     tok = docs.select(
         F.col(id_col),
         token_count(text_col).alias("dl"),
+        *[c.alias(n) for n, c in doc_cols.items()],
         F.explode(tokens(text_col)).alias("term"),
     ).join(F.broadcast(terms), "term")
     tf = tok.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+        *[F.first(n).alias(n) for n in doc_cols],
     )
     corpus = docs.select(token_count(text_col).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over term, NOT a groupBy +
+    # broadcast self-join: the self-join form replans tf's whole lineage
+    # (column pruning de-canonicalises the branches, defeating exchange
+    # reuse — a second full tokenizing corpus scan in the executed plan).
+    # The window shuffles the already term-filtered tf frame once; an
+    # unordered partition-count window needs no sort.
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -75,8 +98,7 @@ def bm25_scores(
     )
     term_score = F.round(idf * norm, 6).cast("decimal(14,6)")
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(queries), "term")
+        tf.join(F.broadcast(queries), "term")
         .crossJoin(F.broadcast(corpus))
         .groupBy("query_id", id_col)
         # DECIMAL(18,6) out, with the oracle casting to the SAME (p,s) on
@@ -85,7 +107,10 @@ def bm25_scores(
         # rules differ and a dtype-tagged canonicaliser hashes them apart
         # (the real q13 lesson, r3 verdict).  The sum of scale-6 decimals
         # is exact; prefer BIGINT/DOUBLE outputs for new queries.
-        .agg(F.sum(term_score).cast("decimal(18,6)").alias("bm25"))
+        .agg(
+            F.sum(term_score).cast("decimal(18,6)").alias("bm25"),
+            *[F.first(n).alias(n) for n in doc_cols],
+        )
     )
 
 
@@ -136,31 +161,40 @@ def rerank_topk(
     The rank window partitions by query_id over the CANDIDATE set (docs
     matching ≥1 query term), which first-stage pruning keeps far below
     corpus size. Ties break on doc id; output is top-``k`` per query.
-    """
-    from polars_pipe_spark.functions.text import quality_score
 
-    s = bm25_scores(docs, text_col, id_col, queries)
-    qmax = s.groupBy("query_id").agg(F.max("bm25").alias("qmax"))
-    feats = docs.select(
-        F.col(id_col),
-        quality_score(text_col).alias("quality"),
-        token_count(text_col).cast("double").alias("ntok"),
-    )
-    scored = (
-        s.join(F.broadcast(qmax), "query_id")
-        .join(feats, id_col)
-        .withColumn(
-            "rerank",
-            F.round(
-                F.col("bm25").cast("double") / F.col("qmax").cast("double") * w_bm25
-                + F.col("quality") * w_quality
-                + F.least(F.col("ntok") / 200.0, F.lit(1.0)) * w_len,
-                6,
-            ),
-        )
-    )
+    The quality/length features ride bm25_scores' tokenizing projection
+    (``doc_cols``) — ONE corpus scan total, not a second tokenizing pass
+    joined back per candidate (r3 verdict item #4).  The per-query max
+    is a window max over the SAME query_id partitioning the rank window
+    uses, not a groupBy + broadcast self-join: the self-join form plans
+    the whole bm25 lineage twice (column pruning de-canonicalises the
+    two branches, so the exchanges never reuse — measured 6 corpus scans
+    in the executed plan), while the two same-keyed windows share one
+    exchange and the candidate frame is evaluated exactly once.
+    """
     from pyspark.sql import Window
 
+    from polars_pipe_spark.functions.text import quality_score
+
+    s = bm25_scores(
+        docs, text_col, id_col, queries,
+        doc_cols={
+            "quality": quality_score(text_col),
+            "ntok": token_count(text_col).cast("double"),
+        },
+    )
+    w_qmax = Window.partitionBy("query_id")
+    scored = s.withColumn(
+        "qmax", F.max("bm25").over(w_qmax)
+    ).withColumn(
+        "rerank",
+        F.round(
+            F.col("bm25").cast("double") / F.col("qmax").cast("double") * w_bm25
+            + F.col("quality") * w_quality
+            + F.least(F.col("ntok") / 200.0, F.lit(1.0)) * w_len,
+            6,
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rerank").desc(), F.col(id_col).asc()
     )
