@@ -3378,6 +3378,128 @@ def _q152_retention_cohorts(spark, sf):
     )
 
 
+def _q153_pack_attention(spark, sf):
+    """Tokenizer-aware sequence packing WITH cross-document attention-mask
+    boundaries (r4 north star): one row per ~2048-token packed training
+    sequence per source, carrying each member document's in-sequence
+    start offset — the list a block-diagonal attention mask is built from
+    at collate time. All-integer output; the boundary list is bounded by
+    bin size, not corpus size."""
+    from polars_pipe_spark.functions.sampling import pack_attention_bins
+    from polars_pipe_spark.functions.text import token_count
+
+    docs = _t_par(spark, sf, "documents").select(
+        "doc_id", "source", token_count("text").alias("ntok")
+    )
+    return pack_attention_bins(
+        docs, "ntok", "doc_id", bin_tokens=2048, part_col="source"
+    )
+
+
+def _q154_ivf_incremental(spark, sf):
+    """Incremental IVF index maintenance: a new ingest batch is merged
+    into an EXISTING index (pinned pretrained centroids, the q137 flow)
+    without touching prior assignments — retraining would shift every
+    list. Output: per-list occupancy before/after the merge, the balance
+    report an index maintainer watches for skew (a hot list means the
+    quantiser no longer fits the data distribution).
+
+    The existing/new split is by vec_id % 5 (scale-proof non-empty);
+    centroids pin to the first 16 corpus vectors so assignment is pure
+    expressions, SQL-reproducible. Counts left-join onto the full
+    centroid list so empty lists report 0 — an invisible empty list is
+    exactly what a balance report must not hide."""
+    from polars_pipe_spark.functions.similarity import ivf_assign
+
+    emb = _t(spark, sf, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    existing = ivf_assign(
+        emb.filter(F.col("vec_id") % 5 != 0), "embedding", "vec_id", cent
+    )
+    new = ivf_assign(
+        emb.filter(F.col("vec_id") % 5 == 0), "embedding", "vec_id", cent
+    )
+    n_old = existing.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_existing")
+    )
+    n_new = new.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        cent.select("centroid_id")
+        .join(n_old, "centroid_id", "left")
+        .join(n_new, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (
+                F.coalesce("n_existing", F.lit(0)) + F.coalesce("n_new", F.lit(0))
+            ).alias("n_total"),
+        )
+    )
+
+
+def _q155_corpus_health(spark, sf):
+    """Per-domain corpus-health report (r4 north star): contamination
+    (q80's benchmark-overlap rule) and n-gram novelty (q151) joined into
+    ONE per-source artifact — the dashboard row a corpus owner reads
+    before a training run. All-BIGINT cells via scaled integer division.
+
+    Scale: novelty reuses q151's gram-frequency join (gram df table is
+    corpus-wide, shuffles on gram); contamination broadcasts the small
+    benchmark gram table (q80); the final join is over a handful of
+    source rows."""
+    from polars_pipe_spark.functions.dedup import ngram_contamination
+    from polars_pipe_spark.functions.text import shingles
+
+    docs = _t_par(spark, sf, "documents")
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    bench = docs.filter(F.col("doc_id") % 197 == 0)
+    train = docs.filter(F.col("doc_id") % 197 != 0)
+    contaminated = (
+        ngram_contamination(train, bench, "text", "doc_id", k=3, min_overlap=2)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+    g = docs.select(
+        "source", "doc_id",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("gram"),
+    )
+    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    novelty = (
+        g.join(counts, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique_grams"),
+        )
+    )
+    return (
+        base.join(contaminated, "source", "left")
+        .join(novelty, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.expr(
+                "(coalesce(n_contaminated, 0) * 1000000) DIV n_docs"
+            ).alias("contaminated_micros"),
+            "n_grams",
+            "n_unique_grams",
+            F.expr("(n_unique_grams * 1000000) DIV n_grams").alias(
+                "novelty_micros"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3535,6 +3657,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_corpus_funnel": _q150_corpus_funnel,
     "q151_ngram_novelty": _q151_ngram_novelty,
     "q152_retention_cohorts": _q152_retention_cohorts,
+    "q153_pack_attention": _q153_pack_attention,
+    "q154_ivf_incremental": _q154_ivf_incremental,
+    "q155_corpus_health": _q155_corpus_health,
 }
 
 
@@ -5935,6 +6060,96 @@ _ORACLES["q152_retention_cohorts"] = """
            COUNT(*) AS n_active
     FROM uw JOIN first USING (user_id)
     GROUP BY 1, 2
+"""
+
+
+# q153: packing boundaries — bins cut on the running-token line, offset
+# within bin = prec % bin_tokens; every integer step casts HUGEINT->BIGINT
+# so physical types match Spark's LONG (the q22 lesson).
+_ORACLES["q153_pack_attention"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), t AS (
+      SELECT doc_id, source, len(toks) AS ntok FROM tok
+    ), p AS (
+      SELECT source, doc_id, ntok,
+             COALESCE(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prec
+      FROM t
+    )
+    SELECT source,
+           CAST(prec // 2048 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           list_sort(list(CAST(prec % 2048 AS BIGINT))) AS boundaries
+    FROM p
+    GROUP BY source, CAST(prec // 2048 AS BIGINT)
+"""
+
+# q154: nearest-centroid assignment mirrors q137's (same _DOT fold, same
+# centroid_id tiebreak); the existing/new split and per-list occupancy
+# are pure counting.
+_ORACLES["q154_ivf_incremental"] = f"""
+    WITH cent AS (
+      SELECT CAST(vec_id AS INT) AS centroid_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, centroid_id, grp FROM (
+        SELECT e.vec_id, cent.centroid_id, (e.vec_id % 5 = 0) AS grp,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -({_DOT.format(a="e.embedding", b="cent.cvec")}) ASC,
+                          cent.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent
+      ) WHERE rn = 1
+    )
+    SELECT cent.centroid_id,
+           CAST(COALESCE(SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_existing,
+           CAST(COALESCE(SUM(CASE WHEN grp THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_new,
+           COUNT(a.vec_id) AS n_total
+    FROM cent LEFT JOIN assign a USING (centroid_id)
+    GROUP BY cent.centroid_id
+"""
+
+# q155: q80's contamination rule + q151's novelty, rolled up per source;
+# scaled divisions stay in BIGINT (operands bounded far under int64).
+_ORACLES["q155_corpus_health"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), bg AS (
+      SELECT doc_id AS bench_id, unnest(list_distinct({_SHINGLES3})) AS gram
+      FROM tok WHERE doc_id % 197 = 0
+    ), tg AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS gram
+      FROM tok WHERE doc_id % 197 != 0
+    ), contam AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT tg.doc_id, bg.bench_id, COUNT(*) AS n_shared
+        FROM tg JOIN bg USING (gram) GROUP BY 1, 2
+      ) WHERE n_shared >= 2
+    ), csrc AS (
+      SELECT source, COUNT(*) AS n_contaminated
+      FROM contam JOIN documents USING (doc_id) GROUP BY source
+    ), g AS (
+      SELECT source, doc_id, unnest(list_distinct({_SHINGLES3})) AS gram FROM tok
+    ), counts AS (
+      SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+    ), nov AS (
+      SELECT source, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_grams
+      FROM g JOIN counts USING (gram) GROUP BY source
+    )
+    SELECT base.source, base.n_docs,
+           COALESCE(csrc.n_contaminated, 0) AS n_contaminated,
+           (COALESCE(csrc.n_contaminated, 0) * 1000000) // base.n_docs AS contaminated_micros,
+           nov.n_grams, nov.n_unique_grams,
+           (nov.n_unique_grams * 1000000) // nov.n_grams AS novelty_micros
+    FROM base
+    LEFT JOIN csrc USING (source)
+    LEFT JOIN nov ON nov.source = base.source
 """
 
 

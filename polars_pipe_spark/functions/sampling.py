@@ -117,6 +117,58 @@ def pack_sequences(
     )
 
 
+def pack_attention_bins(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    bin_tokens: int = 2048,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer-aware sequence packing with cross-document attention-mask
+    boundaries: one row per packed training sequence (bin) carrying the
+    in-sequence start offset of every member document — exactly the
+    boundary list a block-diagonal cross-document attention mask is built
+    from at collate time (each document attends only within itself).
+
+    Extends :func:`pack_sequences`' declared semantics (bins cut by
+    running-token offset ordered by ``id_col``; a document straddling a
+    boundary belongs to the bin where it STARTS), so a document's offset
+    within its bin is ``preceding_tokens % bin_tokens``.
+
+    Output: ``(part_col?, bin_id, n_docs, total_tokens,
+    boundaries array<long>)`` with boundaries sorted ascending —
+    all-integer cells, oracle-exact.
+
+    Scale: the same single window shuffle as pack_sequences (ALWAYS pass
+    ``part_col`` on big data — a None part_col is a single-partition
+    global window) plus one groupBy whose groups hold ~``bin_tokens``
+    tokens of documents by construction, so the collected boundary list
+    is bounded regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if part_col is None:
+        w = Window.orderBy(id_col)
+        keys = []
+    else:
+        w = Window.partitionBy(part_col).orderBy(id_col)
+        keys = [part_col]
+    tok = F.col(token_col).cast("long")
+    preceding = F.coalesce(F.sum(tok).over(w) - tok, F.lit(0)).cast("long")
+    placed = df.select(
+        *keys,
+        F.col(id_col),
+        tok.alias("__tok"),
+        F.floor(preceding / bin_tokens).cast("long").alias("bin_id"),
+        (preceding % bin_tokens).cast("long").alias("__offset"),
+    )
+    return placed.groupBy(*keys, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.array_sort(F.collect_list("__offset")).alias("boundaries"),
+    )
+
+
 def mix_sources(
     df: DataFrame,
     source_col: str,

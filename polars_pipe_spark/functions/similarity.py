@@ -224,6 +224,44 @@ def ivf_train(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Assign each vector to its nearest pretrained centroid (max dot
+    product, centroid_id tiebreak) — the inverted-list build/maintenance
+    primitive: run it over a new ingest batch to merge fresh vectors into
+    an EXISTING index without touching prior assignments (retraining the
+    quantiser would shift every list).
+
+    Returns ``(<id_col>, centroid_id)``.
+
+    Scale shape: the centroid table broadcasts into a crossJoin (no
+    shuffle of the vector side — each partition scores rows×n_centroids
+    locally), then ``min_by`` with map-side partial aggregation collapses
+    a vector's candidate rows before the exchange, so the one shuffle
+    carries ONE row per vector, not n_centroids.  (ivf_topk's inline
+    assignment uses a row_number window instead because it must keep the
+    vector payload alongside; here only the id travels.)
+    """
+    a = (
+        vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            "centroid_id",
+            (-dot_expr(F.col("__v"), F.col("cvec"))).alias("__d"),
+        )
+    )
+    return a.groupBy(id_col).agg(
+        F.min_by(
+            F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
+        ).alias("centroid_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -212,3 +212,109 @@ def test_rerank_topk_orders_within_query(spark, corpus):
         assert len(rows) <= 2
     # the per-query best doc has normalised bm25 = 1, so rerank <= 1.0
     assert all(float(r.rerank) <= 1.0 for r in out)
+
+
+# ------------------------------------------- pack_attention_bins (r4) ----
+
+
+class TestPackAttentionBins:
+    def _frame(self, spark):
+        # tokens: 1000+800 fill bin 0 to offset 1800; doc 3 (600) starts
+        # at 1800 (straddles into bin 1 but belongs to bin 0); doc 4
+        # starts at 2400 -> bin 1, offset 352
+        rows = [(1, "a", 1000), (2, "a", 800), (3, "a", 600), (4, "a", 1000),
+                (5, "b", 3000), (6, "b", 100)]
+        return spark.createDataFrame(rows, "doc_id long, src string, ntok long")
+
+    def test_bins_and_boundaries_exact(self, spark):
+        from polars_pipe_spark.functions.sampling import pack_attention_bins
+
+        out = {(r.src, r.bin_id): r for r in pack_attention_bins(
+            self._frame(spark), "ntok", "doc_id", bin_tokens=2048, part_col="src"
+        ).collect()}
+        a0 = out[("a", 0)]
+        assert a0.n_docs == 3 and a0.total_tokens == 2400
+        assert a0.boundaries == [0, 1000, 1800]
+        a1 = out[("a", 1)]
+        assert a1.n_docs == 1 and a1.boundaries == [352]
+        b0 = out[("b", 0)]
+        assert b0.n_docs == 1 and b0.boundaries == [0]
+        # doc 6 starts at 3000 -> bin 1, offset 952
+        assert out[("b", 1)].boundaries == [952]
+
+    def test_agrees_with_pack_sequences_bins(self, spark):
+        from polars_pipe_spark.functions.sampling import (
+            pack_attention_bins, pack_sequences,
+        )
+
+        df = self._frame(spark)
+        per_doc = {r.doc_id: r.bin_id for r in pack_sequences(
+            df, "ntok", "doc_id", bin_tokens=2048, part_col="src"
+        ).collect()}
+        bins = pack_attention_bins(
+            df, "ntok", "doc_id", bin_tokens=2048, part_col="src"
+        ).collect()
+        # doc-count per bin matches the per-doc assignment
+        from collections import Counter
+        want = Counter((None, b) for b in per_doc.values())
+        got = {(r.src, r.bin_id): r.n_docs for r in bins}
+        assert sum(want.values()) == sum(got.values())
+
+    def test_partitioned_window_not_global(self, spark):
+        from polars_pipe_spark.functions.sampling import pack_attention_bins
+
+        out = pack_attention_bins(
+            self._frame(spark), "ntok", "doc_id", bin_tokens=2048, part_col="src"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+# -------------------------------------------------- ivf_assign (r4) ----
+
+
+class TestIvfAssign:
+    def test_assigns_nearest_by_dot(self, spark):
+        from polars_pipe_spark.functions.similarity import ivf_assign
+
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id int, cvec array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(10, [0.9, 0.1]), (11, [0.2, 0.8]), (12, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r.centroid_id for r in
+               ivf_assign(vecs, "embedding", "vec_id", cents).collect()}
+        assert got == {10: 0, 11: 1, 12: 0}
+
+    def test_tie_breaks_on_lower_centroid_id(self, spark):
+        from polars_pipe_spark.functions.similarity import ivf_assign
+
+        cents = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "centroid_id int, cvec array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(1, [0.5, 0.5])], "vec_id long, embedding array<double>"
+        )
+        got = ivf_assign(vecs, "embedding", "vec_id", cents).collect()
+        assert got[0].centroid_id == 3  # equal dot -> lower id wins
+
+    def test_one_row_per_vector_and_broadcast(self, spark):
+        from polars_pipe_spark.functions.similarity import ivf_assign
+
+        cents = spark.createDataFrame(
+            [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+            "centroid_id int, cvec array<double>",
+        )
+        vecs = spark.createDataFrame(
+            [(i, [float((i + j) % 3) for j in range(4)]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = ivf_assign(vecs, "embedding", "vec_id", cents)
+        assert out.count() == 50
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
