@@ -3500,6 +3500,152 @@ def _q155_corpus_health(spark, sf):
     )
 
 
+def _q156_bpe_pairs(spark, sf):
+    """First BPE merge-round statistics: corpus-wide adjacent
+    character-pair counts within whitespace tokens, top-50 by (count
+    desc, pair asc) — a total order, so the 50-row set is deterministic.
+    The merge LOOP of BPE training is a driver-side fold over these
+    counts; ONE round is a single flatten-explode + groupBy whose
+    shuffle input collapses under map-side partial aggregation, and the
+    top-50 runs as TakeOrderedAndProject (no global sort
+    materialisation)."""
+    from polars_pipe_spark.functions.text import char_pair_counts
+
+    docs = _t_par(spark, sf, "documents")
+    return (
+        char_pair_counts(docs, "text")
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )
+
+
+def _q157_temperature_mixture(spark, sf):
+    """Temperature-scaled (alpha=0.5) domain-mixture weights — the
+    multilingual/multi-domain rebalancing rule w_g ∝ n_g^alpha. The
+    package function keeps the double `weight`; the hash-gated output
+    here is the integer-exact projection (the q13 lesson: only
+    BIGINT crosses the gate): sqrt scaled to 1e5 units and floored
+    (exact while n_docs*1e10 < 2^53, i.e. n_docs < 9e5 per group —
+    shrink the scale factor for bigger corpora; IEEE sqrt is correctly
+    rounded so both engines floor the same double), then ppm shares and
+    a 100k-row budget allocation by pure integer division."""
+    from polars_pipe_spark.functions.sampling import temperature_weights
+
+    docs = _t_par(spark, sf, "documents")
+    tw = temperature_weights(docs, "source", alpha=0.5).select("source", "n_rows")
+    return (
+        tw.withColumn(
+            "sqrt_e5",
+            F.floor(F.sqrt(F.col("n_rows").cast("double") * F.lit(1e10))).cast("long"),
+        )
+        # windows over one-row-per-source frames: bounded by domain count
+        .withColumn(
+            "weight_ppm", F.expr("(sqrt_e5 * 1000000) DIV sum(sqrt_e5) OVER ()")
+        )
+        .withColumn(
+            "target_rows", F.expr("(sqrt_e5 * 100000) DIV sum(sqrt_e5) OVER ()")
+        )
+        .select("source", "n_rows", "sqrt_e5", "weight_ppm", "target_rows")
+    )
+
+
+def _q158_incremental_dedup(spark, sf):
+    """Incremental-ingest dedup gate: the doc_id%7==3 slice arrives as a
+    new batch against the fingerprint index built from the rest of the
+    corpus; each batch row is classified new_unique / dup_of_index /
+    dup_within_batch (functions/dedup.py::incremental_dedup) and the
+    report aggregates per status. At scale the index side is the
+    persisted fingerprint table — the corpus text is never rescanned on
+    ingest, and bucketing the index by fingerprint makes the join
+    shuffle-free batch after batch."""
+    from polars_pipe_spark.functions.dedup import incremental_dedup
+    from polars_pipe_spark.functions.text import normalize_text
+
+    docs = _t_par(spark, sf, "documents")
+    # fresh slice + a re-crawled slice (same text, re-keyed ids): the
+    # re-ingest path guarantees all three statuses appear at any sf —
+    # re-crawls of indexed docs → dup_of_index; ids ≡66 (mod 77) occur
+    # in both slices → new_unique + dup_within_batch.
+    batch = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    index = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    tagged = incremental_dedup(batch, index, "text", "doc_id")
+    return tagged.groupBy("dedup_status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q159_funnel(spark, sf):
+    """Ordered view→click→purchase funnel: stage i converts only when
+    its earliest hit is at-or-after the carried qualifying time of stage
+    i-1 (operators/windows.py::funnel_counts). Two shuffles regardless
+    of funnel depth: one conditional-min pivot per user, one stage-count
+    aggregate — no per-stage self-joins, no windows."""
+    from polars_pipe_spark.operators.windows import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def _q160_fuzzy_join(spark, sf):
+    """Entity resolution via blocked edit-distance join
+    (operators/joins.py::fuzzy_join): customers block on nation,
+    candidates are the within-block equi-join, levenshtein <= 1 keeps
+    near-identical names, name<name halves the symmetric pairs. The
+    per-nation report pairs candidate count n(n-1)/2 with the matched
+    count — the blocking-efficiency row an ER pipeline monitors. Block
+    sizes are bounded by the key choice; a corpus-scale block needs a
+    finer key or salting."""
+    from polars_pipe_spark.operators.joins import fuzzy_join
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    base = cust.groupBy("nation").agg(F.count(F.lit(1)).alias("n_customers"))
+    base = base.withColumn(
+        "n_candidate_pairs",
+        (F.col("n_customers") * (F.col("n_customers") - 1) / 2).cast("long"),
+    )
+    matched = (
+        fuzzy_join(cust, cust, "c_name", "c_name", "nation", "nation", max_dist=1)
+        .filter(F.col("left_key") < F.col("right_key"))
+        .groupBy(F.col("block_key").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return base.join(matched, "nation", "left").select(
+        "nation",
+        "n_customers",
+        "n_candidate_pairs",
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+    )
+
+
+def _q161_quality_bins(spark, sf):
+    """Curriculum binning: fixed-width deciles over the [0,1] quality
+    score with per-bin doc and token counts
+    (functions/sampling.py::quality_bins). Fixed-width bins are a pure
+    row expression + ordinary groupBy — no NTILE, no global sort, no
+    one-reducer window. Cross-engine parity piggybacks on the q23-proven
+    quality fragment: both engines bin the SAME rounded double, so
+    floor/least agree bit-for-bit."""
+    from polars_pipe_spark.functions.sampling import quality_bins
+    from polars_pipe_spark.functions.text import quality_score, token_count
+
+    docs = _t_par(spark, sf, "documents")
+    return quality_bins(
+        docs, quality_score("text"), n_bins=10, token_col=token_count("text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3660,6 +3806,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_pack_attention": _q153_pack_attention,
     "q154_ivf_incremental": _q154_ivf_incremental,
     "q155_corpus_health": _q155_corpus_health,
+    "q156_bpe_pairs": _q156_bpe_pairs,
+    "q157_temperature_mixture": _q157_temperature_mixture,
+    "q158_incremental_dedup": _q158_incremental_dedup,
+    "q159_funnel": _q159_funnel,
+    "q160_fuzzy_join": _q160_fuzzy_join,
+    "q161_quality_bins": _q161_quality_bins,
 }
 
 
@@ -6151,6 +6303,141 @@ _ORACLES["q155_corpus_health"] = f"""
     LEFT JOIN csrc USING (source)
     LEFT JOIN nov ON nov.source = base.source
 """
+
+
+# q156: pair list per word via range(1, len) (empty for 1-char words, so
+# no CASE needed — unnest of [] drops the row, matching Spark's IF guard).
+_ORACLES["q156_bpe_pairs"] = f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+      FROM words
+    )
+    SELECT pair, COUNT(*) AS n FROM pairs
+    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+# q157: sqrt(n*1e10) floored — IEEE sqrt is correctly rounded so both
+# engines floor the same double; everything after is integer. DuckDB's
+# windowed SUM(BIGINT) is HUGEINT → cast the divisions back (q22 lesson).
+_ORACLES["q157_temperature_mixture"] = """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_rows,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE) * 1e10)) AS BIGINT) AS sqrt_e5
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_rows, sqrt_e5,
+           CAST((sqrt_e5 * 1000000) // SUM(sqrt_e5) OVER () AS BIGINT) AS weight_ppm,
+           CAST((sqrt_e5 * 100000) // SUM(sqrt_e5) OVER () AS BIGINT) AS target_rows
+    FROM counts
+"""
+
+# q158: same md5(norm) fingerprint as q23/q24; min-id-first within the
+# batch, index membership wins over within-batch order.
+_ORACLES["q158_incremental_dedup"] = f"""
+    WITH b AS (
+      SELECT doc_id, md5({_NORM}) AS fingerprint
+      FROM documents WHERE doc_id % 7 = 3
+      UNION ALL
+      SELECT doc_id + 1000000, md5({_NORM})
+      FROM documents WHERE doc_id % 11 = 0
+    ), idx AS (
+      SELECT DISTINCT md5({_NORM}) AS fingerprint
+      FROM documents WHERE doc_id % 7 != 3
+    ), first AS (
+      SELECT fingerprint, MIN(doc_id) AS first_id FROM b GROUP BY fingerprint
+    ), tagged AS (
+      SELECT b.doc_id,
+             CASE WHEN idx.fingerprint IS NOT NULL THEN 'dup_of_index'
+                  WHEN b.doc_id = first.first_id THEN 'new_unique'
+                  ELSE 'dup_within_batch' END AS dedup_status
+      FROM b
+      JOIN first USING (fingerprint)
+      LEFT JOIN idx USING (fingerprint)
+    )
+    SELECT dedup_status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM tagged GROUP BY dedup_status
+"""
+
+# q159: conditional-min pivot + left-to-right ordered-reach fold; NULL
+# comparisons fall out of the CASE the same way Spark's when() does.
+_ORACLES["q159_funnel"] = """
+    WITH mins AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id
+    ), reach AS (
+      SELECT (t0 IS NOT NULL) AS r0,
+             (t0 IS NOT NULL AND t1 >= t0) AS r1,
+             (t0 IS NOT NULL AND t1 >= t0 AND t2 >= t1) AS r2
+      FROM mins
+    ), totals AS (
+      SELECT CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM reach
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, n0 AS n_converted FROM totals
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'click', n1 FROM totals
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'purchase', n2 FROM totals
+"""
+
+# q160: same-definition levenshtein on both engines; candidate count is
+# the closed form n(n-1)/2, matches the blocked equi-join pair space.
+_ORACLES["q160_fuzzy_join"] = """
+    WITH c AS (
+      SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nation FROM customer
+    ), base AS (
+      SELECT nation, COUNT(*) AS n_customers,
+             CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_candidate_pairs
+      FROM c GROUP BY nation
+    ), m AS (
+      SELECT l.nation, COUNT(*) AS n_matched
+      FROM c l JOIN c r ON l.nation = r.nation AND l.c_name < r.c_name
+      WHERE levenshtein(l.c_name, r.c_name) <= 1
+      GROUP BY l.nation
+    )
+    SELECT base.nation, base.n_customers, base.n_candidate_pairs,
+           COALESCE(m.n_matched, 0) AS n_matched
+    FROM base LEFT JOIN m USING (nation)
+"""
+
+# q161: bins the q23-proven rounded quality double; SUM(len) is HUGEINT
+# in DuckDB → cast (q22 lesson).
+_ORACLES["q161_quality_bins"] = f"""
+    WITH tok AS (
+      SELECT doc_id, text, {{toks}} AS toks FROM documents
+    ), feat AS (
+      SELECT len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> t IN {{sw}})) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '{{punct}}', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr
+      FROM tok
+    ), scored AS (
+      SELECT n_tokens,
+             round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(sr * 5.0, 1.0) * 0.4
+                   + (1.0 - least(pr * 10.0, 1.0)) * 0.2, 6) AS q
+      FROM feat
+    )
+    SELECT LEAST(CAST(FLOOR(q * 10) AS BIGINT), 9) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM scored GROUP BY bin_id
+"""
+_ORACLES["q161_quality_bins"] = _ORACLES["q161_quality_bins"].format(
+    toks=_TOKS, sw=_in_list(_MARKERS["en"]), punct=_PUNCT_RE
+)
 
 
 def oracle_sql() -> dict[str, str]:

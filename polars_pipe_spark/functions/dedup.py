@@ -558,3 +558,50 @@ def span_dedup(
             " ",
         ).alias("cleaned_text"),
     ).withColumnRenamed("id", id_col)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental-ingest dedup: classify every row of a NEW batch
+    against an EXISTING corpus fingerprint index without rescanning the
+    corpus text. Each batch row gets a ``dedup_status``:
+
+    - ``new_unique``       — fingerprint unseen in index and first (min
+      id) occurrence within the batch
+    - ``dup_of_index``     — fingerprint already in the index
+    - ``dup_within_batch`` — fingerprint new to the index but repeated
+      inside the batch (every non-min-id copy)
+
+    ``index`` needs only a ``fingerprint`` column (pass the persisted
+    index table, not the corpus — at 100 TB the index is the only thing
+    this touches). Fingerprints are md5 of the normalised text, the same
+    key ``exact_dedup`` groups on, so a batch admitted as new_unique and
+    appended to the index keeps the invariant.
+
+    Scale: one shuffle on fingerprint for the within-batch min (the
+    batch is the small side by construction), and one join against the
+    index on fingerprint — the index side is pre-bucketable on
+    fingerprint to make that join shuffle-free on ingest after ingest.
+    """
+    from polars_pipe_spark.functions.text import normalize_text
+
+    fp = F.md5(normalize_text(text_col)).alias("fingerprint")
+    b = batch.select(F.col(id_col), fp)
+    idx = index.select("fingerprint").distinct()
+    first = b.groupBy("fingerprint").agg(F.min(id_col).alias("__first_id"))
+    return (
+        b.join(first, "fingerprint")
+        .join(idx.withColumn("__in_idx", F.lit(1)), "fingerprint", "left")
+        .select(
+            F.col(id_col),
+            "fingerprint",
+            F.when(F.col("__in_idx").isNotNull(), F.lit("dup_of_index"))
+            .when(F.col(id_col) == F.col("__first_id"), F.lit("new_unique"))
+            .otherwise(F.lit("dup_within_batch"))
+            .alias("dedup_status"),
+        )
+    )

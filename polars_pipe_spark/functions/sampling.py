@@ -322,3 +322,65 @@ def weighted_topk(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group: w_g ∝ n_g**alpha,
+    normalised over groups — the standard multilingual/multi-domain
+    rebalancing rule (alpha=1 keeps natural proportions, alpha→0 flattens
+    to uniform). Returns one row per group with n_rows, weight (double)
+    and, if ``budget`` is given, target_rows = floor(budget * weight).
+
+    Scale: ONE count aggregate over the corpus (map-side combine), then
+    all arithmetic happens on the tiny per-group frame; the corpus is
+    never re-scanned. For cross-engine exactness prefer alpha=0.5 —
+    pow(x, 0.5) lowers to sqrt, which IEEE requires correctly rounded,
+    so Spark and any SQL oracle agree bit-for-bit; general alpha goes
+    through libm pow and may differ in the last ulp across runtimes.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    scaled = (
+        F.sqrt(F.col("n_rows").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    )
+    w = Window.partitionBy()  # bounded: one row per group, never corpus-sized
+    out = counts.withColumn("__s", scaled).withColumn(
+        "weight", F.col("__s") / F.sum("__s").over(w)
+    )
+    if budget is not None:
+        out = out.withColumn(
+            "target_rows", F.floor(F.col("weight") * F.lit(int(budget))).cast("long")
+        )
+    return out.drop("__s")
+
+
+def quality_bins(
+    df: DataFrame,
+    score_col: str | Column,
+    n_bins: int = 10,
+    token_col: str | Column | None = None,
+) -> DataFrame:
+    """Curriculum binning: fixed-width bins over a [0,1] quality score —
+    bin = min(floor(score*n_bins), n_bins-1) — with per-bin doc counts
+    (and token sums when ``token_col`` is given). Fixed-width bins need
+    NO global sort or NTILE window (the one-reducer shape); binning is a
+    pure row expression and the aggregate is an ordinary groupBy.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    bin_id = F.least(
+        F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1).cast("long")
+    ).alias("bin_id")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if token_col is not None:
+        t = F.col(token_col) if isinstance(token_col, str) else token_col
+        df = df.withColumn("__qb_tok", t)
+        aggs.append(F.sum("__qb_tok").alias("sum_tokens"))
+    return df.groupBy(bin_id).agg(*aggs)

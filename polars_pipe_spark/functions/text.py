@@ -300,3 +300,31 @@ def top_ngram_fraction(df, text_col: str, id_col: str, n: int = 2):
             "top_ngram_frac"
         ),
     )
+
+
+def char_pair_counts(df, text_col: str, id_col: str | None = None):
+    """Corpus-wide adjacent-character-pair frequencies within whitespace
+    tokens — the statistic the first BPE merge round maximises (count
+    the pair, merge the argmax, repeat). One round is a pure corpus
+    aggregate, so it runs as a single explode + groupBy at any scale;
+    the iterative merge loop is a driver-side fold over these counts.
+
+    Per document the pair list is built with ONE array expression
+    (flatten over tokens) and exploded once — no per-word explode, so
+    the shuffle input is one row per pair occurrence and map-side
+    partial aggregation collapses it before the exchange. Returns
+    (pair, n) with BIGINT counts.
+    """
+    pairs = F.expr(
+        f"""flatten(transform({{t}}, w ->
+              IF(length(w) < 2,
+                 CAST(array() AS array<string>),
+                 transform(sequence(1, length(w) - 1),
+                           i -> substring(w, i, 2)))))""".format(t="__cpc_toks")
+    )
+    base = df.select(tokens(text_col).alias("__cpc_toks"))
+    return (
+        base.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

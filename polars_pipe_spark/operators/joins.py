@@ -146,3 +146,44 @@ def salted_join(
         )
     )
     return salted_l.join(salted_r, [*keys, "__salt"], how).drop("__salt")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_left: Column | str,
+    block_right: Column | str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the entity-resolution
+    primitive. Candidate pairs come ONLY from an equi-join on the
+    blocking key (phonetic code, prefix, sorted-token key, …); the
+    expensive ``levenshtein`` runs post-join on candidates, never as an
+    all-pairs predicate. Output: both key columns + ``edit_dist``.
+
+    Scale: cost is sum over blocks of |L_b|·|R_b| — the caller's
+    blocking key choice bounds it. A key with corpus-scale blocks
+    degenerates to a cross join; pick keys with bounded block sizes
+    (and salt hot blocks with ``salted_join`` if one key dominates).
+    Spark evaluates this as a plain shuffle hash join on the block key
+    with the distance as a post-join filter, so AQE skew handling
+    applies to the block key like any other join.
+    """
+    bl = F.col(block_left) if isinstance(block_left, str) else block_left
+    br = F.col(block_right) if isinstance(block_right, str) else block_right
+    l = left.withColumn("__blk", bl)
+    r = right.withColumn("__blk", br)
+    dist = F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
+    return (
+        l.alias("l")
+        .join(r.alias("r"), F.col("l.__blk") == F.col("r.__blk"))
+        .where(dist <= max_dist)
+        .select(
+            F.col("l.__blk").alias("block_key"),
+            F.col(f"l.{left_col}").alias("left_key"),
+            F.col(f"r.{right_col}").alias("right_key"),
+            dist.alias("edit_dist"),
+        )
+    )

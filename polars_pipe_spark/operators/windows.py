@@ -120,3 +120,55 @@ def debounce(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__sess")
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    stage_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: for each entity, stage i counts as
+    reached only if its earliest occurrence is at-or-after the earliest
+    qualifying occurrence of stage i-1 (classic product-analytics
+    funnel). Returns one row per stage with ``n_converted``.
+
+    Strategy: ONE aggregate computes min(ts) per (key, stage) as a
+    conditional-min pivot — no window, no self-joins per stage — then
+    the ordered-reach condition folds left-to-right as row expressions
+    on the per-key frame (one row per key), and a second small aggregate
+    counts conversions. Two shuffles total regardless of funnel depth.
+    """
+    mins = df.groupBy(key_col).agg(
+        *[
+            F.min(F.when(F.col(stage_col) == s, F.col(ts_col))).alias(f"__t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # reach_i = t_i is not null and t_i >= reach_ts_{i-1}; carry the
+    # qualifying timestamp forward so out-of-order stages break the chain
+    reach = F.col("__t0")
+    flags = [reach.isNotNull().cast("long").alias("__r0")]
+    for i in range(1, len(stages)):
+        reach = F.when(
+            reach.isNotNull() & (F.col(f"__t{i}") >= reach), F.col(f"__t{i}")
+        )
+        flags.append(reach.isNotNull().cast("long").alias(f"__r{i}"))
+    per_key = mins.select(*flags)
+    totals = per_key.agg(
+        *[F.sum(f"__r{i}").alias(f"__n{i}") for i in range(len(stages))]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"__n{i}").alias("n_converted"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return totals.select(F.explode(stage_rows).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_converted"
+    )

@@ -1,0 +1,169 @@
+"""Round-4 operators: BPE pair counting, temperature mixture weights,
+incremental dedup, funnel conversion, blocked fuzzy join, quality bins.
+
+Each is checked against a hand-computed model on tiny frames (the
+reference's test strategy — SURVEY.md §5: small exact fixtures, no
+randomness)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_char_pair_counts(spark):
+    from polars_pipe_spark.functions.text import char_pair_counts
+
+    df = spark.createDataFrame([("ab ab x abc",), ("",)], "text string")
+    # tokens: ab, ab, x, abc → pairs ab, ab, ab, bc ("x" has none)
+    got = {r["pair"]: r["n"] for r in char_pair_counts(df, "text").collect()}
+    assert got == {"ab": 3, "bc": 1}
+
+
+def test_char_pair_counts_normalises_case_and_whitespace(spark):
+    from polars_pipe_spark.functions.text import char_pair_counts
+
+    df = spark.createDataFrame([("AB   aB\n",)], "text string")
+    got = {r["pair"]: r["n"] for r in char_pair_counts(df, "text").collect()}
+    assert got == {"ab": 2}
+
+
+def test_temperature_weights_alpha_half_and_one(spark):
+    from polars_pipe_spark.functions.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)] * 1, "src string"
+    )
+    out = {
+        r["src"]: (r["n_rows"], r["weight"])
+        for r in temperature_weights(df, "src", alpha=0.5).collect()
+    }
+    assert out["a"][0] == 9 and out["b"][0] == 1
+    # sqrt weighting: 3/(3+1), 1/(3+1)
+    assert out["a"][1] == pytest.approx(0.75)
+    assert out["b"][1] == pytest.approx(0.25)
+
+    natural = {
+        r["src"]: r["weight"]
+        for r in temperature_weights(df, "src", alpha=1.0).collect()
+    }
+    assert natural["a"] == pytest.approx(0.9)
+    # weights always normalise to 1
+    assert sum(natural.values()) == pytest.approx(1.0)
+
+
+def test_temperature_weights_budget_allocation(spark):
+    from polars_pipe_spark.functions.sampling import temperature_weights
+
+    df = spark.createDataFrame([("a",)] * 4 + [("b",)] * 1, "src string")
+    out = {
+        r["src"]: r["target_rows"]
+        for r in temperature_weights(df, "src", alpha=0.5, budget=300).collect()
+    }
+    # sqrt: 2 vs 1 → 200 vs 100
+    assert out == {"a": 200, "b": 100}
+
+
+def test_incremental_dedup_statuses(spark):
+    from polars_pipe_spark.functions.dedup import incremental_dedup
+    from polars_pipe_spark.functions.text import normalize_text
+
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new doc"),
+            (2, "Already Indexed"),
+            (3, "repeated in batch"),
+            (4, "repeated in batch"),
+        ],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [("already indexed",)], "text string"
+    ).select(F.md5(normalize_text("text")).alias("fingerprint"))
+    got = {
+        r["doc_id"]: r["dedup_status"]
+        for r in incremental_dedup(batch, index, "text", "doc_id").collect()
+    }
+    assert got == {
+        1: "new_unique",
+        2: "dup_of_index",  # normalisation folds case before fingerprinting
+        3: "new_unique",
+        4: "dup_within_batch",
+    }
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    from polars_pipe_spark.operators.windows import funnel_counts
+
+    rows = [
+        # u1 converts fully: view@1 → click@2 → buy@3
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        # u2: click BEFORE first view → click stage must not count
+        (2, 2, "click"), (2, 5, "view"),
+        # u3: view then buy but no click → chain breaks at click
+        (3, 1, "view"), (3, 2, "buy"),
+        # u4: no view at all
+        (4, 1, "click"), (4, 2, "buy"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows], "uid long, ts double, stage string"
+    )
+    out = {
+        r["stage"]: r["n_converted"]
+        for r in funnel_counts(df, "uid", "ts", "stage", ["view", "click", "buy"]).collect()
+    }
+    assert out == {"view": 3, "click": 1, "buy": 1}
+
+
+def test_funnel_counts_stage_order_column(spark):
+    from polars_pipe_spark.operators.windows import funnel_counts
+
+    df = spark.createDataFrame([(1, 1.0, "a")], "uid long, ts double, stage string")
+    out = funnel_counts(df, "uid", "ts", "stage", ["a", "b"]).collect()
+    assert [(r["stage_idx"], r["stage"]) for r in out] == [(0, "a"), (1, "b")]
+    assert [r["n_converted"] for r in out] == [1, 0]
+
+
+def test_fuzzy_join_blocks_and_distance(spark):
+    from polars_pipe_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("smith", "x"), ("smyth", "x"), ("jones", "y")], "name string, blk string"
+    )
+    right = spark.createDataFrame(
+        [("smith", "x"), ("jonez", "y"), ("smith", "y")], "rname string, blk string"
+    )
+    out = fuzzy_join(left, right, "name", "rname", "blk", "blk", max_dist=1)
+    got = {(r["left_key"], r["right_key"], r["edit_dist"]) for r in out.collect()}
+    # cross-block smith/smith (y) must NOT pair with block-x smiths
+    assert got == {
+        ("smith", "smith", 0),
+        ("smyth", "smith", 1),
+        ("jones", "jonez", 1),
+    }
+    assert set(out.columns) == {"block_key", "left_key", "right_key", "edit_dist"}
+
+
+def test_quality_bins_edges(spark):
+    from polars_pipe_spark.functions.sampling import quality_bins
+
+    df = spark.createDataFrame(
+        [(0.0, 10), (0.05, 20), (0.1, 1), (0.95, 2), (1.0, 3)],
+        "score double, ntok long",
+    )
+    out = {
+        r["bin_id"]: (r["n_docs"], r["sum_tokens"])
+        for r in quality_bins(df, "score", n_bins=10, token_col="ntok").collect()
+    }
+    # 1.0 folds into the top bin (bin 9), not a phantom bin 10
+    assert out == {0: (2, 30), 1: (1, 1), 9: (2, 5)}
+
+
+def test_quality_bins_without_tokens(spark):
+    from polars_pipe_spark.functions.sampling import quality_bins
+
+    df = spark.createDataFrame([(0.25,), (0.26,)], "score double")
+    out = quality_bins(df, "score", n_bins=4).collect()
+    assert [(r["bin_id"], r["n_docs"]) for r in out] == [(1, 2)]
