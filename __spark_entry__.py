@@ -3646,6 +3646,59 @@ def _q161_quality_bins(spark, sf):
     )
 
 
+def _q162_winnow_fingerprints(spark, sf):
+    """Winnowing (MOSS-style) local fingerprints per document: shingle
+    hashes → per-doc sliding-window minimum → distinct, reported as
+    per-doc fingerprint counts and extrema. The window partitions by
+    doc (bounded by doc length, never corpus-wide); the variant keeps
+    trailing partial windows on both engines for a total definition.
+    See functions/dedup.py::winnow_fingerprints."""
+    from polars_pipe_spark.functions.dedup import winnow_fingerprints
+
+    docs = _t_par(spark, sf, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=3, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )
+
+
+def _q163_oov_rate(spark, sf):
+    """Tokenizer-vocabulary coverage: per-document out-of-vocabulary
+    token counts against the top-500 corpus tokens (freq desc, token asc
+    — a total order, so the vocab set is deterministic). One explode
+    feeds both the vocab aggregate and the per-doc join; the vocab side
+    is broadcast (bounded). See functions/text.py::oov_stats."""
+    from polars_pipe_spark.functions.text import oov_stats, tokens
+
+    docs = _t_par(spark, sf, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(500)
+        .select("token")
+    )
+    return oov_stats(docs, "text", "doc_id", vocab)
+
+
+def _q164_centroid_similarity(spark, sf):
+    """Domain-drift report: pairwise cosine similarity between
+    per-source embedding centroids (documents⋈embeddings on id). The
+    integer-exact quantize→sum→mean pipeline is deterministic cross-
+    engine at any corpus scale — centroid components are bounded by the
+    quant unit, so no overflow cliff as groups grow. See
+    functions/similarity.py::centroid_similarity."""
+    from polars_pipe_spark.functions.similarity import centroid_similarity
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    emb = _t(spark, sf, "embeddings")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select("source", "embedding")
+    return centroid_similarity(j, "source", "embedding", quant=1000)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3812,6 +3865,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_funnel": _q159_funnel,
     "q160_fuzzy_join": _q160_fuzzy_join,
     "q161_quality_bins": _q161_quality_bins,
+    "q162_winnow_fingerprints": _q162_winnow_fingerprints,
+    "q163_oov_rate": _q163_oov_rate,
+    "q164_centroid_similarity": _q164_centroid_similarity,
 }
 
 
@@ -6438,6 +6494,89 @@ _ORACLES["q161_quality_bins"] = f"""
 _ORACLES["q161_quality_bins"] = _ORACLES["q161_quality_bins"].format(
     toks=_TOKS, sw=_in_list(_MARKERS["en"]), punct=_PUNCT_RE
 )
+
+
+# q162: same shingle fragment as q25, positions via generate_subscripts
+# (base offset cancels in the ROWS window), same 8-nibble md5 arithmetic
+# as the Spark _md5_int32 fold.
+_ORACLES["q162_winnow_fingerprints"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {_SHINGLES3} AS sh FROM tok
+    ), grams AS (
+      SELECT doc_id, generate_subscripts(sh, 1) AS pos, unnest(sh) AS gram FROM sh
+    ), hashed AS (
+      SELECT doc_id, pos, (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(gram), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(gram), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(gram), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(gram), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(gram), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(gram), 8, 1)) - 1) * 1 AS h FROM grams
+    ), fp AS (
+      SELECT DISTINCT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+      FROM hashed
+    )
+    SELECT doc_id, COUNT(*) AS n_fp,
+           MIN(fingerprint) AS min_fp, MAX(fingerprint) AS max_fp
+    FROM fp GROUP BY doc_id
+"""
+
+# q163: vocab = top-500 by (freq desc, token asc) — total order, so the
+# LIMIT boundary is deterministic; HUGEINT sums/divisions cast back.
+_ORACLES["q163_oov_rate"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token ASC LIMIT 500
+      )
+    ), per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           CAST(CASE WHEN COALESCE(per.n_tokens, 0) > 0
+                THEN (COALESCE(per.n_oov, 0) * 1000000) // per.n_tokens
+                ELSE 0 END AS BIGINT) AS oov_micros
+    FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+# q164: quantize (round half-away-from-zero — identical both engines),
+# BIGINT sums, sign-aware integer mean, dots over quant-bounded
+# centroids (double-exact at any scale), floored micro-cosine.
+_ORACLES["q164_centroid_similarity"] = """
+    WITH j AS (
+      SELECT d.source AS g, e.embedding AS v
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ), comp AS (
+      SELECT g, pos,
+             CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM (SELECT g, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM j)
+      GROUP BY g, pos
+    ), cent AS (
+      SELECT g, MAX(n) AS n_vecs,
+             list(CAST(sign(s) AS BIGINT) * CAST((abs(s) // n) AS BIGINT)
+                  ORDER BY pos) AS cvec
+      FROM comp GROUP BY g
+    ), pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.n_vecs AS n_a, b.n_vecs AS n_b,
+             CAST(list_sum(list_transform(range(1, len(a.cvec) + 1),
+                  i -> a.cvec[CAST(i AS INT)] * b.cvec[CAST(i AS INT)])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(range(1, len(a.cvec) + 1),
+                  i -> a.cvec[CAST(i AS INT)] * a.cvec[CAST(i AS INT)])) AS BIGINT) AS na,
+             CAST(list_sum(list_transform(range(1, len(b.cvec) + 1),
+                  i -> b.cvec[CAST(i AS INT)] * b.cvec[CAST(i AS INT)])) AS BIGINT) AS nb
+      FROM cent a JOIN cent b ON a.g < b.g
+    )
+    SELECT group_a, group_b, n_a, n_b, dot,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(FLOOR(CAST(dot AS DOUBLE) * 1000000.0
+                     / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))) AS BIGINT)
+                ELSE NULL END AS cos_micros
+    FROM pairs
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -605,3 +605,51 @@ def incremental_dedup(
             .alias("dedup_status"),
         )
     )
+
+
+def _md5_int32(c: Column) -> Column:
+    """First 8 md5 nibbles of a string as a BIGINT in [0, 2^32) — the
+    portable gram hash (identical strpos arithmetic reproduces it in any
+    SQL engine; no engine-specific hash function)."""
+    h = F.md5(c)
+    val = F.lit(0).cast("long")
+    for i in range(1, 9):
+        val = val * 16 + _hex_nibble_value(F.substring(h, i, 1))
+    return val
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local fingerprinting
+    scheme): hash every word ``k``-shingle, slide a window of ``w``
+    consecutive hashes over the document, and keep the minimum hash of
+    each window. Guarantees every match of length ≥ w+k-1 shingles
+    shares a fingerprint, with ~2/(w+1) selection density — the
+    position-robust alternative to whole-doc fingerprints.
+
+    Shape: posexplode of the shingle array, then a per-document sliding
+    ``min`` window (``rowsBetween(0, w-1)`` over shingle position) and a
+    distinct. The window partitions by document id — bounded by document
+    length, never corpus-wide — and the distinct shuffles (id,
+    fingerprint) pairs only. Returns (``id_col``, ``fingerprint``).
+    """
+    from pyspark.sql import Window
+
+    from polars_pipe_spark.functions.text import shingles
+
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, k)).alias("pos", "gram"),
+    ).select(F.col(id_col), "pos", _md5_int32(F.col("gram")).alias("h"))
+    win = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        g.select(F.col(id_col), F.min("h").over(win).alias("fingerprint"))
+        .distinct()
+    )

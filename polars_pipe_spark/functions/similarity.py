@@ -592,3 +592,88 @@ def pca_whiten(
             )
 
     return flat.mapInPandas(batches, f"{id_col} long, whitened array<double>")
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids
+    — the domain-drift report ("how far is src3's content from src0's")
+    a corpus owner reads per ingest.
+
+    Integer-exact pipeline (cross-engine deterministic): components
+    quantize to ``quant`` units (round-half-away-from-zero — identical
+    in Spark and any SQL engine), per-(group, position) BIGINT sums
+    reduce in ONE shuffle with map-side partials, and the centroid is
+    the sign-aware integer mean (|sum| DIV n — DIV and // agree on
+    non-negatives only, so the sign factors out first). Centroid
+    components are then bounded by ``quant`` regardless of group size,
+    so the 64-dim self/cross dots stay ≤ 64·quant² — exactly double-
+    representable at ANY corpus scale (no overflow cliff at sf≥40, the
+    q13/q147 advice lesson). The final cosine divides correctly-rounded
+    doubles, floored to micros.
+
+    The pairwise stage runs on the tiny per-group frame (one row per
+    group) — the crossJoin is a broadcast of that frame, never of data.
+    Returns (group_a, group_b, n_a, n_b, dot, cos_micros), group_a <
+    group_b.
+    """
+    comp = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("g", "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * quant).cast("long")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "g",
+            "pos",
+            "n",
+            (
+                F.signum(F.col("s")).cast("long")
+                * F.expr("abs(s) DIV n").cast("long")
+            ).alias("m"),
+        )
+    )
+    cent = comp.groupBy("g").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda st: st["m"],
+        ).alias("cvec"),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = a.crossJoin(b).where(F.col("a.g") < F.col("b.g"))
+    na = dot(F.col("a.cvec"), F.col("a.cvec"))
+    nb = dot(F.col("b.cvec"), F.col("b.cvec"))
+    d = dot(F.col("a.cvec"), F.col("b.cvec"))
+    return pairs.select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        F.col("a.n_vecs").alias("n_a"),
+        F.col("b.n_vecs").alias("n_b"),
+        d.alias("dot"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.floor(
+                d.cast("double")
+                * F.lit(1000000.0)
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("cos_micros"),
+    )

@@ -328,3 +328,40 @@ def char_pair_counts(df, text_col: str, id_col: str | None = None):
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def oov_stats(df, text_col: str, id_col: str, vocab) -> "DataFrame":
+    """Per-document out-of-vocabulary statistics against a ``vocab``
+    frame with a single ``token`` column (typically the top-k corpus
+    tokens — a tokenizer's effective vocabulary). Returns one row per
+    document: ``n_tokens``, ``n_oov``, and ``oov_micros`` (scaled
+    integer fraction — BIGINT through any cross-engine hash gate).
+
+    Shape: one explode keyed on token, a broadcast-size vocab join
+    (vocabularies are bounded — 30-100k entries — so the join never
+    shuffles the corpus side on token), and a per-document count
+    aggregate. Empty documents keep a row via the left join back onto
+    the id frame."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tagged = toks.join(
+        F.broadcast(vocab.select("token").withColumn("__in_v", F.lit(1))),
+        "token",
+        "left",
+    )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.expr("(n_oov * 1000000) DIV n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("oov_micros"),
+    )

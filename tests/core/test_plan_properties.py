@@ -426,3 +426,95 @@ class TestRound3QueryPlans:
         p = physical(self._q("q136_scd2", spark))
         assert "Window" in p
         assert "SinglePartition" not in p  # per-user lead, never global
+
+
+class TestRound4QueryPlans:
+    """Scale-shape guarantees for the round-4 queries."""
+
+    def _q(self, name, spark):
+        import __spark_entry__ as entry
+
+        return entry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_q156_bpe_pairs_topk_no_global_sort(self, spark):
+        p = physical(self._q("q156_bpe_pairs", spark))
+        # corpus-wide top-50 must plan as per-partition top-k + driver
+        # merge, never a full sort of the pair counts
+        assert "TakeOrderedAndProject" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_q157_mixture_single_corpus_aggregate(self, spark):
+        p = physical(self._q("q157_temperature_mixture", spark))
+        # one count aggregate over the corpus; the window runs over the
+        # tiny per-source frame (bounded by domain count, commented)
+        assert p.count("FileScan") == 1
+        assert "HashAggregate" in p
+
+    def test_q158_incremental_dedup_joins_on_fingerprint(self, spark):
+        p = physical(self._q("q158_incremental_dedup", spark))
+        # classification is equi-joins on the md5 fingerprint — no
+        # cartesian pair space, no text re-shuffle wider than the batch
+        assert "md5" in p.lower()
+        assert "CartesianProduct" not in p
+
+    def test_q159_funnel_two_shuffles_any_depth(self, spark):
+        p = physical(self._q("q159_funnel", spark))
+        # conditional-min pivot + final count: exactly two aggregation
+        # exchanges regardless of funnel depth, and no windows at all
+        assert "Window" not in p
+        assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+        assert "CartesianProduct" not in p
+
+    def test_q160_fuzzy_join_blocked_never_cartesian(self, spark):
+        p = physical(self._q("q160_fuzzy_join", spark))
+        # candidate pairs come from the block equi-join; levenshtein is
+        # a post-join filter, never a join condition driving a cartesian
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "levenshtein" in p.lower()
+
+    def test_q161_quality_bins_no_window_no_python(self, spark):
+        p = physical(self._q("q161_quality_bins", spark))
+        # fixed-width binning is a row expression + groupBy: no NTILE
+        # window, no single-reducer sort, JVM-side end to end
+        assert "Window" not in p
+        assert "SinglePartition" not in p or "HashAggregate" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_rerank_features_never_above_generate(self, spark):
+        """Late-materialisation guard (r4): the quality/length feature
+        regex must not sit in a projection above the Generate, where it
+        re-evaluates per exploded token row. The explode branch carries
+        only (id, term); features live in the semi-join-pruned branch."""
+        import __spark_entry__ as entry
+
+        df = entry.queries()["q129_rerank"](spark, "/root/testdata/sf0.001")
+        p = physical(df)
+        gen = re.search(r"^(\s*).*Generate explode", p, re.M)
+        assert gen is not None
+        # walk upward from the Generate: no projection containing the
+        # stopword-filter machinery (quality_score's signature) until the
+        # next exchange boundary
+        above = p[: gen.start()]
+        tail_above = above.rsplit("Exchange", 1)[-1]
+        assert "size(filter" not in tail_above
+
+    def test_q162_winnow_window_partitioned_by_doc(self, spark):
+        p = physical(self._q("q162_winnow_fingerprints", spark))
+        # sliding-min window partitions by doc id — never a global sort
+        assert re.search(r"windowspecdefinition\(doc_id", p)
+        assert "SinglePartition" not in p
+
+    def test_q163_oov_vocab_broadcast_and_topk(self, spark):
+        p = physical(self._q("q163_oov_rate", spark))
+        # vocab limit plans as TakeOrdered; the vocab join is broadcast
+        # (the corpus explode is never shuffled on token for the join)
+        assert "TakeOrderedAndProject" in p
+        assert "BroadcastExchange" in p
+
+    def test_q164_centroid_pairs_on_tiny_frame_only(self, spark):
+        p = physical(self._q("q164_centroid_similarity", spark))
+        # the only nested-loop join runs on the one-row-per-group
+        # centroid frame; corpus work is hash aggregation
+        assert "HashAggregate" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

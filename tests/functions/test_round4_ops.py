@@ -167,3 +167,72 @@ def test_quality_bins_without_tokens(spark):
     df = spark.createDataFrame([(0.25,), (0.26,)], "score double")
     out = quality_bins(df, "score", n_bins=4).collect()
     assert [(r["bin_id"], r["n_docs"]) for r in out] == [(1, 2)]
+
+
+def test_winnow_fingerprints_selects_window_minima(spark):
+    from polars_pipe_spark.functions.dedup import _md5_int32, winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    out = winnow_fingerprints(df, "text", "doc_id", k=3, w=2).collect()
+    # shingles: "a b c","b c d","c d e","d e f","e f g"; windows of 2 →
+    # min of each adjacent hash pair, distinct
+    hs = [
+        spark.range(1).select(_md5_int32(F.lit(s)).alias("h")).first()["h"]
+        for s in ["a b c", "b c d", "c d e", "d e f", "e f g"]
+    ]
+    expect = {min(hs[i], hs[j]) for i, j in [(0, 1), (1, 2), (2, 3), (3, 4)]}
+    expect.add(hs[4])  # trailing partial window
+    assert {r["fingerprint"] for r in out} == expect
+
+
+def test_winnow_shared_fingerprint_for_shared_run(spark):
+    from polars_pipe_spark.functions.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(1, "x y " + shared), (2, shared + " q r")],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(df, "text", "doc_id", k=3, w=4)
+    a = {r["fingerprint"] for r in fp.filter("doc_id = 1").collect()}
+    b = {r["fingerprint"] for r in fp.filter("doc_id = 2").collect()}
+    # the winnowing guarantee: a long shared run yields ≥1 common print
+    assert a & b
+
+
+def test_oov_stats(spark):
+    from polars_pipe_spark.functions.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "unk1 unk2 the"), (3, "")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("the",), ("cat",), ("sat",)], "token string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_micros"])
+        for r in oov_stats(docs, "text", "doc_id", vocab).collect()
+    }
+    assert out[1] == (3, 0, 0)
+    assert out[2] == (3, 2, 666666)
+    assert out[3] == (0, 0, 0)  # empty doc keeps its row
+
+
+def test_centroid_similarity_exact_geometry(spark):
+    from polars_pipe_spark.functions.similarity import centroid_similarity
+
+    rows = [
+        ("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+        ("b", [0.0, 1.0]),
+        ("c", [1.0, 0.0]),
+        ("z", [0.0, 0.0]),  # zero centroid → null cosine, not NaN/error
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<float>")
+    out = {
+        (r["group_a"], r["group_b"]): (r["cos_micros"], r["n_a"], r["n_b"])
+        for r in centroid_similarity(df, "g", "v").collect()
+    }
+    assert out[("a", "b")][0] == 0          # orthogonal
+    assert out[("a", "c")] == (1000000, 2, 1)  # identical direction
+    assert out[("b", "c")][0] == 0
+    assert out[("a", "z")][0] is None       # zero-norm guarded
+    assert len(out) == 6
