@@ -3699,6 +3699,77 @@ def _q164_centroid_similarity(spark, sf):
     return centroid_similarity(j, "source", "embedding", quant=1000)
 
 
+def _q165_exact_quantiles(spark, sf):
+    """EXACT p25/p50/p75 of lineitem extended price by distributed
+    selection (operators/aggregates.py::exact_quantiles) — histogram
+    narrowing, never a global sort or one-reducer percentile. The
+    result is an order statistic (an actual element at rank
+    floor((n-1)·q)), so the oracle reproduces it with a plain sorted
+    row_number lookup, independent of the algorithm."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    res = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    rows = [
+        (int(round(q * 1_000_000)), int(rank), float(val))
+        for q, (rank, val) in sorted(res.items())
+    ]
+    return spark.createDataFrame(
+        rows, "q_ppm long, rank long, value double"
+    )
+
+
+def _q166_stream_enrich(spark, sf):
+    """Stream-static enrichment: the events stream joins a static
+    per-user dimension (acctbal-derived segment of the matching
+    customer row) each micro-batch, then aggregates value by segment —
+    the canonical streaming fact⋈dim shape. Runs as a REAL Structured
+    Streaming query (file source, availableNow, memory sink); the
+    oracle is the batch twin in SQL. Unmatched users keep their rows
+    (left join) under a 'none' segment."""
+    import tempfile
+
+    from polars_pipe_spark.sources.tables import _nanos_cols
+    from polars_pipe_spark.streaming.pipeline import stream_static_enrich
+
+    path = f"{sf}/events.parquet"
+    batch = _t(spark, sf, "events")
+    if _nanos_cols(path) or not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_enrich_src_") + "/events"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = tz_normalise(spark.readStream.schema(schema).parquet(path))
+    dim = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    enriched = stream_static_enrich(stream, dim, "user_id", how="left")
+    agg = (
+        enriched.groupBy(F.coalesce("segment", F.lit("none")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = "pps_enrich_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3868,6 +3939,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q162_winnow_fingerprints": _q162_winnow_fingerprints,
     "q163_oov_rate": _q163_oov_rate,
     "q164_centroid_similarity": _q164_centroid_similarity,
+    "q165_exact_quantiles": _q165_exact_quantiles,
+    "q166_stream_enrich": _q166_stream_enrich,
 }
 
 
@@ -6576,6 +6649,44 @@ _ORACLES["q164_centroid_similarity"] = """
                      / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))) AS BIGINT)
                 ELSE NULL END AS cos_micros
     FROM pairs
+"""
+
+
+# q165: result is an order statistic — algorithm-independent; the
+# oracle looks it up from a sorted row_number (ties map to the same
+# VALUE, so tie order is irrelevant).
+_ORACLES["q165_exact_quantiles"] = """
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v
+    ), n AS (SELECT COUNT(*) AS n FROM v)
+    SELECT q_ppm, rk AS rank, x AS value
+    FROM (
+      SELECT CAST(250000 AS BIGINT) AS q_ppm,
+             CAST(FLOOR((n.n - 1) * 0.25) AS BIGINT) AS want FROM n
+      UNION ALL
+      SELECT CAST(500000 AS BIGINT), CAST(FLOOR((n.n - 1) * 0.5) AS BIGINT) FROM n
+      UNION ALL
+      SELECT CAST(750000 AS BIGINT), CAST(FLOOR((n.n - 1) * 0.75) AS BIGINT) FROM n
+    ) targets
+    JOIN r ON r.rk = targets.want
+"""
+
+# q166: batch twin of the stream-static enrichment.
+_ORACLES["q166_stream_enrich"] = """
+    WITH dim AS (
+      SELECT c_custkey AS user_id,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS segment
+      FROM customer
+    )
+    SELECT COALESCE(segment, 'none') AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events LEFT JOIN dim USING (user_id)
+    GROUP BY 1
 """
 
 

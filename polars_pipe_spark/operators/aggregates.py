@@ -215,3 +215,99 @@ def grouped_pandas_stats(
         )
 
     return df.groupBy(*group_cols).applyInPandas(stats, schema)
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    n_buckets: int = 10_000,
+    direct_threshold: int = 100_000,
+) -> dict[float, tuple[int, float]]:
+    """EXACT order statistics without a global sort — distributed
+    selection by iterative histogram narrowing.
+
+    For each q the target is the 0-based rank ``floor((n-1)*q)`` (the
+    'lower' discrete quantile — an actual element, so any engine that
+    sorts the column agrees on the value). Rather than sorting n rows
+    through a single reducer (``percentile``/NTILE — the one-reducer
+    shape this repo bans), each round runs ONE aggregate job: an
+    equi-width histogram of ``n_buckets`` counts, the driver locates the
+    bucket containing the rank from the ≤n_buckets cumulative counts,
+    and the next round recurses into that bucket. Ranges shrink by
+    ~n_buckets× per round — ceil(log_10000 n) rounds (3 aggregate scans
+    at a trillion rows), then a TakeOrdered top-(k+1) finishes inside
+    the ≤``direct_threshold``-row bucket. Constant-value buckets
+    short-circuit (skew-proof: a million copies of one value resolve
+    without enumeration).
+
+    Returns {q: (rank, value)}. Scale notes: every job is a full-scan
+    aggregate with map-side partials; the per-round filter is a plain
+    range predicate, so it pushes down to parquet min/max stats and
+    later rounds often skip row groups entirely.
+    """
+    import math
+
+    base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n = base.count()
+    out: dict[float, tuple[int, float]] = {}
+    for q in qs:
+        if n == 0:
+            out[float(q)] = (0, None)
+            continue
+        k = int(math.floor((n - 1) * q))
+        out[float(q)] = (k, _select_rank(base, k, n_buckets, direct_threshold))
+    return out
+
+
+def _select_rank(
+    base: DataFrame, k: int, n_buckets: int, direct_threshold: int
+) -> float:
+    cur, cur_k = base, k
+    while True:
+        n_cur, lo, hi = cur.agg(
+            F.count(F.lit(1)), F.min("__v"), F.max("__v")
+        ).first()
+        if lo == hi:
+            return lo
+        if n_cur <= direct_threshold:
+            # bounded TakeOrdered: top-(k+1) of a ≤threshold-row frame
+            return (
+                cur.orderBy("__v")
+                .limit(cur_k + 1)
+                .agg(F.max("__v"))
+                .first()[0]
+            )
+        width = (float(hi) - float(lo)) / n_buckets
+        if width <= 0.0:  # denormal-narrow range: finish directly
+            return (
+                cur.orderBy("__v").limit(cur_k + 1).agg(F.max("__v")).first()[0]
+            )
+        b_expr = F.least(
+            F.floor((F.col("__v") - float(lo)) / width).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        )
+        hist = sorted(
+            (r["b"], r["c"])
+            for r in cur.groupBy(b_expr.alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        seen = 0
+        for b, c in hist:
+            if seen + c > cur_k:
+                cur_k -= seen
+                # membership must use the IDENTICAL bucket expression the
+                # histogram counted with — a reconstructed range predicate
+                # can disagree at float boundaries and silently lose rows.
+                # The one-bucket-slack range conjunct is a strict superset
+                # under any rounding; it exists only so parquet min/max
+                # row-group pruning applies on later rounds.
+                cond = (
+                    (F.col("__v") >= float(lo) + (b - 1) * width)
+                    & (F.col("__v") <= float(lo) + (b + 2) * width)
+                    & (b_expr == b)
+                )
+                cur = cur.filter(cond)
+                break
+            seen += c

