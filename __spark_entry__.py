@@ -3770,6 +3770,59 @@ def _q166_stream_enrich(spark, sf):
     return spark.table(name)
 
 
+def _q167_lineage_hash_props(spark, sf):
+    """Oracle-checkable PROPERTY twin of q12 (L1 row hash is xxhash64 —
+    its VALUES have no DuckDB reproduction, but its invariants do):
+    totality (no null hashes), collision-freeness on distinct supplier
+    rows, and determinism under repartitioning (the hash is a pure
+    content function, so a differently-partitioned recompute must agree
+    row for row). The oracle asserts the booleans as literals over the
+    same row count."""
+    from polars_pipe_spark.operators.transform import add_hash_col
+
+    df = _t(spark, sf, "supplier")
+    h1 = add_hash_col(df).select("s_suppkey", F.col("sys_col_row_hash").alias("h1"))
+    h2 = add_hash_col(df.repartition(8)).select(
+        "s_suppkey", F.col("sys_col_row_hash").alias("h2")
+    )
+    j = h1.join(h2, "s_suppkey")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bool_and(F.col("h1").isNotNull()).alias("hash_total"),
+        F.bool_and(F.col("h1") == F.col("h2")).alias("deterministic"),
+        (F.count_distinct(F.col("h1")) == F.count(F.lit(1))).alias(
+            "collision_free"
+        ),
+    )
+
+
+def _q168_pq_topk(spark, sf):
+    """Product-quantization ANN (IVF-PQ's compression half): corpus
+    vectors encode to 8 sub-space codes against codebooks pinned to the
+    first 16 stored vectors (the production flow trains them on a
+    sample and persists them — q137's pretrained-quantiser pattern),
+    queries score by asymmetric distance against RECONSTRUCTED
+    codewords, top-5 per query. Encoding is a mapper-only literal
+    projection — at 100 TB the encode pass joins nothing and the ADC
+    scan reads m bytes per vector, not the full float vector. The
+    16-row codebook collect is bounded and documented."""
+    from polars_pipe_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][s * 8 : (s + 1) * 8]] for r in cb_rows]
+        for s in range(8)
+    ]
+    queries = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, "embedding", "vec_id", "query_id", codebooks, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3941,6 +3994,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_centroid_similarity": _q164_centroid_similarity,
     "q165_exact_quantiles": _q165_exact_quantiles,
     "q166_stream_enrich": _q166_stream_enrich,
+    "q167_lineage_hash_props": _q167_lineage_hash_props,
+    "q168_pq_topk": _q168_pq_topk,
 }
 
 
@@ -6687,6 +6742,73 @@ _ORACLES["q166_stream_enrich"] = """
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events LEFT JOIN dim USING (user_id)
     GROUP BY 1
+"""
+
+
+# q167: the hash-invariant booleans are engine-computable facts about
+# ANY total deterministic collision-free hash — the oracle asserts them
+# over the same row count.
+_ORACLES["q167_lineage_hash_props"] = """
+    SELECT COUNT(*) AS n_rows, TRUE AS hash_total,
+           TRUE AS deterministic, TRUE AS collision_free
+    FROM supplier
+"""
+
+
+# q168: codebooks computed from the same pinned rows (vec_id < 16) the
+# Spark side collects; encode argmin via dist-ordered row_number (ties
+# to lowest codeword = Spark's first-min array_position); ADC folds
+# subspaces and components left-to-right exactly like the Spark chain
+# (list_sum starts at 0; 0+x = x, so the fold orders agree).
+_ORACLES["q168_pq_topk"] = """
+    WITH cb AS (
+      SELECT CAST(vec_id AS INT) AS j, CAST(ss.s AS INT) AS s,
+             list_transform(embedding[(ss.s*8+1):(ss.s*8+8)],
+                            x -> CAST(x AS DOUBLE)) AS cw
+      FROM embeddings, (SELECT unnest(range(8)) AS s) ss
+      WHERE vec_id < 16
+    ), corp AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), enc AS (
+      SELECT neighbor_id, s, j AS code FROM (
+        SELECT c.neighbor_id, cb.s, cb.j,
+               row_number() OVER (
+                 PARTITION BY c.neighbor_id, cb.s
+                 ORDER BY list_sum(list_transform(range(1, 9), i ->
+                   (c.v[CAST(cb.s*8+i AS INT)] - cb.cw[CAST(i AS INT)])
+                   * (c.v[CAST(cb.s*8+i AS INT)] - cb.cw[CAST(i AS INT)]))) ASC,
+                 cb.j ASC) AS rn
+        FROM corp c CROSS JOIN cb
+      ) WHERE rn = 1
+    ), enc2 AS (
+      SELECT neighbor_id, list(code ORDER BY s) AS code FROM enc GROUP BY neighbor_id
+    ), cbl AS (
+      SELECT list(cw ORDER BY s * 16 + j) AS flat FROM cb
+    ), q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id >= 16 AND vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, e.neighbor_id,
+             ROUND(list_sum(list_transform(range(8), s ->
+               list_sum(list_transform(range(1, 9), i ->
+                 (q.qv[CAST(s*8+i AS INT)]
+                  - cbl.flat[CAST(s*16 + e.code[CAST(s+1 AS INT)] + 1 AS INT)][CAST(i AS INT)])
+                 * (q.qv[CAST(s*8+i AS INT)]
+                  - cbl.flat[CAST(s*16 + e.code[CAST(s+1 AS INT)] + 1 AS INT)][CAST(i AS INT)])
+               ))
+             )), 9) AS adc_dist
+      FROM enc2 e CROSS JOIN q CROSS JOIN cbl
+    )
+    SELECT query_id, neighbor_id, adc_dist, rk FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 5
 """
 
 

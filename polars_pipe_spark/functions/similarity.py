@@ -677,3 +677,120 @@ def centroid_similarity(
         .otherwise(F.lit(None).cast("long"))
         .alias("cos_micros"),
     )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (a_i - b_i)² as an ordered double fold (deterministic — both
+    engines reduce positions left to right)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``m = len(codebooks)`` subvectors and store, per subspace, the index
+    of the nearest codeword (squared L2, ties to the lowest index) —
+    the memory layout behind billion-vector ANN (an m-byte code replaces
+    a 4·d-byte vector).
+
+    ``codebooks[s][j]`` is codeword ``j`` of subspace ``s`` (a
+    driver-known, bounded m×k×dsub table — train it on a sample or pin
+    it from stored centroids). It is inlined as LITERALS, so encoding is
+    a mapper-only projection: no join, no shuffle, no broadcast wait —
+    the 100 TB encode pass is embarrassingly parallel and whole-stage
+    codegen'd. Appends ``pq_code`` (array<int>, one code per subspace).
+
+    Argmin ties break to the first (lowest) codeword index on any
+    engine: the min VALUE is an element of the distance array, so exact
+    equality lookup finds its first occurrence.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    codes = []
+    for s in range(m):
+        sub = F.transform(
+            F.slice(v, s * dsub + 1, dsub), lambda x: x.cast("double")
+        )
+        dists = F.array(
+            *[_sq_l2(sub, _lit_vec(cw)) for cw in codebooks[s]]
+        )
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn("pq_code", F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision and scores against each corpus vector's RECONSTRUCTED
+    subvectors — approx_dist = Σ_s ||q_s − codeword(code_s)||².
+
+    Shape: the bounded query batch broadcasts against the (tiny) encoded
+    code column — the corpus' full vectors are NOT read by the scoring
+    pass (that is the point of PQ: at 100 TB the scan touches m bytes
+    per vector, not 4·d). Codewords come from the same inlined literal
+    table as :func:`pq_encode`; the per-pair sum explodes the m codes
+    and reduces with map-side partials; the final top-k is a per-query
+    rank window over candidates (ties by neighbor id).
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = pq_encode(corpus, vec_col, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    pairs = enc.crossJoin(F.broadcast(q))
+    cb_lit = F.array(
+        *[F.array(*[_lit_vec(cw) for cw in codebooks[s]]) for s in range(m)]
+    )
+    # Σ_s as an EXPLICIT left-to-right chain of per-subspace terms — an
+    # explode + groupBy sum would add the doubles in shuffle order,
+    # which is nondeterministic and can never match a SQL oracle; the
+    # fixed chain evaluates identically on any engine.
+    total = None
+    for s in range(m):
+        qsub = F.transform(
+            F.slice(F.col("qv"), s * dsub + 1, dsub),
+            lambda x: x.cast("double"),
+        )
+        cw = F.element_at(
+            F.element_at(cb_lit, s + 1),
+            F.element_at(F.col("pq_code"), s + 1) + 1,
+        )
+        term = _sq_l2(qsub, cw)
+        total = term if total is None else total + term
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(total, 9).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )

@@ -293,3 +293,79 @@ def test_stream_static_enrich_batch_twin(spark):
     got = {(r["uid"], r["seg"], r["v"]) for r in out.collect()}
     assert (99, None, 7.0) in got  # left join keeps unmatched facts
     assert len(got) == 4
+
+
+def test_pq_encode_picks_nearest_codeword(spark):
+    from polars_pipe_spark.functions.similarity import pq_encode
+
+    # 2 subspaces of 2 dims; codebooks with known geometry
+    codebooks = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[5.0, 5.0], [0.0, 0.0], [5.0, 5.0]],  # duplicate codeword: tie → lowest j
+    ]
+    df = spark.createDataFrame(
+        [(1, [9.0, 9.0, 4.9, 4.9]), (2, [1.0, 0.0, 0.1, 0.0])],
+        "id long, v array<float>",
+    )
+    got = {r["id"]: r["pq_code"] for r in pq_encode(df, "v", codebooks).collect()}
+    assert got[1] == [1, 0]  # near (10,10); (4.9,4.9) ties to j=0 not j=2
+    assert got[2] == [0, 1]
+
+
+def test_pq_topk_adc_matches_brute_force_on_codes(spark):
+    import itertools
+
+    from polars_pipe_spark.functions.similarity import pq_encode, pq_topk
+
+    rng_vals = [[((i * 7 + d * 3) % 11) / 11.0 for d in range(4)] for i in range(12)]
+    codebooks = [
+        [[0.1, 0.2], [0.7, 0.8], [0.4, 0.5]],
+        [[0.9, 0.1], [0.2, 0.6]],
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vals)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(100, rng_vals[0]), (101, rng_vals[5])],
+        "query_id long, embedding array<float>",
+    )
+    got = pq_topk(
+        corpus, queries, "embedding", "vec_id", "query_id", codebooks, k=3
+    ).collect()
+    # python model: encode, then ADC distance, same tie rules
+    codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(corpus, "embedding", codebooks).collect()
+    }
+    def adc(qv, code):
+        tot = 0.0
+        for s in range(2):
+            cw = codebooks[s][code[s]]
+            tot += sum((float(qv[s * 2 + i]) - cw[i]) ** 2 for i in range(2))
+        return round(tot, 9)
+    for qid, qv in [(100, rng_vals[0]), (101, rng_vals[5])]:
+        model = sorted(
+            ((adc(qv, codes[n]), n) for n in codes), key=lambda t: (t[0], t[1])
+        )[:3]
+        mine = sorted(
+            [(r["adc_dist"], r["neighbor_id"]) for r in got if r["query_id"] == qid]
+        )
+        assert [(round(d, 6), n) for d, n in mine] == [
+            (round(d, 6), n) for d, n in model
+        ], qid
+
+
+def test_pq_encode_is_mapper_only(spark):
+    from polars_pipe_spark.functions.similarity import pq_encode
+
+    codebooks = [[[0.0] * 8 for _ in range(4)] for _ in range(8)]
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        pq_encode(df, "embedding", codebooks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the literal-inlined encode must add NO join and NO shuffle
+    assert "Exchange" not in plan
+    assert "Join" not in plan
