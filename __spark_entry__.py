@@ -3823,6 +3823,31 @@ def _q168_pq_topk(spark, sf):
     return pq_topk(emb, queries, "embedding", "vec_id", "query_id", codebooks, k=5)
 
 
+def _q169_bpe_train(spark, sf):
+    """BPE tokenizer training (8 merge rounds) as an oracle-checkable
+    PROPERTY query: the iterative loop itself is not SQL-expressible
+    (driver-fold over per-round aggregates, the q33 pattern), but its
+    first merge IS — it must equal the corpus' top weighted char pair
+    (cnt desc, left asc, right asc) — and the chosen counts must be
+    non-increasing (a merge's derived pairs occur at most as often as
+    the merge). See functions/text.py::bpe_train."""
+    from polars_pipe_spark.functions.text import bpe_train
+
+    docs = _t_par(spark, sf, "documents")
+    merges = bpe_train(docs, "text", n_merges=8)
+    noninc = all(
+        merges[i][2] >= merges[i + 1][2] for i in range(len(merges) - 1)
+    )
+    row = [
+        (merges[0][0], merges[0][1], merges[0][2], len(merges), bool(noninc))
+    ]
+    return spark.createDataFrame(
+        row,
+        "first_left string, first_right string, first_count long, "
+        "n_merges long, counts_nonincreasing boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3996,6 +4021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q166_stream_enrich": _q166_stream_enrich,
     "q167_lineage_hash_props": _q167_lineage_hash_props,
     "q168_pq_topk": _q168_pq_topk,
+    "q169_bpe_train": _q169_bpe_train,
 }
 
 
@@ -6809,6 +6835,26 @@ _ORACLES["q168_pq_topk"] = """
                ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rk
       FROM scored
     ) WHERE rk <= 5
+"""
+
+
+# q169: first BPE merge = argmax weighted char pair (total tie order);
+# the loop's monotonicity property asserts as a literal.
+_ORACLES["q169_bpe_train"] = f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+    ), pairs AS (
+      SELECT substring(w, CAST(i AS INT), 1) AS l,
+             substring(w, CAST(i + 1 AS INT), 1) AS r,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM wf)
+      GROUP BY 1, 2
+    )
+    SELECT l AS first_left, r AS first_right, cnt AS first_count,
+           CAST(8 AS BIGINT) AS n_merges, TRUE AS counts_nonincreasing
+    FROM pairs ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
 """
 
 

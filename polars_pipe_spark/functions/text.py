@@ -365,3 +365,76 @@ def oov_stats(df, text_col: str, id_col: str, vocab) -> "DataFrame":
         .cast("long")
         .alias("oov_micros"),
     )
+
+
+def bpe_train(df, text_col: str, n_merges: int = 10) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges (Sennrich-style) and return them as
+    [(left, right, pair_count)] in merge order.
+
+    The classic formulation runs on the distinct-WORD frequency table,
+    not the corpus: one corpus-scale aggregate builds (word, freq), and
+    every later round touches only that table (distinct words ≪ corpus
+    — millions of rows at 100 TB, safely distributed). Per round: ONE
+    aggregate counts adjacent symbol pairs weighted by word frequency
+    (map-side combined), the argmax merge comes back as a bounded
+    1-row TakeOrdered collect (ties: count desc, left asc, right asc —
+    total order), and a pure array-fold expression applies the merge
+    leftmost-non-overlapping to every symbol sequence.
+    ``localCheckpoint`` truncates the plan each round — without it the
+    fold nests n_merges deep and codegen blows up (the q63
+    label-propagation lesson).
+
+    Merge-count monotonicity (each chosen count ≤ the previous — new
+    pairs created by a merge can occur at most as often as the merge
+    itself) is the oracle-checkable property q169 asserts.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("seq", F.split(F.col("w"), ""))
+        .select("freq", "seq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(seq) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(seq) - 1), "
+                        "i -> struct(element_at(seq, i) AS l, element_at(seq, i + 1) AS r)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((l, r, cnt))
+        merged = l + r
+        words = words.withColumn(
+            "seq",
+            F.aggregate(
+                F.col("seq"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()
+    return merges

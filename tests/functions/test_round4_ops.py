@@ -369,3 +369,37 @@ def test_pq_encode_is_mapper_only(spark):
     # the literal-inlined encode must add NO join and NO shuffle
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bpe_train_hand_computed(spark):
+    from polars_pipe_spark.functions.text import bpe_train
+
+    # corpus: "low low low lower" → word freqs {low:3, lower:1}
+    # pair counts r1: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1 → tie → (l,o)
+    # r2: lo+w → (lo,w)=4 ; r3: (low,e)=1 vs (e,r)=1 → (e,r)
+    df = spark.createDataFrame([("low low low lower",)], "text string")
+    merges = bpe_train(df, "text", n_merges=3)
+    assert merges[0] == ("l", "o", 4)
+    assert merges[1] == ("lo", "w", 4)
+    assert merges[2] == ("e", "r", 1)
+
+
+def test_bpe_merge_apply_is_leftmost_nonoverlapping(spark):
+    from polars_pipe_spark.functions.text import bpe_train
+
+    # "aaaa": (a,a) count = 3; after merge the word is [aa, aa] so the
+    # next round's top pair must be (aa, aa) with count 1
+    df = spark.createDataFrame([("aaaa",)], "text string")
+    merges = bpe_train(df, "text", n_merges=2)
+    assert merges[0] == ("a", "a", 3)
+    assert merges[1] == ("aa", "aa", 1)
+
+
+def test_bpe_train_counts_nonincreasing_on_real_text(spark):
+    from polars_pipe_spark.functions.text import bpe_train
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    merges = bpe_train(df, "text", n_merges=5)
+    counts = [c for _, _, c in merges]
+    assert counts == sorted(counts, reverse=True)
+    assert len(merges) == 5
