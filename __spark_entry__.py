@@ -3848,6 +3848,34 @@ def _q169_bpe_train(spark, sf):
     )
 
 
+def _q170_trimmed_mean(spark, sf):
+    """Robust price statistic: mean of l_extendedprice inside the exact
+    [p05, p95] order-statistic band — thresholds from the distributed
+    histogram-narrowing selection (q165), then ONE aggregate over the
+    band. All-BIGINT projection: cents via ROUND (fixes double
+    representation error identically on both engines), mean as
+    milli-units by integer division. The oracle reproduces the
+    thresholds as sorted row_number lookups — algorithm-independent.
+    operators/aggregates.py::trimmed_mean is the double-API twin."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    qs = exact_quantiles(li, "l_extendedprice", [0.05, 0.95])
+    lo, hi = qs[0.05][1], qs[0.95][1]
+    c = F.col("l_extendedprice")
+    cents = F.round(c * 100).cast("long")
+    return (
+        li.filter(c.isNotNull() & (c >= lo) & (c <= hi))
+        .agg(
+            F.round(F.lit(lo) * 100).cast("long").alias("lo_cents"),
+            F.round(F.lit(hi) * 100).cast("long").alias("hi_cents"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .withColumn("mean_milli", F.expr("(sum_cents * 10) DIV n_kept"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4022,6 +4050,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_lineage_hash_props": _q167_lineage_hash_props,
     "q168_pq_topk": _q168_pq_topk,
     "q169_bpe_train": _q169_bpe_train,
+    "q170_trimmed_mean": _q170_trimmed_mean,
 }
 
 
@@ -6855,6 +6884,29 @@ _ORACLES["q169_bpe_train"] = f"""
     SELECT l AS first_left, r AS first_right, cnt AS first_count,
            CAST(8 AS BIGINT) AS n_merges, TRUE AS counts_nonincreasing
     FROM pairs ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+"""
+
+
+# q170: thresholds are order statistics (rank lookup); band aggregate
+# in exact integer cents; HUGEINT sums/divisions cast back.
+_ORACLES["q170_trimmed_mean"] = """
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v
+    ), n AS (SELECT COUNT(*) AS n FROM v
+    ), th AS (
+      SELECT
+        (SELECT x FROM r, n WHERE rk = CAST(FLOOR((n.n - 1) * 0.05) AS BIGINT)) AS lo,
+        (SELECT x FROM r, n WHERE rk = CAST(FLOOR((n.n - 1) * 0.95) AS BIGINT)) AS hi
+    )
+    SELECT CAST(ROUND(th.lo * 100) AS BIGINT) AS lo_cents,
+           CAST(ROUND(th.hi * 100) AS BIGINT) AS hi_cents,
+           COUNT(*) AS n_kept,
+           CAST(SUM(CAST(ROUND(x * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST((CAST(SUM(CAST(ROUND(x * 100) AS BIGINT)) AS BIGINT) * 10) // COUNT(*) AS BIGINT) AS mean_milli
+    FROM v, th WHERE x >= th.lo AND x <= th.hi
+    GROUP BY th.lo, th.hi
 """
 
 

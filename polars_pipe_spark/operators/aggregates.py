@@ -311,3 +311,35 @@ def _select_rank(
                 cur = cur.filter(cond)
                 break
             seen += c
+
+
+def trimmed_mean(
+    df: DataFrame,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> tuple[float, float, int, float]:
+    """Trimmed mean without a global sort: the trim thresholds are EXACT
+    order statistics from :func:`exact_quantiles` (histogram-narrowing
+    selection), then one aggregate averages the in-range values with a
+    DECIMAL sum (addition-order independent — a double sum would change
+    with partitioning). Returns (lo_val, hi_val, n_kept, mean).
+
+    The thresholds being actual elements makes the whole statistic
+    engine-independent: any system that sorts the column and averages
+    the same closed range reproduces it bit-for-bit.
+    """
+    qs = exact_quantiles(df, col, [lo_q, hi_q])
+    lo_val, hi_val = qs[lo_q][1], qs[hi_q][1]
+    c = F.col(col)
+    row = (
+        df.filter(c.isNotNull() & (c >= lo_val) & (c <= hi_val))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(c.cast("decimal(28,6)")) / F.count(F.lit(1))
+            ).cast("double").alias("mean"),
+        )
+        .first()
+    )
+    return float(lo_val), float(hi_val), int(row["n"]), float(row["mean"])

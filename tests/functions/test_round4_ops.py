@@ -403,3 +403,19 @@ def test_bpe_train_counts_nonincreasing_on_real_text(spark):
     counts = [c for _, _, c in merges]
     assert counts == sorted(counts, reverse=True)
     assert len(merges) == 5
+
+
+def test_trimmed_mean_excludes_tails(spark):
+    from polars_pipe_spark.operators.aggregates import trimmed_mean
+
+    vals = [1000.0] + [float(i) for i in range(10, 110)] + [-999.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, n, mean = trimmed_mean(df, "x", lo_q=0.05, hi_q=0.95)
+    s = sorted(vals)
+    assert lo == s[int((len(s) - 1) * 0.05)]
+    assert hi == s[int((len(s) - 1) * 0.95)]
+    kept = [v for v in vals if lo <= v <= hi]
+    assert n == len(kept)
+    assert mean == pytest.approx(sum(kept) / len(kept))
+    # the outliers are gone from the band
+    assert not (lo <= 1000.0 <= hi) and not (lo <= -999.0 <= hi)
