@@ -3694,7 +3694,7 @@ def _q164_centroid_similarity(spark, sf):
     from polars_pipe_spark.functions.similarity import centroid_similarity
 
     docs = _t(spark, sf, "documents").select("doc_id", "source")
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_par(spark, sf, "embeddings")
     j = emb.join(docs, emb.vec_id == docs.doc_id).select("source", "embedding")
     return centroid_similarity(j, "source", "embedding", quant=1000)
 
@@ -3808,7 +3808,7 @@ def _q168_pq_topk(spark, sf):
     16-row codebook collect is bounded and documented."""
     from polars_pipe_spark.functions.similarity import pq_topk
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_par(spark, sf, "embeddings")
     cb_rows = sorted(
         emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],

@@ -49,6 +49,13 @@ HEADLINE = [
     "q129_rerank",
     "q131_unigram_logprob",
     "q132_span_dedup",
+    # round-4 heavy additions: BPE pair stats, incremental dedup gate,
+    # winnowing fingerprints, distributed exact selection, PQ/ADC search
+    "q156_bpe_pairs",
+    "q158_incremental_dedup",
+    "q162_winnow_fingerprints",
+    "q165_exact_quantiles",
+    "q168_pq_topk",
 ]
 
 

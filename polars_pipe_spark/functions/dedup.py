@@ -609,13 +609,12 @@ def incremental_dedup(
 
 def _md5_int32(c: Column) -> Column:
     """First 8 md5 nibbles of a string as a BIGINT in [0, 2^32) — the
-    portable gram hash (identical strpos arithmetic reproduces it in any
-    SQL engine; no engine-specific hash function)."""
-    h = F.md5(c)
-    val = F.lit(0).cast("long")
-    for i in range(1, 9):
-        val = val * 16 + _hex_nibble_value(F.substring(h, i, 1))
-    return val
+    portable gram hash. Spark evaluates it as ONE ``conv(hex,16,10)``
+    call (measurably cheaper than an 8-step substring/strpos chain on
+    multi-million-gram explodes); a SQL oracle without conv() reproduces
+    the identical VALUE with per-nibble strpos arithmetic — parity is on
+    the number, not the expression."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
 def winnow_fingerprints(

@@ -249,15 +249,56 @@ def exact_quantiles(
     import math
 
     base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
-    n = base.count()
+    # shared first round: one stats job + one histogram job serve ALL
+    # requested quantiles; only the (rare) per-bucket recursion diverges.
+    n, lo, hi = base.agg(
+        F.count(F.lit(1)), F.min("__v"), F.max("__v")
+    ).first()
     out: dict[float, tuple[int, float]] = {}
-    for q in qs:
-        if n == 0:
-            out[float(q)] = (0, None)
-            continue
-        k = int(math.floor((n - 1) * q))
-        out[float(q)] = (k, _select_rank(base, k, n_buckets, direct_threshold))
+    if n == 0:
+        return {float(q): (0, None) for q in qs}
+    ranks = {float(q): int(math.floor((n - 1) * q)) for q in qs}
+    if lo == hi:
+        return {q: (k, lo) for q, k in ranks.items()}
+    width = (float(hi) - float(lo)) / n_buckets
+    if width <= 0.0 or n <= direct_threshold:
+        for q, k in ranks.items():
+            out[q] = (k, _take_rank(base, k))
+        return out
+    b_expr = F.least(
+        F.floor((F.col("__v") - float(lo)) / width).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in base.groupBy(b_expr.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for q, k in ranks.items():
+        seen = 0
+        for b, c in hist:
+            if seen + c > k:
+                cond = (
+                    (F.col("__v") >= float(lo) + (b - 1) * width)
+                    & (F.col("__v") <= float(lo) + (b + 2) * width)
+                    & (b_expr == b)
+                )
+                out[q] = (
+                    k,
+                    _select_rank(
+                        base.filter(cond), k - seen, n_buckets, direct_threshold
+                    ),
+                )
+                break
+            seen += c
     return out
+
+
+def _take_rank(cur: DataFrame, k: int) -> float:
+    """Element at 0-based rank k of a bounded frame: TakeOrdered
+    top-(k+1), then its max — one driver row, never a full sort."""
+    return cur.orderBy("__v").limit(k + 1).agg(F.max("__v")).first()[0]
 
 
 def _select_rank(
@@ -271,18 +312,10 @@ def _select_rank(
         if lo == hi:
             return lo
         if n_cur <= direct_threshold:
-            # bounded TakeOrdered: top-(k+1) of a ≤threshold-row frame
-            return (
-                cur.orderBy("__v")
-                .limit(cur_k + 1)
-                .agg(F.max("__v"))
-                .first()[0]
-            )
+            return _take_rank(cur, cur_k)
         width = (float(hi) - float(lo)) / n_buckets
         if width <= 0.0:  # denormal-narrow range: finish directly
-            return (
-                cur.orderBy("__v").limit(cur_k + 1).agg(F.max("__v")).first()[0]
-            )
+            return _take_rank(cur, cur_k)
         b_expr = F.least(
             F.floor((F.col("__v") - float(lo)) / width).cast("long"),
             F.lit(n_buckets - 1).cast("long"),
