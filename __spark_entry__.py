@@ -3876,6 +3876,62 @@ def _q170_trimmed_mean(spark, sf):
     )
 
 
+def _q171_padding_waste(spark, sf):
+    """Length-bucketed batching efficiency: assign each document to the
+    smallest boundary ≥ its token count (overlong docs truncate to the
+    top bucket) and report per-bucket docs / real tokens / capacity /
+    wasted padding — the table that picks a training run's bucket
+    boundaries. All-BIGINT; one groupBy.
+    See functions/sampling.py::length_bucket_stats."""
+    from polars_pipe_spark.functions.sampling import length_bucket_stats
+    from polars_pipe_spark.functions.text import token_count
+
+    docs = _t_par(spark, sf, "documents")
+    return length_bucket_stats(
+        docs.select(token_count("text").cast("long").alias("ntok")),
+        "ntok",
+        [32, 64, 128, 256, 512],
+    )
+
+
+def _q172_mixing_schedule(spark, sf):
+    """Curriculum mixing schedule: the per-(source, quality-decile) row
+    allocation for a 1M-row training budget — temperature-scaled source
+    weights (q157's sqrt rule) × within-source bin shares, all by
+    integer division so the plan is exact and cross-engine. This is the
+    artifact a sampler consumes; composes q157 + q161's primitives."""
+    from polars_pipe_spark.functions.text import quality_score
+
+    docs = _t_par(spark, sf, "documents")
+    per = (
+        docs.select(
+            "source",
+            F.least(
+                F.floor(quality_score("text") * 10).cast("long"), F.lit(9)
+            ).alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    src = per.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    src = src.withColumn(
+        "sqrt_e5",
+        F.floor(F.sqrt(F.col("n_src").cast("double") * F.lit(1e10))).cast("long"),
+    ).withColumn(
+        "src_rows", F.expr("(sqrt_e5 * 1000000) DIV sum(sqrt_e5) OVER ()")
+    )
+    return (
+        per.join(src, "source")
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "n_src",
+            F.expr("(src_rows * n_docs) DIV n_src").alias("target_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4051,6 +4107,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168_pq_topk": _q168_pq_topk,
     "q169_bpe_train": _q169_bpe_train,
     "q170_trimmed_mean": _q170_trimmed_mean,
+    "q171_padding_waste": _q171_padding_waste,
+    "q172_mixing_schedule": _q172_mixing_schedule,
 }
 
 
@@ -6907,6 +6965,62 @@ _ORACLES["q170_trimmed_mean"] = """
            CAST((CAST(SUM(CAST(ROUND(x * 100) AS BIGINT)) AS BIGINT) * 10) // COUNT(*) AS BIGINT) AS mean_milli
     FROM v, th WHERE x >= th.lo AND x <= th.hi
     GROUP BY th.lo, th.hi
+"""
+
+
+# q171: smallest-boundary bucket via CASE chain; overlong docs truncate
+# to the top boundary. HUGEINT sums cast back.
+_ORACLES["q171_padding_waste"] = f"""
+    WITH t AS (
+      SELECT len({_TOKS}) AS ntok FROM documents
+    ), b AS (
+      SELECT CASE WHEN ntok <= 32 THEN 32 WHEN ntok <= 64 THEN 64
+                  WHEN ntok <= 128 THEN 128 WHEN ntok <= 256 THEN 256
+                  ELSE 512 END AS bucket,
+             LEAST(ntok, 512) AS eff
+      FROM t
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+           CAST(SUM(eff) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * bucket AS BIGINT) AS capacity,
+           CAST(COUNT(*) * bucket - SUM(eff) AS BIGINT) AS padding_waste
+    FROM b GROUP BY bucket
+"""
+
+# q172: q157's sqrt source weights × q161's bin shares, pure integer
+# division; windowed SUM is HUGEINT -> cast (q22 lesson).
+_ORACLES["q172_mixing_schedule"] = f"""
+    WITH tok AS (
+      SELECT source, {_TOKS} AS toks, text FROM documents
+    ), feat AS (
+      SELECT source, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t -> t IN {_in_list(_MARKERS["en"])})) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS sr,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(text) - length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr
+      FROM tok
+    ), scored AS (
+      SELECT source,
+             LEAST(CAST(FLOOR(round(least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(sr * 5.0, 1.0) * 0.4
+                   + (1.0 - least(pr * 10.0, 1.0)) * 0.2, 6) * 10) AS BIGINT), 9) AS bin_id
+      FROM feat
+    ), per AS (
+      SELECT source, bin_id, COUNT(*) AS n_docs FROM scored GROUP BY source, bin_id
+    ), src AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_src,
+             CAST(FLOOR(SQRT(CAST(SUM(n_docs) AS DOUBLE) * 1e10)) AS BIGINT) AS sqrt_e5
+      FROM per GROUP BY source
+    ), srcw AS (
+      SELECT source, n_src,
+             CAST((sqrt_e5 * 1000000) // SUM(sqrt_e5) OVER () AS BIGINT) AS src_rows
+      FROM src
+    )
+    SELECT per.source, per.bin_id, per.n_docs, srcw.n_src,
+           CAST((srcw.src_rows * per.n_docs) // srcw.n_src AS BIGINT) AS target_rows
+    FROM per JOIN srcw USING (source)
 """
 
 

@@ -384,3 +384,40 @@ def quality_bins(
         df = df.withColumn("__qb_tok", t)
         aggs.append(F.sum("__qb_tok").alias("sum_tokens"))
     return df.groupBy(bin_id).agg(*aggs)
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    token_col: str | Column,
+    boundaries: list[int],
+) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: assign each
+    document to the smallest boundary ≥ its token count (docs longer
+    than the last boundary truncate to it) and report, per bucket,
+    document count, real tokens, capacity (n_docs × boundary) and
+    wasted padding — the table that decides a training run's bucket
+    boundaries. Pure row expression + one groupBy; boundaries are a
+    bounded literal list."""
+    t = F.col(token_col) if isinstance(token_col, str) else token_col
+    bs = sorted(boundaries)
+    bucket = F.lit(bs[-1])
+    for b in reversed(bs[:-1]):
+        bucket = F.when(t <= b, F.lit(b)).otherwise(bucket)
+    eff = F.least(t, F.lit(bs[-1]))  # tokens kept after truncation
+    return (
+        df.select(bucket.alias("bucket"), eff.alias("__tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("bucket")).alias("capacity"),
+            (F.col("n_docs") * F.col("bucket") - F.col("sum_tokens")).alias(
+                "padding_waste"
+            ),
+        )
+    )

@@ -419,3 +419,19 @@ def test_trimmed_mean_excludes_tails(spark):
     assert mean == pytest.approx(sum(kept) / len(kept))
     # the outliers are gone from the band
     assert not (lo <= 1000.0 <= hi) and not (lo <= -999.0 <= hi)
+
+
+def test_length_bucket_stats(spark):
+    from polars_pipe_spark.functions.sampling import length_bucket_stats
+
+    df = spark.createDataFrame(
+        [(10,), (32,), (33,), (100,), (9999,)], "ntok long"
+    )
+    out = {
+        r["bucket"]: (r["n_docs"], r["sum_tokens"], r["capacity"], r["padding_waste"])
+        for r in length_bucket_stats(df, "ntok", [32, 64, 128]).collect()
+    }
+    # 10,32 → bucket 32; 33 → 64; 100 → 128; 9999 truncates to top bucket
+    assert out[32] == (2, 42, 64, 22)
+    assert out[64] == (1, 33, 64, 31)
+    assert out[128] == (2, 228, 256, 28)  # 100 + truncated 128
