@@ -3932,6 +3932,69 @@ def _q172_mixing_schedule(spark, sf):
     )
 
 
+def _q173_retrieval_eval(spark, sf):
+    """Retrieval evaluation harness: MRR and recall@10 of the q129
+    rerank pipeline against a deterministic relevance rule (a doc is
+    relevant iff it contains ALL the query's terms). Integer-exact
+    metrics (micros by integer division); per-query relevance joins are
+    keyed on (query, doc) with the query side broadcast — the only
+    corpus-scale work is the one tokenizing explode the relevance rule
+    shares with BM25's shape."""
+    from polars_pipe_spark.functions.retrieval import rerank_topk
+    from polars_pipe_spark.functions.text import tokens
+
+    queries = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "vector"), (2, "stream"),
+         (3, "filter"), (3, "scan")],
+        "query_id int, term string",
+    )
+    docs = _t_par(spark, sf, "documents")
+    topk = rerank_topk(docs, "text", "doc_id", queries, k=10)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    ).join(F.broadcast(queries), "term")
+    nterms = queries.groupBy("query_id").agg(
+        F.count_distinct("term").alias("n_terms")
+    )
+    rel = (
+        tok.groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("n_hit"))
+        .join(F.broadcast(nterms), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    rel_total = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    hits = topk.join(
+        rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(F.coalesce("is_rel", F.lit(0))).alias("n_rel_topk"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk")))
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    return (
+        per_q.join(rel_total, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_relevant", F.lit(0)).alias("n_relevant"),
+            "n_rel_topk",
+            "first_rel_rank",
+            F.coalesce(
+                F.expr("1000000 DIV first_rel_rank"), F.lit(0)
+            ).alias("mrr_micros"),
+            F.when(
+                F.coalesce(F.col("n_relevant"), F.lit(0)) > 0,
+                F.expr("(n_rel_topk * 1000000) DIV n_relevant"),
+            )
+            .otherwise(F.lit(0))
+            .alias("recall_micros"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4109,6 +4172,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_trimmed_mean": _q170_trimmed_mean,
     "q171_padding_waste": _q171_padding_waste,
     "q172_mixing_schedule": _q172_mixing_schedule,
+    "q173_retrieval_eval": _q173_retrieval_eval,
 }
 
 
@@ -7021,6 +7085,44 @@ _ORACLES["q172_mixing_schedule"] = f"""
     SELECT per.source, per.bin_id, per.n_docs, srcw.n_src,
            CAST((srcw.src_rows * per.n_docs) // srcw.n_src AS BIGINT) AS target_rows
     FROM per JOIN srcw USING (source)
+"""
+
+
+# q173: relevance = doc holds ALL query terms; metrics by integer
+# division over the q129 ranking CTE. HUGEINT sums/divs cast back.
+_ORACLES["q173_retrieval_eval"] = f"""
+    WITH q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'), (2, 'vector'), (2, 'stream'),
+             (3, 'filter'), (3, 'scan')
+    ), topk AS (
+      SELECT query_id, doc_id, rk FROM ({_ORACLES["q129_rerank"]})
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+    ), nt AS (
+      SELECT query_id, COUNT(DISTINCT term) AS n_terms FROM q GROUP BY query_id
+    ), rel AS (
+      SELECT t.query_id, t.doc_id FROM (
+        SELECT q.query_id, tok.doc_id, COUNT(DISTINCT tok.term) AS n_hit
+        FROM tok JOIN q USING (term) GROUP BY 1, 2
+      ) t JOIN nt ON nt.query_id = t.query_id AND t.n_hit = nt.n_terms
+    ), rel_total AS (
+      SELECT query_id, COUNT(*) AS n_relevant FROM rel GROUP BY query_id
+    ), per AS (
+      SELECT topk.query_id,
+             CAST(SUM(CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+             CAST(MIN(CASE WHEN rel.doc_id IS NOT NULL THEN topk.rk END) AS BIGINT) AS first_rel_rank
+      FROM topk LEFT JOIN rel
+        ON rel.query_id = topk.query_id AND rel.doc_id = topk.doc_id
+      GROUP BY topk.query_id
+    )
+    SELECT per.query_id,
+           COALESCE(rel_total.n_relevant, 0) AS n_relevant,
+           per.n_rel_topk, per.first_rel_rank,
+           CAST(COALESCE(1000000 // per.first_rel_rank, 0) AS BIGINT) AS mrr_micros,
+           CAST(CASE WHEN COALESCE(rel_total.n_relevant, 0) > 0
+                THEN (per.n_rel_topk * 1000000) // rel_total.n_relevant
+                ELSE 0 END AS BIGINT) AS recall_micros
+    FROM per LEFT JOIN rel_total USING (query_id)
 """
 
 
