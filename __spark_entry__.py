@@ -3995,6 +3995,55 @@ def _q173_retrieval_eval(spark, sf):
     )
 
 
+def _q174_rfm_scores(spark, sf):
+    """RFM (recency / frequency / monetary) customer scoring over the
+    purchase stream: ONE aggregate per user (max ts, count, exact cents
+    sum) plus a broadcast 1-row corpus max-ts for recency — no windows,
+    no sorts. Score bins are fixed-width integer rules (a production
+    scorer's calibrated thresholds), so the whole row is BIGINT-exact:
+    recency in hours, r/f/m scores 1-4, rfm_code = 100r + 10f + m."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("monetary_cents"),
+    )
+    corpus = ev.agg(F.max("ts").alias("now_ts"))
+    scored = per.crossJoin(F.broadcast(corpus)).select(
+        "user_id",
+        F.expr(
+            "(unix_micros(now_ts) - unix_micros(last_ts)) DIV 3600000000"
+        ).alias("recency_hours"),
+        "frequency",
+        "monetary_cents",
+    )
+    r = (
+        F.when(F.col("recency_hours") < 24, 4)
+        .when(F.col("recency_hours") < 72, 3)
+        .when(F.col("recency_hours") < 168, 2)
+        .otherwise(1)
+    )
+    f = (
+        F.when(F.col("frequency") >= 8, 4)
+        .when(F.col("frequency") >= 4, 3)
+        .when(F.col("frequency") >= 2, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("monetary_cents") >= 200000, 4)
+        .when(F.col("monetary_cents") >= 50000, 3)
+        .when(F.col("monetary_cents") >= 10000, 2)
+        .otherwise(1)
+    )
+    return scored.select(
+        "user_id",
+        "recency_hours",
+        "frequency",
+        "monetary_cents",
+        (r * 100 + f * 10 + m).cast("long").alias("rfm_code"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4173,6 +4222,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_padding_waste": _q171_padding_waste,
     "q172_mixing_schedule": _q172_mixing_schedule,
     "q173_retrieval_eval": _q173_retrieval_eval,
+    "q174_rfm_scores": _q174_rfm_scores,
 }
 
 
@@ -7123,6 +7173,34 @@ _ORACLES["q173_retrieval_eval"] = f"""
                 THEN (per.n_rel_topk * 1000000) // rel_total.n_relevant
                 ELSE 0 END AS BIGINT) AS recall_micros
     FROM per LEFT JOIN rel_total USING (query_id)
+"""
+
+
+# q174: same fixed-width score rules; epoch-micros integer recency
+# (the q22 lesson: never raw timestamps through the hash gate when a
+# derived integer works); HUGEINT sums/divs cast back.
+_ORACLES["q174_rfm_scores"] = """
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), per AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM p GROUP BY user_id
+    ), c AS (SELECT MAX(ts) AS now_ts FROM p
+    ), s AS (
+      SELECT user_id,
+             CAST((epoch_us(c.now_ts) - epoch_us(last_ts)) // 3600000000 AS BIGINT) AS recency_hours,
+             frequency, monetary_cents
+      FROM per, c
+    )
+    SELECT user_id, recency_hours, frequency, monetary_cents,
+           CAST((CASE WHEN recency_hours < 24 THEN 4 WHEN recency_hours < 72 THEN 3
+                      WHEN recency_hours < 168 THEN 2 ELSE 1 END) * 100
+              + (CASE WHEN frequency >= 8 THEN 4 WHEN frequency >= 4 THEN 3
+                      WHEN frequency >= 2 THEN 2 ELSE 1 END) * 10
+              + (CASE WHEN monetary_cents >= 200000 THEN 4 WHEN monetary_cents >= 50000 THEN 3
+                      WHEN monetary_cents >= 10000 THEN 2 ELSE 1 END) AS BIGINT) AS rfm_code
+    FROM s
 """
 
 
