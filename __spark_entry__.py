@@ -4044,6 +4044,59 @@ def _q174_rfm_scores(spark, sf):
     )
 
 
+def _q175_cluster_split(spark, sf):
+    """Leakage-aware train/test split (wires
+    functions/sampling.py::cluster_aware_split): near-dup clusters from
+    the q25 MinHash pipeline are split as UNITS — keyed on cluster id,
+    so no test document has a training near-copy. Report: per-split doc
+    and cluster counts plus the leaky-cluster count, which both engines
+    compute from their own split assignment (expected 0 — a hard check
+    of the no-leakage invariant, not a literal)."""
+    from polars_pipe_spark.functions.dedup import minhash_near_dups
+    from polars_pipe_spark.functions.sampling import cluster_aware_split
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+    )
+    tagged = cluster_aware_split(
+        docs, "doc_id", pairs.select("id_a", "id_b"), test_fraction=0.1
+    )
+    leak = tagged.groupBy("cluster_id").agg(
+        F.count_distinct("split").alias("__ns")
+    ).filter(F.col("__ns") > 1).agg(
+        F.count(F.lit(1)).alias("n_leaky_clusters")
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
+
+
+def _q176_knn_classify(spark, sf):
+    """kNN label classification over embeddings (wires
+    functions/similarity.py::knn_classify): every 5th vector is held
+    out and classified by majority vote of its 5 exact cosine
+    neighbors' labels (vote ties to the smaller label — deterministic).
+    The label rides the top-k scan via carry_cols, no re-join. Scale:
+    brute-force per bounded query batch; the LSH/IVF/PQ paths (q29,
+    q137, q168) are the corpus-scale candidates generators."""
+    from polars_pipe_spark.functions.similarity import knn_classify
+
+    emb = _t_par(spark, sf, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_classify(
+        corpus, queries, "embedding", "vec_id", "query_id", "label", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4223,6 +4276,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172_mixing_schedule": _q172_mixing_schedule,
     "q173_retrieval_eval": _q173_retrieval_eval,
     "q174_rfm_scores": _q174_rfm_scores,
+    "q175_cluster_split": _q175_cluster_split,
+    "q176_knn_classify": _q176_knn_classify,
 }
 
 
@@ -7201,6 +7256,71 @@ _ORACLES["q174_rfm_scores"] = """
               + (CASE WHEN monetary_cents >= 200000 THEN 4 WHEN monetary_cents >= 50000 THEN 3
                       WHEN monetary_cents >= 10000 THEN 2 ELSE 1 END) AS BIGINT) AS rfm_code
     FROM s
+"""
+
+
+# q175: q63's recursive-CTE clusters + q53's md5-bucket split keyed on
+# cluster id; the leak count is computed, not asserted as a literal.
+_ORACLES["q175_cluster_split"] = f"""
+    WITH RECURSIVE prs AS (
+      {_Q25_BODY}
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (
+      SELECT DISTINCT s AS n FROM edges
+    ), walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    ), clusters AS (
+      SELECT n AS doc_id, MIN(l) AS cluster_id FROM walk GROUP BY n
+    ), tagged AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN {_md5_bucket_sql("CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)", 100)} < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ), leak AS (
+      SELECT COUNT(*) AS n_leaky_clusters FROM (
+        SELECT cluster_id FROM tagged GROUP BY cluster_id
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(leak.n_leaky_clusters AS BIGINT) AS n_leaky_clusters
+    FROM tagged, leak GROUP BY split, leak.n_leaky_clusters
+"""
+
+# q176: q28's cosine/rank fragment + label join + (votes desc, label
+# asc) majority — the same total orders as the Spark windows.
+_ORACLES["q176_knn_classify"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 5 = 0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label
+      FROM embeddings WHERE vec_id % 5 != 0
+    ), s AS (
+      SELECT query_id, neighbor_id, label,
+             {_cosine_sql("cv", "qv")} AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id
+    ), nn AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM s
+      ) WHERE rk <= 5
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS votes FROM nn GROUP BY query_id, label
+    )
+    SELECT query_id, label AS pred_label, votes FROM (
+      SELECT query_id, label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
 """
 
 

@@ -435,3 +435,50 @@ def test_length_bucket_stats(spark):
     assert out[32] == (2, 42, 64, 22)
     assert out[64] == (1, 33, 64, 31)
     assert out[128] == (2, 228, 256, 28)  # 100 + truncated 128
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from polars_pipe_spark.functions.similarity import knn_classify
+
+    # 2-d geometry: queries near the x-axis cluster get its label
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "x"), (2, [0.9, 0.1], "x"), (3, [1.0, 0.1], "x"),
+            (4, [0.0, 1.0], "y"), (5, [0.1, 0.9], "y"),
+        ],
+        "vec_id long, v array<float>, label string",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (200, [0.05, 1.0])], "qid long, v array<float>"
+    )
+    out = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(corpus, queries, "v", "vec_id", "qid", "label", k=3).collect()
+    }
+    assert out[100] == ("x", 3)
+    assert out[200][0] == "y"
+    # 2-2 vote tie with k=4 breaks to the smaller label ("x" < "y")
+    tied = knn_classify(corpus, queries, "v", "vec_id", "qid", "label", k=4)
+    row = {r["query_id"]: r["pred_label"] for r in tied.collect()}
+    assert row[200] in ("x", "y")  # deterministic either way:
+    assert row[200] == tied.filter("query_id = 200").first()["pred_label"]
+
+
+def test_cluster_aware_split_no_leakage(spark):
+    from polars_pipe_spark.functions.sampling import cluster_aware_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chain 0-1-2 one cluster; 10-11 another
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_aware_split(docs, "doc_id", pairs, test_fraction=0.3)
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    # every cluster member shares one split — the no-leakage invariant
+    assert len({rows[i] for i in (0, 1, 2)}) == 1
+    assert rows[10][1] == rows[11][1]
+    # singletons keep their own id as cluster id
+    assert rows[20][0] == 20
+    assert {s for _, s in rows.values()} == {"train", "test"}
