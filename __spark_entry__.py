@@ -4097,6 +4097,81 @@ def _q176_knn_classify(spark, sf):
     )
 
 
+def _q177_twap(spark, sf):
+    """Time-weighted average price per user over irregular purchase
+    events: each value is weighted by its holding interval (ts →
+    next ts; the last event carries zero weight — a closed-interval
+    TWAP). One per-user lead window + one aggregate; integer-exact
+    cells (cents × micros with DECIMAL(38,0) sums, mean by integer
+    division)."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("total_us"),
+        F.sum(
+            (F.col("cents") * F.col("dur_us")).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("weighted_sum"),
+    ).select(
+        "user_id",
+        "n_intervals",
+        "total_us",
+        F.expr("CAST(weighted_sum DIV total_us AS BIGINT)").alias(
+            "twap_cents"
+        ),
+    )
+
+
+def _q178_session_sensitivity(spark, sf):
+    """Session-timeout sensitivity in ONE pass: for each candidate gap
+    threshold, n_sessions = n_users + n_gaps_exceeding_threshold — so a
+    single per-user lag window scan prices every threshold at once
+    instead of re-sessionizing per candidate. The table an analyst
+    reads before pinning q22's 30-minute gap. All-BIGINT."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"),
+    )
+    thresholds = [900, 1800, 3600, 7200]  # seconds
+    # ONE aggregate: the user count and every threshold's gap count come
+    # out of the same pass (null gaps — each user's first event — fall
+    # into otherwise(0) and never inflate a threshold)
+    agg = gaps.agg(
+        F.count_distinct("user_id").alias("__u"),
+        *[
+            F.sum(
+                F.when(F.col("gap_us") > t * 1_000_000, 1).otherwise(0)
+            ).alias(f"__g{t}")
+            for t in thresholds
+        ]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("gap_seconds"),
+                        (F.col(f"__g{t}") + F.col("__u"))
+                        .cast("long")
+                        .alias("n_sessions"),
+                    )
+                    for t in thresholds
+                ]
+            )
+        ).alias("s")
+    )
+    return rows.select("s.gap_seconds", "s.n_sessions")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4278,6 +4353,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_rfm_scores": _q174_rfm_scores,
     "q175_cluster_split": _q175_cluster_split,
     "q176_knn_classify": _q176_knn_classify,
+    "q177_twap": _q177_twap,
+    "q178_session_sensitivity": _q178_session_sensitivity,
 }
 
 
@@ -7321,6 +7398,40 @@ _ORACLES["q176_knn_classify"] = f"""
                                 ORDER BY votes DESC, label ASC) AS vr
       FROM votes
     ) WHERE vr = 1
+"""
+
+
+# q177: lead-window intervals, cents×micros exact integer weighting.
+_ORACLES["q177_twap"] = """
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), iv AS (
+      SELECT user_id, cents,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dur_us
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+    FROM iv WHERE dur_us IS NOT NULL GROUP BY user_id
+"""
+
+# q178: n_sessions(g) = n_users + n_gaps>g — one lag-window pass prices
+# all thresholds.
+_ORACLES["q178_session_sensitivity"] = """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM g)
+    SELECT CAST(t.s AS BIGINT) AS gap_seconds,
+           CAST(u.n_users + (SELECT COUNT(*) FROM g
+                             WHERE gap_us IS NOT NULL AND gap_us > CAST(t.s AS BIGINT) * 1000000)
+                AS BIGINT) AS n_sessions
+    FROM (VALUES (900), (1800), (3600), (7200)) t(s), u
 """
 
 
