@@ -4172,6 +4172,31 @@ def _q178_session_sensitivity(spark, sf):
     return rows.select("s.gap_seconds", "s.n_sessions")
 
 
+def _q179_langid_calibration(spark, sf):
+    """Classifier calibration table for the lang-ID heuristic: bin each
+    document by its integer confidence margin (best marker count minus
+    second-best, clamped to 5) and report accuracy against the table's
+    true lang per bin — the reliability diagram a model owner reads
+    before trusting the cheap classifier at scale. All-integer: marker
+    scores are counts, the margin is exact, accuracy in micros."""
+    from polars_pipe_spark.functions.text import lang_id, lang_scores
+
+    docs = _t_par(spark, sf, "documents")
+    sc = lang_scores("text")
+    arr = F.array_sort(F.array(*[sc[lang] for lang in sorted(sc)]))
+    margin = F.element_at(arr, -1) - F.element_at(arr, -2)
+    scored = docs.select(
+        F.least(margin, F.lit(5)).cast("long").alias("conf_bin"),
+        (lang_id("text") == F.col("lang")).alias("__ok"),
+    )
+    return scored.groupBy("conf_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_correct"),
+    ).withColumn(
+        "accuracy_micros", F.expr("(n_correct * 1000000) DIV n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4355,6 +4380,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_knn_classify": _q176_knn_classify,
     "q177_twap": _q177_twap,
     "q178_session_sensitivity": _q178_session_sensitivity,
+    "q179_langid_calibration": _q179_langid_calibration,
 }
 
 
@@ -7432,6 +7458,30 @@ _ORACLES["q178_session_sensitivity"] = """
                              WHERE gap_us IS NOT NULL AND gap_us > CAST(t.s AS BIGINT) * 1000000)
                 AS BIGINT) AS n_sessions
     FROM (VALUES (900), (1800), (3600), (7200)) t(s), u
+"""
+
+
+# q179: margin from the sorted 4-score list (integer-exact); prediction
+# reuses the q128 argmax fragment (same de→en→es→fr tie order as
+# Spark's left-fold). HUGEINT sums/divs cast back.
+_ORACLES["q179_langid_calibration"] = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id, lang,
+             {_lang_score("de")} AS s_de, {_lang_score("en")} AS s_en,
+             {_lang_score("es")} AS s_es, {_lang_score("fr")} AS s_fr
+      FROM tok
+    ), scored AS (
+      SELECT LEAST(l[4] - l[3], 5) AS conf_bin,
+             ({_LANG_PRED}) = lang AS ok
+      FROM (SELECT lang, s_de, s_en, s_es, s_fr,
+                   list_sort([s_de, s_en, s_es, s_fr]) AS l FROM feat)
+    )
+    SELECT CAST(conf_bin AS BIGINT) AS conf_bin, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS accuracy_micros
+    FROM scored GROUP BY conf_bin
 """
 
 
