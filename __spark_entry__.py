@@ -4197,6 +4197,56 @@ def _q179_langid_calibration(spark, sf):
     )
 
 
+def _q180_compaction_report(spark, sf):
+    """Small-file lifecycle report (wires adapters/io.py::compact_parquet
+    into a query): a fine-grained partitioned write (maxRecordsPerFile
+    100) accretes ceil(n/100) files per source partition; the compaction
+    job rewrites each partition dir into ~target-sized files. Report per
+    source: rows, files before (counted via input_file_name — the audit
+    a table-maintenance job runs), files after. File COUNTS are
+    deterministic (sequential per-task splitting), so the lifecycle is
+    oracle-checkable even though file contents are layout-dependent."""
+    import tempfile
+
+    from polars_pipe_spark.adapters.io import compact_parquet
+
+    docs = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="pps_compact_")
+    (
+        docs.repartition("source")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .partitionBy("source")
+        .parquet(root)
+    )
+    # materialise the BEFORE audit eagerly: compaction atomically swaps
+    # the files underneath, so a lazy plan re-read after the swap would
+    # chase deleted paths. One bounded collect (a row per source).
+    before = (
+        spark.read.parquet(root)
+        .select("source", F.input_file_name().alias("f"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("f").alias("n_files_before"),
+        )
+        .collect()
+    )
+    rows = sorted(
+        (
+            r["source"],
+            r["n_rows"],
+            r["n_files_before"],
+            compact_parquet(spark, f"{root}/source={r['source']}"),
+        )
+        for r in before
+    )
+    return spark.createDataFrame(
+        rows,
+        "source string, n_rows long, n_files_before long, n_files_after long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4381,6 +4431,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_twap": _q177_twap,
     "q178_session_sensitivity": _q178_session_sensitivity,
     "q179_langid_calibration": _q179_langid_calibration,
+    "q180_compaction_report": _q180_compaction_report,
 }
 
 
@@ -7482,6 +7533,17 @@ _ORACLES["q179_langid_calibration"] = f"""
            CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            CAST((SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS accuracy_micros
     FROM scored GROUP BY conf_bin
+"""
+
+
+# q180: file counts are arithmetic — ceil(n/100) small files per
+# source, and the testdata partitions compact to ONE ~1 GB-target file
+# each (they are far below the target size).
+_ORACLES["q180_compaction_report"] = """
+    SELECT source, COUNT(*) AS n_rows,
+           CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files_before,
+           CAST(1 AS BIGINT) AS n_files_after
+    FROM documents GROUP BY source
 """
 
 
