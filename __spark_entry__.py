@@ -4247,6 +4247,47 @@ def _q180_compaction_report(spark, sf):
     )
 
 
+def _q181_ann_dashboard(spark, sf):
+    """ANN method dashboard — the capstone comparison a corpus owner
+    reads when choosing the 100 TB search path: recall@5 of the LSH
+    (q29), pretrained-IVF (q137) and PQ/ADC (q168) pipelines against
+    the exact brute-force top-5 (q28), over the shared query slice
+    (vec_id 16-19, self-matches excluded uniformly). Composes the
+    existing method queries verbatim, so every parameter matches its
+    oracle-checked original by construction; all counts stay frame-
+    level (no driver collect)."""
+    def prep(df):
+        return df.filter(
+            (F.col("query_id") >= 16)
+            & (F.col("query_id") < 20)
+            & (F.col("neighbor_id") != F.col("query_id"))
+        ).select("query_id", "neighbor_id")
+
+    exact = prep(_q28_cosine_topk(spark, sf))
+    en = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    methods = [
+        ("ivf", _q137_ivf_pretrained),
+        ("lsh", _q29_lsh_topk),
+        ("pq", _q168_pq_topk),
+    ]
+    per = [
+        prep(fn(spark, sf))
+        .join(exact, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.lit(name).alias("method"), "n_hits")
+        for name, fn in methods
+    ]
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionAll(p)
+    return out.crossJoin(F.broadcast(en)).select(
+        "method",
+        "n_hits",
+        "n_exact",
+        F.expr("(n_hits * 1000000) DIV n_exact").alias("recall_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4432,6 +4473,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_session_sensitivity": _q178_session_sensitivity,
     "q179_langid_calibration": _q179_langid_calibration,
     "q180_compaction_report": _q180_compaction_report,
+    "q181_ann_dashboard": _q181_ann_dashboard,
 }
 
 
@@ -7544,6 +7586,37 @@ _ORACLES["q180_compaction_report"] = """
            CAST(CEIL(COUNT(*) / 100.0) AS BIGINT) AS n_files_before,
            CAST(1 AS BIGINT) AS n_files_after
     FROM documents GROUP BY source
+"""
+
+
+# q181: composes the q28/q29/q137/q168 oracle bodies verbatim — the
+# methods' parameters match their oracle-checked originals by
+# construction; recall by integer division.
+_ORACLES["q181_ann_dashboard"] = f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q28_cosine_topk"]})
+      WHERE query_id >= 16 AND query_id < 20 AND neighbor_id != query_id
+    ), m_ivf AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q137_ivf_pretrained"]})
+      WHERE query_id >= 16 AND query_id < 20 AND neighbor_id != query_id
+    ), m_lsh AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q29_lsh_topk"]})
+      WHERE query_id >= 16 AND query_id < 20 AND neighbor_id != query_id
+    ), m_pq AS (
+      SELECT query_id, neighbor_id FROM ({_ORACLES["q168_pq_topk"]})
+      WHERE query_id >= 16 AND query_id < 20 AND neighbor_id != query_id
+    ), en AS (SELECT COUNT(*) AS n_exact FROM exact
+    ), hits AS (
+      SELECT 'ivf' AS method, COUNT(*) AS n_hits
+      FROM m_ivf JOIN exact USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'lsh', COUNT(*) FROM m_lsh JOIN exact USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'pq', COUNT(*) FROM m_pq JOIN exact USING (query_id, neighbor_id)
+    )
+    SELECT method, hits.n_hits, en.n_exact,
+           CAST((hits.n_hits * 1000000) // en.n_exact AS BIGINT) AS recall_micros
+    FROM hits, en
 """
 
 
