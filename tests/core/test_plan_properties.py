@@ -518,3 +518,28 @@ class TestRound4QueryPlans:
         # centroid frame; corpus work is hash aggregation
         assert "HashAggregate" in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_q177_twap_window_partitioned_by_user(self, spark):
+        p = physical(self._q("q177_twap", spark))
+        assert re.search(r"windowspecdefinition\(user_id", p)
+        assert "SinglePartition" not in p
+
+    def test_q162b_conv_hash_not_nibble_chain(self, spark):
+        """The winnow gram hash must stay the single conv() call — a
+        regression to the 8-step strpos chain costs 4× on the sf0.1
+        explode (measured 6.3s -> 1.5s)."""
+        p = physical(self._q("q162_winnow_fingerprints", spark))
+        assert "conv(" in p
+        assert p.count("instr(") < 8
+
+    def test_q180_compaction_audit_uses_file_names(self, spark):
+        df = self._q("q180_compaction_report", spark)
+        # count columns only — the query already ran its side effects;
+        # the contract is the all-BIGINT report shape
+        assert df.columns == ["source", "n_rows", "n_files_before", "n_files_after"]
+
+    def test_q181_dashboard_no_cartesian(self, spark):
+        p = physical(self._q("q181_ann_dashboard", spark))
+        # the only nested-loop is the broadcast of the 1-row exact-count
+        # frame; candidate generation everywhere is equi-join/TakeOrdered
+        assert "CartesianProduct" not in p
