@@ -4288,6 +4288,35 @@ def _q181_ann_dashboard(spark, sf):
     )
 
 
+def _q182_dedup_savings(spark, sf):
+    """Dedup ROI report: bytes the exact-dedup pass saves, per source —
+    every non-canonical copy's character count is reclaimable storage.
+    One fingerprint groupBy (the q24 shape) joined back to tag
+    canonicals; all-BIGINT micros share. The number a storage owner
+    weighs against the dedup job's cost."""
+    from polars_pipe_spark.functions.dedup import exact_dedup_groups
+    from polars_pipe_spark.functions.text import doc_fingerprint
+
+    docs = _t_par(spark, sf, "documents")
+    groups = exact_dedup_groups(docs, "text", "doc_id").select(
+        "fingerprint", "canonical_id"
+    )
+    tagged = docs.select(
+        "source", "doc_id", "n_chars", doc_fingerprint("text").alias("fingerprint")
+    ).join(groups, "fingerprint")
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("canonical_id"), F.col("n_chars"))
+            .otherwise(0)
+        ).alias("reclaimable_chars"),
+    ).withColumn(
+        "savings_micros",
+        F.expr("(reclaimable_chars * 1000000) DIV total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4474,6 +4503,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_langid_calibration": _q179_langid_calibration,
     "q180_compaction_report": _q180_compaction_report,
     "q181_ann_dashboard": _q181_ann_dashboard,
+    "q182_dedup_savings": _q182_dedup_savings,
 }
 
 
@@ -7617,6 +7647,26 @@ _ORACLES["q181_ann_dashboard"] = f"""
     SELECT method, hits.n_hits, en.n_exact,
            CAST((hits.n_hits * 1000000) // en.n_exact AS BIGINT) AS recall_micros
     FROM hits, en
+"""
+
+
+# q182: canonical = min doc_id per md5(norm) fingerprint (the q24
+# rule); savings by integer division.
+_ORACLES["q182_dedup_savings"] = f"""
+    WITH fp AS (
+      SELECT source, doc_id, n_chars, md5({_NORM}) AS fingerprint FROM documents
+    ), canon AS (
+      SELECT fingerprint, MIN(doc_id) AS canonical_id FROM fp GROUP BY fingerprint
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN fp.doc_id != canon.canonical_id
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS reclaimable_chars,
+           CAST((SUM(CASE WHEN fp.doc_id != canon.canonical_id
+                     THEN n_chars ELSE 0 END) * 1000000) // SUM(n_chars)
+                AS BIGINT) AS savings_micros
+    FROM fp JOIN canon USING (fingerprint)
+    GROUP BY source
 """
 
 
