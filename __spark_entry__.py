@@ -4317,6 +4317,71 @@ def _q182_dedup_savings(spark, sf):
     )
 
 
+def _q183_incremental_neardup(spark, sf):
+    """Near-dup ingest gate (functions/dedup.py::incremental_near_dups):
+    the doc_id%7==3 slice arrives as a new batch; its band keys join
+    only against (index ∪ batch) bands, candidates verify with exact
+    Jaccard ≥ 0.2 (q25's parameters), and each batch doc classifies as
+    dup_of_index / dup_within_batch / novel. The oracle derives the
+    identical classification from the corpus-wide q25 pair set
+    restricted to batch-involved pairs — the candidate sets provably
+    coincide, which is the point being checked."""
+    from polars_pipe_spark.functions.dedup import incremental_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    index = docs.filter(F.col("doc_id") % 7 != 3)
+    tagged = incremental_near_dups(
+        batch, index, "text", "doc_id",
+        shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
+    )
+    return tagged.groupBy("neardup_status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q184_streaming_pq_encode(spark, sf):
+    """The PQ encode pass as a REAL stream: vectors arrive on a file
+    source and encode against the pinned q168 codebooks per micro-batch
+    — a pure stateless projection (no watermark, append mode), so the
+    100 TB ingest path embeds new vectors as they land with zero
+    shuffle. Memory sink; the oracle is q168's batch encode CTE."""
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebooks = [
+        [[float(x) for x in r["embedding"][s * 8 : (s + 1) * 8]] for r in cb_rows]
+        for s in range(8)
+    ]
+    path = f"{sf}/embeddings.parquet"
+    if not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_pq_src_") + "/embeddings"
+        emb.write.mode("overwrite").parquet(staged)
+        path = staged
+    from polars_pipe_spark.functions.similarity import pq_encode
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    enc = pq_encode(stream, "embedding", codebooks).select("vec_id", "pq_code")
+    name = "pps_pq_out"
+    q = (
+        enc.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4504,6 +4569,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_compaction_report": _q180_compaction_report,
     "q181_ann_dashboard": _q181_ann_dashboard,
     "q182_dedup_savings": _q182_dedup_savings,
+    "q183_incremental_neardup": _q183_incremental_neardup,
+    "q184_streaming_pq_encode": _q184_streaming_pq_encode,
 }
 
 
@@ -7667,6 +7734,62 @@ _ORACLES["q182_dedup_savings"] = f"""
                 AS BIGINT) AS savings_micros
     FROM fp JOIN canon USING (fingerprint)
     GROUP BY source
+"""
+
+
+# q183: classification from the corpus-wide q25 pairs (id_a < id_b)
+# restricted to batch-involved rows — banding batch∪index equals
+# banding the corpus, so the candidate sets coincide.
+_ORACLES["q183_incremental_neardup"] = f"""
+    WITH prs AS (
+      {_Q25_BODY}
+    ), stat AS (
+      SELECT b.doc_id,
+             CASE WHEN EXISTS (
+                    SELECT 1 FROM prs p
+                    WHERE (p.id_a = b.doc_id AND p.id_b % 7 != 3)
+                       OR (p.id_b = b.doc_id AND p.id_a % 7 != 3))
+                  THEN 'dup_of_index'
+                  WHEN EXISTS (
+                    SELECT 1 FROM prs p
+                    WHERE p.id_b = b.doc_id AND p.id_a % 7 = 3)
+                  THEN 'dup_within_batch'
+                  ELSE 'novel' END AS neardup_status
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) b
+    )
+    SELECT neardup_status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM stat GROUP BY neardup_status
+"""
+
+
+# q184: q168's encode CTEs verbatim, one row per vector with its code
+# list — the streaming projection must equal the batch encode exactly.
+_ORACLES["q184_streaming_pq_encode"] = """
+    WITH cb AS (
+      SELECT CAST(vec_id AS INT) AS j, CAST(ss.s AS INT) AS s,
+             list_transform(embedding[(ss.s*8+1):(ss.s*8+8)],
+                            x -> CAST(x AS DOUBLE)) AS cw
+      FROM embeddings, (SELECT unnest(range(8)) AS s) ss
+      WHERE vec_id < 16
+    ), corp AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), enc AS (
+      SELECT neighbor_id, s, j AS code FROM (
+        SELECT c.neighbor_id, cb.s, cb.j,
+               row_number() OVER (
+                 PARTITION BY c.neighbor_id, cb.s
+                 ORDER BY list_sum(list_transform(range(1, 9), i ->
+                   (c.v[CAST(cb.s*8+i AS INT)] - cb.cw[CAST(i AS INT)])
+                   * (c.v[CAST(cb.s*8+i AS INT)] - cb.cw[CAST(i AS INT)]))) ASC,
+                 cb.j ASC) AS rn
+        FROM corp c CROSS JOIN cb
+      ) WHERE rn = 1
+    )
+    SELECT neighbor_id AS vec_id, list(code ORDER BY s) AS pq_code
+    FROM enc GROUP BY neighbor_id
 """
 
 

