@@ -4382,6 +4382,37 @@ def _q184_streaming_pq_encode(spark, sf):
     return spark.table(name)
 
 
+def _q185_token_drift(spark, sf):
+    """Token-distribution drift between two corpus snapshots (the even/
+    odd doc halves standing in for week-over-week crawls): for the
+    top-20 tokens of the union corpus (total order), a chi-square-style
+    integer statistic per token — (c1-c2)²·1e6 / (c1+c2) — plus both
+    counts. The table a corpus owner reads to spot a crawl-mix shift
+    before it moves the trained model. One tokenizing explode feeds the
+    snapshot-conditional counts; the top-20 runs as TakeOrdered."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("snap_a"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("snap_a"), 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(~F.col("snap_a"), 1).otherwise(0)).alias("c_b"),
+    )
+    return (
+        counts.withColumn("c_total", F.col("c_a") + F.col("c_b"))
+        .orderBy(F.col("c_total").desc(), F.col("token").asc())
+        .limit(20)
+        .withColumn(
+            "drift_micros",
+            F.expr("((c_a - c_b) * (c_a - c_b) * 1000000) DIV c_total"),
+        )
+        .select("token", "c_a", "c_b", "c_total", "drift_micros")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4571,6 +4602,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_dedup_savings": _q182_dedup_savings,
     "q183_incremental_neardup": _q183_incremental_neardup,
     "q184_streaming_pq_encode": _q184_streaming_pq_encode,
+    "q185_token_drift": _q185_token_drift,
 }
 
 
@@ -7790,6 +7822,26 @@ _ORACLES["q184_streaming_pq_encode"] = """
     )
     SELECT neighbor_id AS vec_id, list(code ORDER BY s) AS pq_code
     FROM enc GROUP BY neighbor_id
+"""
+
+
+# q185: snapshot-conditional counts from one explode; top-20 by the
+# (total desc, token asc) total order; HUGEINT arithmetic cast back.
+_ORACLES["q185_token_drift"] = f"""
+    WITH tok AS (
+      SELECT doc_id % 2 = 0 AS snap_a, unnest({_TOKS}) AS token FROM documents
+    ), counts AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN NOT snap_a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      FROM tok GROUP BY token
+    ), top AS (
+      SELECT token, c_a, c_b, c_a + c_b AS c_total FROM counts
+      ORDER BY c_total DESC, token ASC LIMIT 20
+    )
+    SELECT token, c_a, c_b, c_total,
+           CAST(((c_a - c_b) * (c_a - c_b) * 1000000) // c_total AS BIGINT) AS drift_micros
+    FROM top
 """
 
 

@@ -5,6 +5,7 @@
 - ``dedup``: exact, MinHash+LSH, SimHash, connected-component clusters,
   embedding near-dup — banded/bucketed joins, never all-pairs.
 - ``similarity``: brute-force / LSH / IVF / int8-quantized top-k.
+- ``retrieval``: batch BM25 scoring and two-stage feature rerank.
 - ``sampling``: content-hash deterministic sampling, train/test split,
   source mixing, context-window packing.
 - ``multimodal``: binary media columns + Arrow-batched decode stubs.
@@ -13,9 +14,10 @@
 from polars_pipe_spark.functions import (
     dedup,
     multimodal,
+    retrieval,
     sampling,
     similarity,
     text,
 )
 
-__all__ = ["dedup", "multimodal", "sampling", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "retrieval", "sampling", "similarity", "text"]
