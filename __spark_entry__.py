@@ -4413,6 +4413,62 @@ def _q185_token_drift(spark, sf):
     )
 
 
+def _q186_grouped_quartiles(spark, sf):
+    """Per-source document-length quartiles with EXACT element bounds:
+    percentile_disc picks actual data points (no interpolation
+    arithmetic), so the cells are reproducible bit-for-bit on any
+    engine — the q90 equi-depth rule applied per group. One aggregation
+    pass, groups distribute normally (never a global sort)."""
+    docs = _t(spark, sf, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # Spark's percentile_disc yields DOUBLE even on integral input,
+        # DuckDB's quantile_disc keeps BIGINT — cast BOTH sides (the q13
+        # lesson: explicit same-type casts, never engine defaults)
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long")
+        .alias("p75"),
+    )
+
+
+def _q187_cooccurrence_pairs(spark, sf):
+    """Top document-level token co-occurrence pairs, BOUNDED by vocab:
+    only tokens from the top-30 corpus vocabulary pair up (per-doc pair
+    fan-out ≤ C(30,2) regardless of document length — the quadratic
+    all-token version is the scale trap), distinct per doc, counted
+    corpus-wide, top-20 by (count desc, pair asc). The co-occurrence
+    graph behind topic drift and collocation analyses."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(30)
+        .select("token")
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select("doc_id", F.col("token").alias("t_a"))
+    b = vt.select("doc_id", F.col("token").alias("t_b"))
+    pairs = a.join(b, "doc_id").filter(F.col("t_a") < F.col("t_b"))
+    return (
+        pairs.groupBy("t_a", "t_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("t_a").asc(), F.col("t_b").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4603,6 +4659,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q183_incremental_neardup": _q183_incremental_neardup,
     "q184_streaming_pq_encode": _q184_streaming_pq_encode,
     "q185_token_drift": _q185_token_drift,
+    "q186_grouped_quartiles": _q186_grouped_quartiles,
+    "q187_cooccurrence_pairs": _q187_cooccurrence_pairs,
 }
 
 
@@ -7842,6 +7900,35 @@ _ORACLES["q185_token_drift"] = f"""
     SELECT token, c_a, c_b, c_total,
            CAST(((c_a - c_b) * (c_a - c_b) * 1000000) // c_total AS BIGINT) AS drift_micros
     FROM top
+"""
+
+
+# q186: quantile_disc == percentile_disc (actual elements, no
+# interpolation — the q90 parity rule).
+_ORACLES["q186_grouped_quartiles"] = """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75
+    FROM documents GROUP BY source
+"""
+
+# q187: vocab-bounded per-doc pair fan-out; top-20 under a total order.
+_ORACLES["q187_cooccurrence_pairs"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token ASC LIMIT 30
+      )
+    ), vt AS (
+      SELECT doc_id, token FROM tok JOIN vocab USING (token)
+    )
+    SELECT a.token AS t_a, b.token AS t_b, COUNT(*) AS n_docs
+    FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+    GROUP BY 1, 2
+    ORDER BY n_docs DESC, t_a ASC, t_b ASC LIMIT 20
 """
 
 
