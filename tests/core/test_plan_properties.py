@@ -543,3 +543,18 @@ class TestRound4QueryPlans:
         # the only nested-loop is the broadcast of the 1-row exact-count
         # frame; candidate generation everywhere is equi-join/TakeOrdered
         assert "CartesianProduct" not in p
+
+    def test_q186_grouped_quartiles_one_pass_no_window(self, spark):
+        p = physical(self._q("q186_grouped_quartiles", spark))
+        # per-group percentile_disc is an ordinary grouped aggregate:
+        # no window, no single-partition sort of the corpus
+        assert "Window" not in p
+        assert "ObjectHashAggregate" in p or "SortAggregate" in p or "HashAggregate" in p
+
+    def test_q187_cooccurrence_vocab_broadcast_bounded(self, spark):
+        p = physical(self._q("q187_cooccurrence_pairs", spark))
+        # the vocab filter broadcasts; pairs come from the per-doc
+        # equi-join, never a cartesian; top-20 is TakeOrdered
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p
