@@ -4469,6 +4469,68 @@ def _q187_cooccurrence_pairs(spark, sf):
     )
 
 
+def _q188_dataset_card(spark, sf):
+    """Dataset-card summary row per table — the catalog artifact a data
+    consumer reads first: row count, column count, and the null count
+    of each table's most-nullable business column. One aggregate per
+    table, unioned; column counts come from the schema (driver-side,
+    free). Multi-table breadth in a single oracle-checked frame."""
+    rows = []
+    for name, null_col in [
+        ("documents", "text"),
+        ("events", "value"),
+        ("lineitem", "l_quantity"),
+        ("customer", "c_acctbal"),
+    ]:
+        t = _t(spark, sf, name)
+        rows.append(
+            t.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(len(t.columns)).cast("long").alias("n_cols"),
+                F.sum(
+                    F.when(F.col(null_col).isNull(), 1).otherwise(0)
+                ).alias("n_null_probe"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _q189_referential_integrity(spark, sf):
+    """Referential-integrity audit across the warehouse's FK chain —
+    the data-quality staple run after every load: child rows whose
+    foreign key has no parent (anti-join counts), per relationship.
+    Anti-joins broadcast the parent key set when it fits and AQE
+    handles the rest; each relationship is one join, no windows."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    checks = [
+        ("lineitem->orders", li.select(F.col("l_orderkey").alias("k")),
+         orders.select(F.col("o_orderkey").alias("k"))),
+        ("orders->customer", orders.select(F.col("o_custkey").alias("k")),
+         cust.select(F.col("c_custkey").alias("k"))),
+        ("customer->nation", cust.select(F.col("c_nationkey").cast("long").alias("k")),
+         nation.select(F.col("n_nationkey").cast("long").alias("k"))),
+    ]
+    rows = []
+    for rel, child, parent in checks:
+        rows.append(
+            child.join(parent.distinct(), "k", "left_anti").agg(
+                F.lit(rel).alias("relationship"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4661,6 +4723,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_token_drift": _q185_token_drift,
     "q186_grouped_quartiles": _q186_grouped_quartiles,
     "q187_cooccurrence_pairs": _q187_cooccurrence_pairs,
+    "q188_dataset_card": _q188_dataset_card,
+    "q189_referential_integrity": _q189_referential_integrity,
 }
 
 
@@ -7929,6 +7993,41 @@ _ORACLES["q187_cooccurrence_pairs"] = f"""
     FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
     GROUP BY 1, 2
     ORDER BY n_docs DESC, t_a ASC, t_b ASC LIMIT 20
+"""
+
+
+# q188: one aggregate per table; column counts are schema literals on
+# both sides (the card's schema facts, not data).
+_ORACLES["q188_dataset_card"] = """
+    SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+           CAST(5 AS BIGINT) AS n_cols,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_probe
+    FROM documents
+    UNION ALL
+    SELECT 'events', COUNT(*), CAST(6 AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), CAST(11 AS BIGINT),
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'customer', COUNT(*), CAST(5 AS BIGINT),
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+"""
+
+# q189: orphan counts via NOT EXISTS — the anti-join twin.
+_ORACLES["q189_referential_integrity"] = """
+    SELECT 'lineitem->orders' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 """
 
 
