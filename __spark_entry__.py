@@ -4531,6 +4531,150 @@ def _q189_referential_integrity(spark, sf):
     return out
 
 
+def _q190_table_checksum(spark, sf):
+    """Order-invariant table checksums — the replication/migration
+    validation primitive: sum of per-row 48-bit content hashes mod 2^62,
+    so a repartitioned/compacted/sorted rewrite of the same rows yields
+    the same value. One map-side-partial aggregate per table (the
+    cheapest full-table verification possible); DECIMAL(38,0) carry so
+    the sum never overflows at 100 TB row counts."""
+    from polars_pipe_spark.functions.integrity import table_checksum
+
+    specs = [
+        ("documents", ["doc_id", "source", "lang"]),
+        ("orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+        ("lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"]),
+    ]
+    rows = [table_checksum(_t(spark, sf, n), cols, n) for n, cols in specs]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _q191_split_leakage(spark, sf):
+    """Train/val/test contamination audit: documents whose content
+    fingerprint (md5 of the first 80 normalised chars — catches exact
+    copies AND shared-prefix near-copies) appears on both sides of a
+    split boundary. Group-by-fingerprint (near-unique key, no skew),
+    pair enumeration only over the straddling fingerprints — never a
+    corpus self-join."""
+    from polars_pipe_spark.functions.integrity import split_leakage
+    from polars_pipe_spark.functions.sampling import md5_bucket
+    from polars_pipe_spark.functions.text import normalize_text
+
+    docs = _t_par(spark, sf, "documents")
+    bucket = md5_bucket("doc_id", 100)
+    labeled = docs.select(
+        F.md5(F.substring(normalize_text("text"), 1, 80)).alias("fp"),
+        F.when(bucket < 10, F.lit("test"))
+        .when(bucket < 20, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return split_leakage(labeled, "fp", "split").orderBy("split_a", "split_b")
+
+
+def _q192_byte_encoding_audit(spark, sf):
+    """Byte-level encoding audit per document — the ingest health check
+    before any tokenizer sees the text: char vs byte length (multibyte
+    overhead), pure-ASCII flag, digit/uppercase populations. All exact
+    integers from JVM string expressions; single scan, no shuffle."""
+    docs = _t(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_raw"),
+        F.octet_length(t).alias("n_bytes"),
+        (F.octet_length(t) - F.length(t)).alias("n_multibyte_extra"),
+        (F.octet_length(t) == F.length(t)).alias("is_ascii"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).alias("n_digits"),
+        (F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))).alias("n_upper"),
+    )
+
+
+def _q193_heavy_hitters(spark, sf):
+    """Exact frequency-floor heavy hitters: every token above 1000 ppm of
+    the corpus token stream (the exact answer to the Misra–Gries
+    question). Integer cross-multiply against a broadcast 1-row total —
+    no float division, deterministic output set; the vocabulary count
+    table is ≪ corpus at any scale."""
+    from polars_pipe_spark.functions.integrity import heavy_hitters
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(tok, "token", threshold_ppm=1000)
+
+
+def _q194_bigram_transitions(spark, sf):
+    """Token-level Markov transition table: for the top-20 lead tokens,
+    the top-3 following tokens with exact numerator/denominator counts
+    (the n-gram LM building block). Consecutive pairs come from one
+    zip of the token array with its own tail (no positional self-join);
+    the rank window runs only over the 20 surviving leads' rows."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    toks = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("lead"), b.alias("next")),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.lead").alias("lead"), F.col("bg.next").alias("next"))
+    cnt = pairs.groupBy("lead", "next").agg(F.count(F.lit(1)).alias("n_pair"))
+    leads = (
+        cnt.groupBy("lead")
+        .agg(F.sum("n_pair").alias("n_lead"))
+        .orderBy(F.col("n_lead").desc(), F.col("lead").asc())
+        .limit(20)
+    )
+    w = Window.partitionBy("lead").orderBy(F.col("n_pair").desc(), F.col("next").asc())
+    return (
+        cnt.join(F.broadcast(leads), "lead")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lead", "next", "n_pair", "n_lead", "rk")
+    )
+
+
+def _q195_matryoshka_recall(spark, sf):
+    """Matryoshka-style dimension-truncation evaluation: per query, the
+    overlap between exact cosine top-5 on the FIRST 8 dims and on the
+    full vector — the measurement that justifies shipping truncated
+    embeddings at 100 TB (8/16 of the scan bytes and FLOPs). Both
+    rankings reuse the broadcast brute-force kernel; overlap is an
+    integer join-count with zero-preserving left join."""
+    from polars_pipe_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    full = brute_force_topk(emb, q, "embedding", "vec_id", "vec_id", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    emb8 = emb.select("vec_id", F.slice("embedding", 1, 8).alias("embedding"))
+    q8 = emb8.filter(F.col("vec_id") < 20)
+    trunc = brute_force_topk(emb8, q8, "embedding", "vec_id", "vec_id", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        trunc.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4725,6 +4869,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_cooccurrence_pairs": _q187_cooccurrence_pairs,
     "q188_dataset_card": _q188_dataset_card,
     "q189_referential_integrity": _q189_referential_integrity,
+    "q190_table_checksum": _q190_table_checksum,
+    "q191_split_leakage": _q191_split_leakage,
+    "q192_byte_encoding_audit": _q192_byte_encoding_audit,
+    "q193_heavy_hitters": _q193_heavy_hitters,
+    "q194_bigram_transitions": _q194_bigram_transitions,
+    "q195_matryoshka_recall": _q195_matryoshka_recall,
 }
 
 
@@ -8028,6 +8178,123 @@ _ORACLES["q189_referential_integrity"] = """
     SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
     FROM customer c WHERE NOT EXISTS (
       SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
+def _hex_int_sql(expr: str, n_digits: int) -> str:
+    """DuckDB twin of Spark's ``conv(substring(md5(x),1,n),16,10)``:
+    nibble-position arithmetic, portable to any engine with strpos."""
+    val = "CAST(0 AS BIGINT)"
+    for i in range(1, n_digits + 1):
+        nib = f"(strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1)"
+        val = f"({val} * 16 + {nib})"
+    return val
+
+
+def _checksum_sql(table: str, cols: list[str]) -> str:
+    rendered = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols)
+    return f"""
+    SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST({_hex_int_sql("h", 12)} AS HUGEINT))
+                % 4611686018427387904 AS BIGINT) AS checksum
+    FROM (SELECT md5(concat_ws('|', {rendered})) AS h FROM {table})
+    """
+
+
+_ORACLES["q190_table_checksum"] = " UNION ALL ".join(
+    [
+        _checksum_sql("documents", ["doc_id", "source", "lang"]),
+        _checksum_sql("orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+        _checksum_sql("lineitem", ["l_orderkey", "l_linenumber", "l_returnflag"]),
+    ]
+)
+
+_BUCKET100 = (
+    "((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100"
+)
+
+_ORACLES["q191_split_leakage"] = f"""
+    WITH lab AS (
+      SELECT md5(substr({_NORM}, 1, 80)) AS fp,
+             CASE WHEN {_BUCKET100} < 10 THEN 'test'
+                  WHEN {_BUCKET100} < 20 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    ), per AS (
+      SELECT fp, split, COUNT(*) AS n_docs FROM lab GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.split AS split_a, b.split AS split_b,
+             a.n_docs AS docs_a, b.n_docs AS docs_b
+      FROM per a JOIN per b USING (fp) WHERE a.split < b.split
+    )
+    SELECT split_a, split_b, COUNT(*) AS n_shared_fingerprints,
+           CAST(SUM(docs_a + docs_b) AS BIGINT) AS n_leaked_docs
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_ORACLES["q192_byte_encoding_audit"] = """
+    SELECT doc_id,
+           length(text) AS n_chars_raw,
+           strlen(text) AS n_bytes,
+           strlen(text) - length(text) AS n_multibyte_extra,
+           strlen(text) = length(text) AS is_ascii,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+           length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+    FROM documents
+"""
+
+_ORACLES["q193_heavy_hitters"] = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, cnt, total FROM counts CROSS JOIN tot
+    WHERE 1000000 * cnt > 1000 * total
+"""
+
+_ORACLES["q194_bigram_transitions"] = f"""
+    WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+    big AS (
+      SELECT unnest(t[1:len(t)-1]) AS lead, unnest(t[2:len(t)]) AS next
+      FROM tok WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT lead, next, COUNT(*) AS n_pair FROM big GROUP BY 1, 2
+    ), leads AS (
+      SELECT lead, CAST(SUM(n_pair) AS BIGINT) AS n_lead
+      FROM cnt GROUP BY 1 ORDER BY n_lead DESC, lead LIMIT 20
+    )
+    SELECT c.lead, c.next, c.n_pair, l.n_lead,
+           CAST(row_number() OVER (PARTITION BY c.lead
+                                   ORDER BY c.n_pair DESC, c.next) AS INT) AS rk
+    FROM cnt c JOIN leads l USING (lead) QUALIFY rk <= 3
+"""
+
+_ORACLES["q195_matryoshka_recall"] = f"""
+    WITH qf AS (
+      SELECT vec_id AS query_id, embedding AS qv, embedding[1:8] AS qv8
+      FROM embeddings WHERE vec_id < 20
+    ), cf AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, embedding[1:8] AS cv8
+      FROM embeddings
+    ), sfull AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY {_cosine_sql("cv", "qv")} DESC, neighbor_id) AS INT) AS rk
+      FROM cf CROSS JOIN qf WHERE neighbor_id != query_id QUALIFY rk <= 5
+    ), tr AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY {_cosine_sql("cv8", "qv8")} DESC, neighbor_id) AS INT) AS rk
+      FROM cf CROSS JOIN qf WHERE neighbor_id != query_id QUALIFY rk <= 5
+    ), hits AS (
+      SELECT t.query_id, COUNT(*) AS n
+      FROM tr t JOIN sfull f ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      GROUP BY t.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
+    FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN hits h USING (query_id)
 """
 
 

@@ -1,0 +1,123 @@
+"""Data-integrity operators: order-invariant table checksums, cross-split
+exact-content leakage audit, and exact frequency-floor heavy hitters.
+
+Extends the reference's validation surface (reference
+``src/polars_pipe/validation.py`` — column contracts / filter splits) with
+the warehouse-level integrity checks a 100 TB lake needs:
+
+- ``table_checksum`` — did a replication / migration / rewrite preserve a
+  table exactly?  Order-invariant (sum of per-row content hashes), so the
+  source and the rewritten copy can be compared without sorting either
+  side.  ONE aggregation, map-side partial, no shuffle beyond the final
+  1-row combine — the cheapest possible full-table verification.
+- ``split_leakage`` — did an exact duplicate document land on both sides
+  of a train/eval split?  Grouped by content fingerprint (near-unique key,
+  no skew), pair counts only over fingerprints that actually straddle
+  splits — the audit that catches eval contamination a per-row hash split
+  cannot prevent when the corpus itself contains duplicates.
+- ``heavy_hitters`` — the exact version of the Misra–Gries question:
+  every token whose corpus frequency exceeds ``threshold_ppm`` parts per
+  million.  Integer cross-multiply (no float division), broadcast 1-row
+  total.  At 100 TB the token-count table is vocabulary-sized (≪ corpus),
+  so the same two-aggregate shape holds.
+
+All pure ``F.*`` expressions — no Python row UDFs, no windows over
+unbounded frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: modulus keeping the checksum inside a BIGINT on both engines
+CHECKSUM_MOD = 1 << 62
+
+
+def row_fingerprint_int(*cols: str | Column) -> Column:
+    """48-bit BIGINT content hash of the ``|``-joined string rendering of
+    ``cols`` (nulls render as ``chr(0)`` so NULL != '' != '0').  Uses the
+    first 12 md5 hex digits via ``conv(hex, 16, 10)`` — portable to any
+    engine with md5 + string ops, and evaluated as one JVM expression."""
+    rendered = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00")
+        )
+        for c in cols
+    ]
+    return F.conv(F.substring(F.md5(F.concat_ws("|", *rendered)), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def table_checksum(df: DataFrame, cols: list[str], table_name: str) -> DataFrame:
+    """One (table_name, n_rows, checksum) row.  ``checksum`` is the sum of
+    per-row 48-bit content hashes mod 2^62 — order-invariant, so two
+    physically different layouts of the same rows (repartitioned,
+    compacted, sorted) produce the same value.  The sum is carried in
+    DECIMAL(38,0): a BIGINT sum would overflow beyond ~2^15 rows, and at
+    100 TB scale the row count is ~1e12."""
+    fp = row_fingerprint_int(*cols)
+    return df.agg(
+        F.lit(table_name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(fp.cast("decimal(38,0)"))
+            % F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def split_leakage(
+    df: DataFrame, fingerprint_col: str | Column, split_col: str
+) -> DataFrame:
+    """Per ordered split-pair, the number of distinct content fingerprints
+    present in BOTH splits (and the number of documents carrying them).
+    Shape: group by fingerprint (near-unique → no skew), keep only
+    fingerprints spanning ≥2 splits (a tiny frame — the duplicate
+    population), then enumerate that frame's split pairs.  The corpus is
+    scanned once; no self-join of the full table."""
+    fp = (
+        F.col(fingerprint_col) if isinstance(fingerprint_col, str) else fingerprint_col
+    )
+    per_split = (
+        df.select(fp.alias("fp"), F.col(split_col).alias("split"))
+        .groupBy("fp", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    a = per_split.select(
+        "fp",
+        F.col("split").alias("split_a"),
+        F.col("n_docs").alias("docs_a"),
+    )
+    b = per_split.select(
+        "fp",
+        F.col("split").alias("split_b"),
+        F.col("n_docs").alias("docs_b"),
+    )
+    pairs = a.join(b, "fp").filter(F.col("split_a") < F.col("split_b"))
+    return pairs.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_shared_fingerprints"),
+        F.sum(F.col("docs_a") + F.col("docs_b")).alias("n_leaked_docs"),
+    )
+
+
+def heavy_hitters(
+    token_df: DataFrame, token_col: str = "token", threshold_ppm: int = 1000
+) -> DataFrame:
+    """Every token whose exact corpus frequency exceeds ``threshold_ppm``
+    parts per million: ``1_000_000 * cnt > threshold_ppm * total`` —
+    integer cross-multiply, no float division, deterministic output set.
+    Two aggregates: the vocabulary count (vocab-sized, ≪ corpus) and a
+    broadcast 1-row total."""
+    counts = token_df.groupBy(F.col(token_col).alias("token")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = token_df.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.lit(1_000_000) * F.col("cnt") > F.lit(threshold_ppm) * F.col("total"))
+        .select("token", "cnt", "total")
+    )

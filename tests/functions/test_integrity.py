@@ -1,0 +1,86 @@
+"""Integrity operators: order-invariant checksums, split-leakage audit,
+exact heavy hitters (functions/integrity.py).
+
+Each test pins the property the operator exists for: the checksum must be
+invariant under physical reordering and sensitive to any cell change; the
+leakage audit must find a planted cross-split duplicate and stay silent
+without one; heavy hitters must be the exact threshold set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.functions.integrity import (
+    heavy_hitters,
+    row_fingerprint_int,
+    split_leakage,
+    table_checksum,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, body string, split string")
+
+
+def test_checksum_order_invariant(spark):
+    rows = [(i, f"text-{i}", "train") for i in range(50)]
+    df = _docs(spark, rows)
+    shuffled = _docs(spark, list(reversed(rows))).repartition(7)
+    a = table_checksum(df, ["id", "body"], "t").collect()[0]
+    b = table_checksum(shuffled, ["id", "body"], "t").collect()[0]
+    assert a["checksum"] == b["checksum"]
+    assert a["n_rows"] == b["n_rows"] == 50
+
+
+def test_checksum_detects_single_cell_change(spark):
+    rows = [(i, f"text-{i}", "train") for i in range(50)]
+    mutated = rows[:20] + [(20, "text-20-CORRUPT", "train")] + rows[21:]
+    a = table_checksum(_docs(spark, rows), ["id", "body"], "t").collect()[0]
+    b = table_checksum(_docs(spark, mutated), ["id", "body"], "t").collect()[0]
+    assert a["checksum"] != b["checksum"]
+
+
+def test_checksum_null_vs_empty_distinct(spark):
+    a = _docs(spark, [(1, None, "x")])
+    b = _docs(spark, [(1, "", "x")])
+    ca = table_checksum(a, ["id", "body"], "t").collect()[0]["checksum"]
+    cb = table_checksum(b, ["id", "body"], "t").collect()[0]["checksum"]
+    assert ca != cb
+
+
+def test_row_fingerprint_range(spark):
+    df = _docs(spark, [(1, "a", "x"), (2, "b", "y")])
+    vals = [r[0] for r in df.select(row_fingerprint_int("id", "body")).collect()]
+    assert all(0 <= v < (1 << 48) for v in vals)
+    assert len(set(vals)) == 2
+
+
+def test_split_leakage_finds_planted_dup(spark):
+    rows = [(i, f"unique-{i}", "train" if i % 2 else "test") for i in range(20)]
+    rows += [(100, "LEAKED", "train"), (101, "LEAKED", "test"), (102, "LEAKED", "test")]
+    df = _docs(spark, rows).withColumn("fp", F.md5("body"))
+    out = split_leakage(df, "fp", "split").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["split_a"], r["split_b"]) == ("test", "train")
+    assert r["n_shared_fingerprints"] == 1
+    # 2 test docs + 1 train doc carry the leaked fingerprint
+    assert r["n_leaked_docs"] == 3
+
+
+def test_split_leakage_clean_corpus_empty(spark):
+    rows = [(i, f"unique-{i}", "train" if i % 2 else "test") for i in range(20)]
+    df = _docs(spark, rows).withColumn("fp", F.md5("body"))
+    assert split_leakage(df, "fp", "split").count() == 0
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    # 1000 tokens: 'hot' x 20 (2% = 20000 ppm), 'warm' x 1 (1000 ppm,
+    # NOT above the strict threshold), filler unique tokens
+    toks = ["hot"] * 20 + ["warm"] + [f"t{i}" for i in range(979)]
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    out = {r["token"]: r for r in heavy_hitters(df, "token", threshold_ppm=1000).collect()}
+    assert "hot" in out and out["hot"]["cnt"] == 20 and out["hot"]["total"] == 1000
+    # strict inequality: exactly-at-threshold is excluded
+    assert "warm" not in out
