@@ -4675,6 +4675,192 @@ def _q195_matryoshka_recall(spark, sf):
     )
 
 
+def _q196_containment_neardup(spark, sf):
+    """Asymmetric containment near-dup (quote / subset detection):
+    containment = |A∩B| / min(|A|,|B|) ≥ 0.5 over char-4-gram sets.
+    Jaccard's size-band pruning is USELESS here (a 100-gram quote inside
+    a 10k-gram page is exactly what we want), so candidates come from a
+    bottom-4 gram sketch instead: if containment ≥ 0.5, each of the
+    smaller doc's 4 smallest (md5-ordered ≈ random) grams lands in the
+    other doc with p ≥ 0.5, so P(no shared bottom-gram) ≤ 6% — an
+    equi-join on sketch grams, never an all-pairs join. The oracle
+    mirrors the sketch exactly, so the (documented) ~6% recall gap is
+    identical on both engines."""
+    from polars_pipe_spark.functions.text import normalize_text
+
+    df = _t_par(spark, sf, "documents")
+    normed = df.select(
+        F.col("doc_id").alias("id"), F.col("source"), normalize_text("text").alias("norm")
+    )
+    norm = F.col("norm")
+    grams_s = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - 3, F.lit(1))),
+            lambda i: F.substring(norm, i, F.lit(4)),
+        )
+    )
+    # radix-256 packing (ASCII corpus — see q27): numeric order of the
+    # packed longs == lexicographic order of the 4-char grams, so the
+    # bottom-4 sketch is engine-portable.
+    packed = F.transform(
+        grams_s,
+        lambda s: (
+            F.ascii(F.substring(s, 1, 1)) * F.lit(16777216)
+            + F.ascii(F.substring(s, 2, 1)) * F.lit(65536)
+            + F.ascii(F.substring(s, 3, 1)) * F.lit(256)
+            + F.ascii(F.substring(s, 4, 1))
+        ).cast("long"),
+    )
+    g = normed.select(
+        "id", "source", F.array_sort(packed).alias("grams")
+    ).withColumn("ng", F.size("grams"))
+    keys = g.select(
+        "id", "source", F.explode(F.slice("grams", 1, 4)).alias("k")
+    )
+    cands = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"), F.col("ng").alias("ng_a"))
+    gb = g.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"), F.col("ng").alias("ng_b"))
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
+        # integer-form threshold: i / min(ng) >= 1/2  <=>  2i >= min(ng)
+        .filter(2 * F.col("n_inter") >= F.least("ng_a", "ng_b"))
+        .withColumn(
+            "containment",
+            F.round(F.col("n_inter").cast("double") / F.least("ng_a", "ng_b"), 6),
+        )
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def _q197_maxsim_late_interaction(spark, sf):
+    """ColBERT-style MaxSim late-interaction scoring: each 16-dim vector
+    is treated as 4 sub-vectors of 4 dims (the multi-vector layout);
+    score(q, d) = Σ_j max_k cos(q_j, d_k). Broadcast query side, all 16
+    sub-cosines as one JVM expression tree, top-3 per query. The shape
+    that scales: corpus-side scan × broadcast queries, rank window only
+    over per-query candidates."""
+    emb = _t(spark, sf, "embeddings")
+
+    def sub(v, j):
+        return F.slice(v, 1 + 4 * j, 4)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def cos(a, b):
+        na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+        return F.when(na * nb > 0, dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"))
+    score = None
+    for j in range(4):
+        best = F.greatest(*[cos(sub(F.col("qv"), j), sub(F.col("cv"), k)) for k in range(4)])
+        score = best if score is None else score + best
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("maxsim", F.round(score, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "doc_id", "maxsim", "rk")
+    )
+
+
+def _q198_ewma_smoothing(spark, sf):
+    """Per-user trailing EWMA (decay 0.75, window 8) over event values —
+    the time-series smoothing staple. Pure lag() window expressions (no
+    arrays, no UDFs): numerator/denominator accumulate in a FIXED
+    literal order so the doubles are bit-identical on any engine;
+    null values drop out of both sums. Per-user partitions, ties broken
+    by event_id."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for lag in range(8):
+        x = F.lag("value", lag).over(w)
+        wt = F.lit(0.75 ** lag)
+        num = num + F.when(x.isNotNull(), x * wt).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.when(den > 0, num / den), 6).alias("ewma"),
+    )
+
+
+def _q199_inverted_index(spark, sf):
+    """Inverted-index build for the top-50 document-frequency tokens:
+    df count + a posting sample of the 10 smallest doc_ids. The posting
+    cap uses SALTED two-level top-k (per-(token, doc_id%32) partial
+    sort-and-slice, then merge the ≤32×10 survivors) so a stopword's
+    postings never funnel through one reducer — the skew-safe exact
+    top-k-per-key pattern; raise the salt fan-out with corpus size."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    post = docs.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token"), "doc_id"
+    )
+    partial = (
+        post.groupBy("token", (F.col("doc_id") % 32).alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("df_part"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias("sample_part"),
+        )
+    )
+    merged = partial.groupBy("token").agg(
+        F.sum("df_part").alias("df"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("sample_part"))), 1, 10).alias(
+            "posting_sample"
+        ),
+    )
+    return merged.orderBy(F.col("df").desc(), F.col("token").asc()).limit(50)
+
+
+def _q200_event_path_trigrams(spark, sf):
+    """Behavioral path mining: top-20 consecutive event-type trigrams
+    per user timeline (the funnel-discovery primitive). lead() windows
+    partitioned per user (bounded by user activity), count + TakeOrdered
+    top-k — no global sort, no session state."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return tri.orderBy(
+        F.col("n").desc(), F.col("e1").asc(), F.col("e2").asc(), F.col("e3").asc()
+    ).limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4875,6 +5061,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q193_heavy_hitters": _q193_heavy_hitters,
     "q194_bigram_transitions": _q194_bigram_transitions,
     "q195_matryoshka_recall": _q195_matryoshka_recall,
+    "q196_containment_neardup": _q196_containment_neardup,
+    "q197_maxsim_late_interaction": _q197_maxsim_late_interaction,
+    "q198_ewma_smoothing": _q198_ewma_smoothing,
+    "q199_inverted_index": _q199_inverted_index,
+    "q200_event_path_trigrams": _q200_event_path_trigrams,
 }
 
 
@@ -8295,6 +8486,119 @@ _ORACLES["q195_matryoshka_recall"] = f"""
     )
     SELECT q.query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap
     FROM (SELECT DISTINCT query_id FROM qf) q LEFT JOIN hits h USING (query_id)
+"""
+
+
+# q196: packed-gram arithmetic mirrored exactly (ascii('') = 0 on both
+# engines, so end-of-string grams pack identically).
+_PACK4 = (
+    "ascii(substr(norm, i, 1)) * 16777216 + ascii(substr(norm, i + 1, 1)) * 65536"
+    " + ascii(substr(norm, i + 2, 1)) * 256 + ascii(substr(norm, i + 3, 1))"
+)
+
+_ORACLES["q196_containment_neardup"] = f"""
+    WITH n AS (SELECT doc_id AS id, source, {_NORM} AS norm FROM documents),
+    g AS (
+      SELECT id, source,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(length(norm) - 3, 1) + 1),
+               i -> CAST({_PACK4} AS BIGINT)))) AS grams
+      FROM n
+    ), gg AS (SELECT id, source, grams, len(grams) AS ng FROM g),
+    keys AS (SELECT id, source, unnest(grams[1:4]) AS k FROM gg),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM keys a JOIN keys b ON a.k = b.k AND a.source = b.source AND a.id < b.id
+    ), verify AS (
+      SELECT c.id_a, c.id_b,
+             len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS n_inter,
+             least(ga.ng, gb.ng) AS mn
+      FROM cands c
+      JOIN gg ga ON ga.id = c.id_a
+      JOIN gg gb ON gb.id = c.id_b
+    )
+    SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / mn, 6) AS containment
+    FROM verify WHERE 2 * n_inter >= mn
+"""
+
+
+def _cos_safe_sql(a: str, b: str) -> str:
+    na = _NORM_V.format(a=a)
+    nb = _NORM_V.format(a=b)
+    return (
+        f"(CASE WHEN {na} * {nb} > 0 THEN {_DOT.format(a=a, b=b)} / ({na} * {nb})"
+        " ELSE 0.0 END)"
+    )
+
+
+_MAXSIM = " + ".join(
+    "greatest(" + ", ".join(_cos_safe_sql(f"q{j}", f"c{k}") for k in range(1, 5)) + ")"
+    for j in range(1, 5)
+)
+
+_ORACLES["q197_maxsim_late_interaction"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding[1:4] AS q1, embedding[5:8] AS q2,
+             embedding[9:12] AS q3, embedding[13:16] AS q4
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS doc_id, embedding[1:4] AS c1, embedding[5:8] AS c2,
+             embedding[9:12] AS c3, embedding[13:16] AS c4
+      FROM embeddings
+    ), s AS (
+      SELECT query_id, doc_id, round({_MAXSIM}, 6) AS maxsim
+      FROM c CROSS JOIN q WHERE doc_id != query_id
+    )
+    SELECT query_id, doc_id, maxsim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS INT) AS rk
+    FROM s QUALIFY rk <= 3
+"""
+
+_EWMA_NUM = " + ".join(
+    f"(CASE WHEN x{lag} IS NOT NULL THEN x{lag} * {0.75 ** lag!r} ELSE 0.0 END)"
+    for lag in range(8)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN x{lag} IS NOT NULL THEN {0.75 ** lag!r} ELSE 0.0 END)"
+    for lag in range(8)
+)
+_EWMA_LAGS = ", ".join(f"lag(value, {lag}) OVER w AS x{lag}" for lag in range(8))
+
+_ORACLES["q198_ewma_smoothing"] = f"""
+    WITH l AS (
+      SELECT event_id, user_id, {_EWMA_LAGS}
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT event_id, user_id, {_EWMA_NUM} AS num, {_EWMA_DEN} AS den FROM l
+    )
+    SELECT event_id, user_id,
+           CASE WHEN den > 0 THEN round(num / den, 6) END AS ewma
+    FROM s
+"""
+
+_ORACLES["q199_inverted_index"] = f"""
+    WITH post AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+    ), agg AS (
+      SELECT token, COUNT(*) AS df,
+             list_sort(list(doc_id))[1:10] AS posting_sample
+      FROM post GROUP BY token
+    )
+    SELECT token, df, posting_sample
+    FROM agg ORDER BY df DESC, token LIMIT 50
+"""
+
+_ORACLES["q200_event_path_trigrams"] = """
+    WITH tri AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3 LIMIT 20
 """
 
 

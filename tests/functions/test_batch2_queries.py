@@ -1,0 +1,88 @@
+"""Property tests for the q196-q200 entry queries (containment near-dup,
+MaxSim late interaction, EWMA, inverted index, path trigrams) at
+sf0.001 — the DuckDB oracle pins exact values at sf0.01; these pin the
+semantic invariants on the real code path."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_containment_bounds_and_orientation(spark):
+    rows = entry.queries()["q196_containment_neardup"](spark, SF).collect()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        # threshold 0.5 enforced; containment can never exceed 1
+        assert 0.5 <= r["containment"] <= 1.0
+
+
+def test_maxsim_bounded_by_subvector_count(spark):
+    rows = entry.queries()["q197_maxsim_late_interaction"](spark, SF).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        # sum of 4 cosines, each in [-1, 1]
+        assert -4.0 <= r["maxsim"] <= 4.0
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing with rank
+        scores = [r["maxsim"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ewma_within_window_value_range(spark):
+    df = entry.queries()["q198_ewma_smoothing"](spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    lo, hi = ev.selectExpr("min(value)", "max(value)").first()
+    rows = df.collect()
+    assert len(rows) == ev.count()
+    for r in rows:
+        if r["ewma"] is not None:
+            # a weighted average of observed values stays inside their range
+            assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    rows = entry.queries()["q199_inverted_index"](spark, SF).collect()
+    assert 0 < len(rows) <= 50
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        ps = r["posting_sample"]
+        assert ps == sorted(ps)
+        assert len(ps) == min(r["df"], 10)
+        assert len(set(ps)) == len(ps)
+
+
+def test_inverted_index_salted_merge_equals_direct_topk(spark):
+    """The salted two-level top-k must equal the naive global answer."""
+    from pyspark.sql import functions as F
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    post = docs.select(
+        F.explode(F.array_distinct(tokens("text"))).alias("token"), "doc_id"
+    )
+    direct = {
+        r["token"]: (r["df"], r["sample"])
+        for r in post.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias("sample"),
+        )
+        .collect()
+    }
+    for r in entry.queries()["q199_inverted_index"](spark, SF).collect():
+        assert direct[r["token"]] == (r["df"], r["posting_sample"])
+
+
+def test_path_trigrams_counts_positive_sorted(spark):
+    rows = entry.queries()["q200_event_path_trigrams"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(n > 0 for n in ns)
