@@ -4676,56 +4676,67 @@ def _q195_matryoshka_recall(spark, sf):
 
 
 def _q196_containment_neardup(spark, sf):
-    """Asymmetric containment near-dup (quote / subset detection):
-    containment = |A∩B| / min(|A|,|B|) ≥ 0.5 over char-4-gram sets.
-    Jaccard's size-band pruning is USELESS here (a 100-gram quote inside
-    a 10k-gram page is exactly what we want), so candidates come from a
-    bottom-4 gram sketch instead: if containment ≥ 0.5, each of the
-    smaller doc's 4 smallest (md5-ordered ≈ random) grams lands in the
-    other doc with p ≥ 0.5, so P(no shared bottom-gram) ≤ 6% — an
-    equi-join on sketch grams, never an all-pairs join. The oracle
-    mirrors the sketch exactly, so the (documented) ~6% recall gap is
-    identical on both engines."""
-    from polars_pipe_spark.functions.text import normalize_text
+    """EXACT asymmetric containment detection via a one-sided
+    prefix-filtered overlap join (AllPairs/PPJoin family): every
+    same-source pair with |A∩B| / min(|A|,|B|) ≥ 0.8 over word-5-shingle
+    sets — the quote-inside-a-page case Jaccard size-banding cannot
+    address. Each document indexes only its floor(ng/5)+1 RAREST
+    shingles under a global (document-frequency, shingle) total order;
+    by pigeonhole the SMALLER doc of any qualifying pair must expose a
+    shared shingle in that prefix, and the probe side is the full
+    posting list — so candidates come from a prefix⋈postings equi-join
+    whose fan-out is bounded by the DF of rare shingles, with ZERO
+    recall loss (brute-force equivalence pinned by a test). Word
+    shingles, not char grams: the 5-token shingle space is large enough
+    that "rare" is meaningful (most shingles are unique), where this
+    corpus has only ~1k distinct char-4-grams. Threshold is the integer
+    cross-multiply 5·i ≥ 4·min(ng)."""
+    from polars_pipe_spark.functions.text import shingles
 
     df = _t_par(spark, sf, "documents")
-    normed = df.select(
-        F.col("doc_id").alias("id"), F.col("source"), normalize_text("text").alias("norm")
+    # 48-bit shingle hashes: intersections compare longs pre-shuffle
+    # (the q132 span-dedup lesson), collision odds ~1e-3 corpus-wide
+    hashed = F.transform(
+        F.array_distinct(shingles("text", 5)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
-    norm = F.col("norm")
-    grams_s = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - 3, F.lit(1))),
-            lambda i: F.substring(norm, i, F.lit(4)),
-        )
+    # persisted: read 5× downstream (DF table, prefix, postings, both
+    # verify sides); 48-bit hashes keep the cached footprint tiny
+    # (#shingles × 8 B) — contrast q27, where caching giant char-gram
+    # arrays lost to recompute
+    g = df.select(
+        F.col("doc_id").alias("id"), F.col("source"), F.array_sort(hashed).alias("grams")
+    ).withColumn("ng", F.size("grams")).persist()
+    dfreq = (
+        g.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
     )
-    # radix-256 packing (ASCII corpus — see q27): numeric order of the
-    # packed longs == lexicographic order of the 4-char grams, so the
-    # bottom-4 sketch is engine-portable.
-    packed = F.transform(
-        grams_s,
-        lambda s: (
-            F.ascii(F.substring(s, 1, 1)) * F.lit(16777216)
-            + F.ascii(F.substring(s, 2, 1)) * F.lit(65536)
-            + F.ascii(F.substring(s, 3, 1)) * F.lit(256)
-            + F.ascii(F.substring(s, 4, 1))
-        ).cast("long"),
+    exploded = g.select("id", "source", "ng", F.explode("grams").alias("gram")).join(
+        dfreq, "gram"
     )
-    g = normed.select(
-        "id", "source", F.array_sort(packed).alias("grams")
-    ).withColumn("ng", F.size("grams"))
-    keys = g.select(
-        "id", "source", F.explode(F.slice("grams", 1, 4)).alias("k")
+    # rank window partitioned per document — bounded by the doc's own
+    # gram count, never corpus-sized.  prefix_len = ng - ceil(0.8·ng) + 1
+    # = floor(ng/5) + 1 (pigeonhole bound for the 0.8 threshold).
+    wr = Window.partitionBy("id").orderBy(F.col("gdf").asc(), F.col("gram").asc())
+    prefix = (
+        exploded.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= F.floor(F.col("ng") / 5) + 1)
+        .select("id", "source", "gram")
     )
+    postings = g.select("id", "source", F.explode("grams").alias("gram"))
     cands = (
-        keys.alias("a")
+        prefix.alias("a")
         .join(
-            keys.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
+            postings.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") != F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+        )
         .distinct()
     )
     ga = g.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"), F.col("ng").alias("ng_a"))
@@ -4734,13 +4745,12 @@ def _q196_containment_neardup(spark, sf):
         cands.join(ga, "id_a")
         .join(gb, "id_b")
         .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")))
-        # integer-form threshold: i / min(ng) >= 1/2  <=>  2i >= min(ng)
-        .filter(2 * F.col("n_inter") >= F.least("ng_a", "ng_b"))
+        .filter(5 * F.col("n_inter") >= 4 * F.least("ng_a", "ng_b"))
         .withColumn(
             "containment",
             F.round(F.col("n_inter").cast("double") / F.least("ng_a", "ng_b"), 6),
         )
-        .select("id_a", "id_b", "containment")
+        .select("id_a", "id_b", "n_inter", "containment")
     )
 
 
@@ -8489,26 +8499,33 @@ _ORACLES["q195_matryoshka_recall"] = f"""
 """
 
 
-# q196: packed-gram arithmetic mirrored exactly (ascii('') = 0 on both
-# engines, so end-of-string grams pack identically).
-_PACK4 = (
-    "ascii(substr(norm, i, 1)) * 16777216 + ascii(substr(norm, i + 1, 1)) * 65536"
-    " + ascii(substr(norm, i + 2, 1)) * 256 + ascii(substr(norm, i + 3, 1))"
+_SHINGLES5 = (
+    "CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_transform(range(1, len(toks) - 3), i -> array_to_string(toks[i:i+4], ' ')) END"
 )
 
 _ORACLES["q196_containment_neardup"] = f"""
-    WITH n AS (SELECT doc_id AS id, source, {_NORM} AS norm FROM documents),
+    WITH tok AS (SELECT doc_id AS id, source, {_TOKS} AS toks FROM documents),
     g AS (
       SELECT id, source,
-             list_sort(list_distinct(list_transform(
-               range(1, greatest(length(norm) - 3, 1) + 1),
-               i -> CAST({_PACK4} AS BIGINT)))) AS grams
-      FROM n
+             list_sort(list_transform(
+               list_distinct({_SHINGLES5}),
+               s -> CAST({_hex_int_sql("md5(s)", 12)} AS BIGINT))) AS grams
+      FROM tok
     ), gg AS (SELECT id, source, grams, len(grams) AS ng FROM g),
-    keys AS (SELECT id, source, unnest(grams[1:4]) AS k FROM gg),
+    ex AS (SELECT id, source, ng, unnest(grams) AS gram FROM gg),
+    dfreq AS (SELECT gram, COUNT(*) AS gdf FROM ex GROUP BY gram),
+    ranked AS (
+      SELECT e.id, e.source, e.gram,
+             row_number() OVER (PARTITION BY e.id
+                                ORDER BY d.gdf ASC, e.gram ASC) AS rnk, e.ng
+      FROM ex e JOIN dfreq d USING (gram)
+    ),
+    prefix AS (SELECT id, source, gram FROM ranked WHERE rnk <= ng // 5 + 1),
     cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM keys a JOIN keys b ON a.k = b.k AND a.source = b.source AND a.id < b.id
+      SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+      FROM prefix a JOIN ex b
+        ON a.gram = b.gram AND a.source = b.source AND a.id != b.id
     ), verify AS (
       SELECT c.id_a, c.id_b,
              len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS n_inter,
@@ -8517,8 +8534,8 @@ _ORACLES["q196_containment_neardup"] = f"""
       JOIN gg ga ON ga.id = c.id_a
       JOIN gg gb ON gb.id = c.id_b
     )
-    SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / mn, 6) AS containment
-    FROM verify WHERE 2 * n_inter >= mn
+    SELECT id_a, id_b, n_inter, round(CAST(n_inter AS DOUBLE) / mn, 6) AS containment
+    FROM verify WHERE 5 * n_inter >= 4 * mn
 """
 
 

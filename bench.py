@@ -56,6 +56,10 @@ HEADLINE = [
     "q162_winnow_fingerprints",
     "q165_exact_quantiles",
     "q168_pq_topk",
+    # round-4 session-2 heavies: exact prefix-filtered containment join,
+    # MaxSim late interaction
+    "q196_containment_neardup",
+    "q197_maxsim_late_interaction",
 ]
 
 

@@ -14,8 +14,39 @@ def test_containment_bounds_and_orientation(spark):
     rows = entry.queries()["q196_containment_neardup"](spark, SF).collect()
     for r in rows:
         assert r["id_a"] < r["id_b"]
-        # threshold 0.5 enforced; containment can never exceed 1
-        assert 0.5 <= r["containment"] <= 1.0
+        # containment >= 0.8 enforced; containment can never exceed 1
+        assert 0.8 <= r["containment"] <= 1.0
+
+
+def test_containment_prefix_filter_is_exact(spark):
+    """Prefix filtering must lose NO pair vs the brute-force overlap join."""
+    from pyspark.sql import functions as F
+    from polars_pipe_spark.functions.text import shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    grams = F.transform(
+        F.array_distinct(shingles("text", 5)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    g = docs.select(F.col("doc_id").alias("id"), "source", grams.alias("gr"))
+    brute = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("a.gr", "b.gr")))
+        .filter(
+            5 * F.col("n_inter") >= 4 * F.least(F.size("a.gr"), F.size("b.gr"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "n_inter")
+    )
+    expect = {(r["id_a"], r["id_b"]): r["n_inter"] for r in brute.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["n_inter"]
+        for r in entry.queries()["q196_containment_neardup"](spark, SF).collect()
+    }
+    assert got == expect and expect
 
 
 def test_maxsim_bounded_by_subvector_count(spark):
