@@ -4871,6 +4871,87 @@ def _q200_event_path_trigrams(spark, sf):
     ).limit(20)
 
 
+def _q201_lsh_precision(spark, sf):
+    """LSH candidate-quality evaluation, the PRECISION half of the
+    q133 recall harness: of all pairs the banded minhash join proposes,
+    how many survive exact Jaccard ≥ 0.2? One aggregate over the
+    unfiltered candidate frame (threshold=0 path of minhash_near_dups) —
+    the number that tells you whether banding parameters waste exact-
+    verification work at 100 TB. Integer counts + one rounded ratio."""
+    from polars_pipe_spark.functions.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(
+        _t_par(spark, sf, "documents"), "text", "doc_id",
+        shingle_k=3, sig_k=8, n_bands=4, threshold=0.0,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).alias("n_true"),
+        F.round(
+            F.sum(F.when(F.col("jaccard") >= 0.2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("precision"),
+    )
+
+
+def _q202_langid_confusion(spark, sf):
+    """Language-ID confusion matrix against the corpus ground-truth
+    labels — the eval artifact behind every lang-filter decision:
+    (true, predicted, count) cells. Single scan + one grouped aggregate;
+    the marker-argmax classifier is the same pure-expression lang_id the
+    quality pipeline uses (tie order pinned de→en→es→fr)."""
+    from polars_pipe_spark.functions.text import lang_id
+
+    docs = _t_par(spark, sf, "documents")
+    return (
+        docs.groupBy(
+            F.col("lang").alias("lang_true"), lang_id("text").alias("lang_pred")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def _q203_streaming_heavy_hitters(spark, sf):
+    """The q193 heavy-hitters question answered by a REAL Structured
+    Streaming query: token counts aggregated in complete mode across
+    micro-batches (availableNow), then the frequency floor applied to
+    the final state — the continuous-ingest version of corpus heavy
+    hitters, checked against the same batch SQL oracle."""
+    import tempfile
+
+    from polars_pipe_spark.functions.text import tokens
+
+    path = f"{sf}/documents.parquet"
+    batch = _t_par(spark, sf, "documents")
+    if not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_hh_src_") + "/documents"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    tok = stream.select(F.explode(tokens("text")).alias("token"))
+    agg = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    name = "pps_hh_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    counts = spark.table(name)
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.lit(1_000_000) * F.col("cnt") > F.lit(1000) * F.col("total"))
+        .select("token", "cnt", "total")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5076,6 +5157,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_ewma_smoothing": _q198_ewma_smoothing,
     "q199_inverted_index": _q199_inverted_index,
     "q200_event_path_trigrams": _q200_event_path_trigrams,
+    "q201_lsh_precision": _q201_lsh_precision,
+    "q202_langid_confusion": _q202_langid_confusion,
+    "q203_streaming_heavy_hitters": _q203_streaming_heavy_hitters,
 }
 
 
@@ -5349,7 +5433,7 @@ _SHINGLES3 = (
     "ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END"
 )
 
-_ORACLES["q25_minhash_neardup"] = f"""
+_Q25_INNER = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ), dsh AS (
@@ -5372,7 +5456,7 @@ _ORACLES["q25_minhash_neardup"] = f"""
     FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
 """
 _ORACLES["q25_minhash_neardup"] = (
-    "SELECT * FROM (" + _ORACLES["q25_minhash_neardup"] + ") WHERE jaccard >= 0.2"
+    "SELECT * FROM (" + _Q25_INNER + ") WHERE jaccard >= 0.2"
 )
 
 _NIB = "strpos('0123456789abcdef', substr(md5(t), {i}, 1)) - 1"
@@ -8617,6 +8701,33 @@ _ORACLES["q200_event_path_trigrams"] = """
     FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
     ORDER BY n DESC, e1, e2, e3 LIMIT 20
 """
+
+
+# q201: the unfiltered q25 candidate body aggregated into precision
+_ORACLES["q201_lsh_precision"] = f"""
+    WITH scored AS ({_Q25_INNER})
+    SELECT COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           round(CAST(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS precision
+    FROM scored
+"""
+
+_ORACLES["q202_langid_confusion"] = f"""
+    WITH tok AS (
+      SELECT lang, {_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT lang, {_lang_score("de")} AS s_de, {_lang_score("en")} AS s_en,
+             {_lang_score("es")} AS s_es, {_lang_score("fr")} AS s_fr
+      FROM tok
+    )
+    SELECT lang AS lang_true, ({_LANG_PRED}) AS lang_pred, COUNT(*) AS n
+    FROM feat GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# q203: the streaming complete-mode final state must equal the batch
+# heavy-hitters answer exactly
+_ORACLES["q203_streaming_heavy_hitters"] = _ORACLES["q193_heavy_hitters"]
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,3 +117,30 @@ def test_path_trigrams_counts_positive_sorted(spark):
     ns = [r["n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
     assert all(n > 0 for n in ns)
+
+
+def test_lsh_precision_consistent_with_q25(spark):
+    r = entry.queries()["q201_lsh_precision"](spark, SF).collect()[0]
+    assert 0 < r["n_true"] <= r["n_candidates"]
+    assert 0.0 < r["precision"] <= 1.0
+    n_pairs = entry.queries()["q25_minhash_neardup"](spark, SF).count()
+    assert r["n_true"] == n_pairs
+
+
+def test_langid_confusion_partitions_corpus(spark):
+    rows = entry.queries()["q202_langid_confusion"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert {r["lang_pred"] for r in rows} <= {"de", "en", "es", "fr", "unknown"}
+
+
+def test_streaming_heavy_hitters_equals_batch(spark):
+    got = {
+        (r["token"], r["cnt"], r["total"])
+        for r in entry.queries()["q203_streaming_heavy_hitters"](spark, SF).collect()
+    }
+    want = {
+        (r["token"], r["cnt"], r["total"])
+        for r in entry.queries()["q193_heavy_hitters"](spark, SF).collect()
+    }
+    assert got == want and want
