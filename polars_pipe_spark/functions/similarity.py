@@ -679,18 +679,25 @@ def centroid_similarity(
     )
 
 
-def _sq_l2(a: Column, b: Column) -> Column:
-    """Σ (a_i - b_i)² as an ordered double fold (deterministic — both
-    engines reduce positions left to right)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _sq_l2_sql(vec: str, offset: int, cw: list[float]) -> str:
+    """SQL text for Σ_i (vec[offset+i] − cw[i])² against a LITERAL
+    codeword, unrolled to scalar arithmetic with an explicit
+    left-to-right addition chain (deterministic on any engine).
 
-
-def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    A SQL STRING, not a Column tree, on purpose: the PQ queries inline
+    m·k of these (1000+ arithmetic nodes), and building that forest
+    through the Column API costs ~6000 py4j round-trips — measured
+    ~7 s of driver-side plan construction per fresh plan at m=8, k=16,
+    dsub=8, constant w.r.t. data size. One ``F.expr`` hands the JVM the
+    whole tree in a single call.  ``repr(float)`` is Python's shortest
+    round-trip form, and Java's ``Double.parseDouble`` of that form
+    yields the identical IEEE-754 double, so the literals are exact;
+    the ``D`` suffix keeps Spark from typing them as DECIMAL."""
+    terms = []
+    for i, c in enumerate(cw):
+        x = f"(CAST(element_at({vec}, {offset + i + 1}) AS DOUBLE) - {float(c)!r}D)"
+        terms.append(f"({x} * {x})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def pq_encode(
@@ -712,24 +719,32 @@ def pq_encode(
     codegen'd. Appends ``pq_code`` (array<int>, one code per subspace).
 
     Argmin ties break to the first (lowest) codeword index on any
-    engine: the min VALUE is an element of the distance array, so exact
-    equality lookup finds its first occurrence.
+    engine (struct-min over (distance, index) pairs — field-ordered
+    comparison — matching SQL ``array_position`` first-occurrence
+    semantics).
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    v = F.col(vec_col)
+    v = f"`{vec_col}`"
     codes = []
     for s in range(m):
-        sub = F.transform(
-            F.slice(v, s * dsub + 1, dsub), lambda x: x.cast("double")
+        dists = (
+            "array("
+            + ", ".join(_sq_l2_sql(v, s * dsub, cw) for cw in codebooks[s])
+            + ")"
         )
-        dists = F.array(
-            *[_sq_l2(sub, _lit_vec(cw)) for cw in codebooks[s]]
-        )
+        # argmin via struct-min over (distance, index) pairs: struct
+        # ordering compares fields left to right, so the min is the
+        # smallest distance with ties broken to the LOWEST index —
+        # array_position semantics — while referencing the distance
+        # array ONCE (array_position(d, array_min(d)) would inline the
+        # m·k·dsub-term array twice, doubling generated-code size).
+        k = len(codebooks[s])
         codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            f"CAST(array_min(zip_with({dists}, sequence(0, {k - 1}),"
+            f" (d, i) -> struct(d, i))).i AS INT)"
         )
-    return df.withColumn("pq_code", F.array(*codes))
+    return df.withColumn("pq_code", F.expr("array(" + ", ".join(codes) + ")"))
 
 
 def pq_topk(
@@ -745,43 +760,89 @@ def pq_topk(
     full-precision and scores against each corpus vector's RECONSTRUCTED
     subvectors — approx_dist = Σ_s ||q_s − codeword(code_s)||².
 
-    Shape: the bounded query batch broadcasts against the (tiny) encoded
-    code column — the corpus' full vectors are NOT read by the scoring
-    pass (that is the point of PQ: at 100 TB the scan touches m bytes
-    per vector, not 4·d). Codewords come from the same inlined literal
+    Shape: the bounded query batch (collected driver-side to build the
+    ADC lookup tables — same bounded-collect contract as the broadcast
+    that follows) scores against the (tiny) encoded code column — the
+    corpus' full vectors are NOT read by the scoring pass (that is the
+    point of PQ: at 100 TB the scan touches m bytes per vector, not
+    4·d). Codewords come from the same inlined literal
     table as :func:`pq_encode`; the per-pair sum explodes the m codes
     and reduces with map-side partials; the final top-k is a per-query
     rank window over candidates (ties by neighbor id).
     """
     from pyspark.sql import Window
 
+    from pyspark.sql import types as T
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     enc = pq_encode(corpus, vec_col, codebooks).select(
         F.col(id_col).alias("neighbor_id"), "pq_code"
     )
-    q = queries.select(
+    # ADC's defining optimization: precompute, PER QUERY, the full
+    # lookup table lut[s][j] = ||q_s − codeword_j||² (m × k doubles)
+    # BEFORE the join — the per-pair expression then collapses to m
+    # array lookups + a fixed-order sum instead of m sub-vector L2
+    # computations. The query batch is bounded by contract (it is
+    # broadcast below), so the LUT is computed DRIVER-SIDE in Python
+    # doubles: Python and the JVM share IEEE-754 binary64 with the same
+    # left-to-right evaluation order, and the collected float32 vector
+    # elements widen to the identical doubles `CAST(... AS DOUBLE)`
+    # produces, so every cell is bit-identical to the in-plan form the
+    # SQL oracle computes — while the 1000+-node literal distance
+    # forest (which broke whole-stage codegen and cost seconds of
+    # driver plan-build) vanishes from the plan entirely.
+    def _py_sq_l2(v: list[float], offset: int, cw: list[float]) -> float:
+        total = None
+        for i, c in enumerate(cw):
+            x = v[offset + i] - float(c)
+            t = x * x
+            total = t if total is None else total + t
+        return total
+
+    qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        if r["qv"] is None:
+            lut_rows.append((r["query_id"], None))
+            continue
+        qv = [float(x) for x in r["qv"]]
+        lut_rows.append(
+            (
+                r["query_id"],
+                [
+                    [_py_sq_l2(qv, s * dsub, cw) for cw in codebooks[s]]
+                    for s in range(m)
+                ],
+            )
+        )
+    id_field = queries.select(
+        F.col(query_id_col).alias("query_id")
+    ).schema.fields[0]
+    q = corpus.sparkSession.createDataFrame(
+        lut_rows,
+        T.StructType(
+            [
+                id_field,
+                T.StructField(
+                    "lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
     )
     pairs = enc.crossJoin(F.broadcast(q))
-    cb_lit = F.array(
-        *[F.array(*[_lit_vec(cw) for cw in codebooks[s]]) for s in range(m)]
-    )
-    # Σ_s as an EXPLICIT left-to-right chain of per-subspace terms — an
-    # explode + groupBy sum would add the doubles in shuffle order,
-    # which is nondeterministic and can never match a SQL oracle; the
-    # fixed chain evaluates identically on any engine.
+    # Σ_s as an EXPLICIT left-to-right chain — an explode + groupBy sum
+    # would add the doubles in shuffle order (nondeterministic, can
+    # never match a SQL oracle); the fixed chain evaluates identically
+    # on any engine.
     total = None
     for s in range(m):
-        qsub = F.transform(
-            F.slice(F.col("qv"), s * dsub + 1, dsub),
-            lambda x: x.cast("double"),
-        )
-        cw = F.element_at(
-            F.element_at(cb_lit, s + 1),
+        term = F.element_at(
+            F.element_at(F.col("lut"), s + 1),
             F.element_at(F.col("pq_code"), s + 1) + 1,
         )
-        term = _sq_l2(qsub, cw)
         total = term if total is None else total + term
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(total, 9).alias("adc_dist")
