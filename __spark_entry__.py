@@ -4952,6 +4952,130 @@ def _q203_streaming_heavy_hitters(spark, sf):
     )
 
 
+def _q204_bloom_prune_join(spark, sf):
+    """Runtime-filter join pruning: a Bloom-style bucket set built from
+    the selective build side (customers with acctbal > 7500) prunes the
+    orders probe side BEFORE the join shuffle — the manual form of
+    Spark's runtime bloom filter, as an operator the optimizer can't
+    decline. Per priority: candidate rows passing the filter vs rows
+    the exact join keeps. No false negatives by construction (the
+    oracle's IN-subquery computes the same md5-bucket membership), and
+    candidates ≥ matches is visible in the output."""
+    from polars_pipe_spark.operators.joins import bloom_prune
+
+    rich = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 7500)
+        .select("c_custkey")
+    )
+    orders = _t_par(spark, sf, "orders")
+    cand = bloom_prune(orders, rich, "o_custkey", "c_custkey", n_buckets=4096)
+    cand_counts = cand.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    matched = (
+        orders.join(rich, orders["o_custkey"] == rich["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return cand_counts.join(matched, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_candidates",
+        F.coalesce(F.col("n_matched"), F.lit(0).cast("long")).alias("n_matched"),
+    )
+
+
+def _q205_url_normalize(spark, sf):
+    """URL canonicalisation for web-corpus dedup (C4/CCNet pre-step):
+    lowercase scheme+host, strip www./default ports/fragments/utm_*
+    params, sort surviving params — then group by registrable domain.
+    The raw URLs are derived in-query from document columns (the
+    testdata has no URL column), and the ORACLE asserts the expected
+    canonical string analytically — ground truth, not a second
+    implementation of the normaliser. All pure string/array
+    expressions; per-domain counts are one grouped aggregate."""
+    from polars_pipe_spark.functions.text import normalize_url, registrable_domain
+
+    df = _t_par(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper("source"),
+        F.lit(".Example"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".COM:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_campaign=c&ref="),
+        F.col("lang"),
+        F.lit("&b=2&a=1#frag"),
+    )
+    urls = df.select(
+        "doc_id", normalize_url(raw).alias("norm_url")
+    ).withColumn("domain", registrable_domain(F.col("norm_url")))
+    return urls.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("norm_url").alias("n_distinct"),
+        F.min("norm_url").alias("first_url"),
+    )
+
+
+def _q206_group_ols(spark, sf):
+    """Per-nation OLS regression (slope/intercept/Pearson r) of a
+    customer's lifetime order value against their account balance —
+    grouped linear regression from EXACT decimal moments
+    (operators/aggregates.grouped_ols): one shuffle for the per-customer
+    rollup, one for the per-nation moments; the only floating-point
+    steps are final divisions in a fixed expression order, so the
+    doubles are bit-reproducible against the oracle's HUGEINT-exact
+    moments."""
+    from polars_pipe_spark.operators.aggregates import grouped_ols
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("x_cents"),
+    )
+    per_cust = (
+        _t_par(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "y_cents"
+            )
+        )
+    )
+    joined = cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"])
+    # round(…, 6): the moments are exact on both engines, but casting a
+    # >64-bit exact integer to DOUBLE is 1-ulp engine-dependent (DuckDB
+    # composes hugeint halves in double arithmetic — two roundings);
+    # 6-decimal rounding absorbs it, same as the q125/q129 contract
+    return grouped_ols(joined, ["c_nationkey"], "x_cents", "y_cents").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("corr_r", 6).alias("corr_r"),
+    )
+
+
+def _q207_k_anonymity(spark, sf):
+    """Pre-release privacy audit: k-anonymity over the
+    (nation, market-segment) quasi-identifier pair with account-balance
+    cents as the sensitive attribute — class count, smallest class,
+    re-identifiable rows below k=5 (exact ppm share), minimum
+    l-diversity. Counts-only output: no quasi-identifier VALUES leave
+    the executors (operators/inspect.k_anonymity_report)."""
+    from polars_pipe_spark.operators.inspect import k_anonymity_report
+
+    cust = _t_par(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=5, sensitive_col="bal_cents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5160,6 +5284,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q201_lsh_precision": _q201_lsh_precision,
     "q202_langid_confusion": _q202_langid_confusion,
     "q203_streaming_heavy_hitters": _q203_streaming_heavy_hitters,
+    "q204_bloom_prune_join": _q204_bloom_prune_join,
+    "q205_url_normalize": _q205_url_normalize,
+    "q206_group_ols": _q206_group_ols,
+    "q207_k_anonymity": _q207_k_anonymity,
 }
 
 
@@ -8728,6 +8856,105 @@ _ORACLES["q202_langid_confusion"] = f"""
 # q203: the streaming complete-mode final state must equal the batch
 # heavy-hitters answer exactly
 _ORACLES["q203_streaming_heavy_hitters"] = _ORACLES["q193_heavy_hitters"]
+
+# q204: the oracle computes the SAME md5-bucket membership as an
+# IN-subquery — the bloom set semantics without the array mechanics —
+# plus the exact join counts the filter must never undercut
+_ORACLES["q204_bloom_prune_join"] = f"""
+    WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 7500),
+    bl AS (SELECT DISTINCT
+             ({_hex_int_sql("md5(CAST(c_custkey AS VARCHAR))", 12)} % 4096) AS b
+           FROM rich),
+    cand AS (
+      SELECT o_orderpriority FROM orders
+      WHERE ({_hex_int_sql("md5(CAST(o_custkey AS VARCHAR))", 12)} % 4096)
+            IN (SELECT b FROM bl)
+    ),
+    cc AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY 1),
+    mm AS (SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_matched
+           FROM orders o JOIN rich r ON o.o_custkey = r.c_custkey GROUP BY 1)
+    SELECT cc.o_orderpriority, cc.n_candidates,
+           CAST(COALESCE(mm.n_matched, 0) AS BIGINT) AS n_matched
+    FROM cc LEFT JOIN mm ON cc.o_orderpriority = mm.o_orderpriority
+"""
+
+# q205: ground-truth oracle — the expected canonical URL is written
+# analytically from the construction, not by re-implementing the
+# normaliser (params a=1 < b=2 < ref=* after utm_* drops; host
+# lowercased, www./:443 stripped)
+_ORACLES["q205_url_normalize"] = """
+    WITH u AS (
+      SELECT 'https://' || lower(source) || '.example'
+             || CAST(doc_id % 3 AS VARCHAR) || '.com/p/'
+             || CAST(doc_id AS VARCHAR) || '?a=1&b=2&ref=' || lang AS norm_url,
+             'example' || CAST(doc_id % 3 AS VARCHAR) || '.com' AS domain
+      FROM documents
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_distinct,
+           MIN(norm_url) AS first_url
+    FROM u GROUP BY domain
+"""
+
+# q206: HUGEINT-exact moments, double math only in the final fixed-order
+# divisions — mirrors grouped_ols' decimal(38,0) path term for term
+_ORACLES["q206_group_ols"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+      SELECT c.c_nationkey,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS x,
+             p.y_cents AS y
+      FROM customer c JOIN per_cust p ON c.c_custkey = p.o_custkey
+    ),
+    m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM j GROUP BY c_nationkey
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           END, 6) AS slope,
+           ROUND(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0 THEN
+             (CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           END, 6) AS intercept,
+           ROUND(CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) <> 0
+                 AND CAST(n*syy - sy*sy AS DOUBLE) <> 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END, 6) AS corr_r
+    FROM m
+"""
+
+_ORACLES["q207_k_anonymity"] = """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz,
+             COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS rows_below_k,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST((SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000)
+                // SUM(sz) AS BIGINT) AS below_k_ppm
+    FROM cls
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -438,3 +438,59 @@ def bpe_train(df, text_col: str, n_merges: int = 10) -> list[tuple[str, str, int
             ),
         ).localCheckpoint()
     return merges
+
+
+def normalize_url(col: str | Column) -> Column:
+    """Canonicalise a URL the way web-corpus dedup pipelines do before
+    URL-level dedup (C4 / CCNet style): lowercase scheme and host, strip
+    a leading ``www.``, drop default ports (``:80`` http / ``:443``
+    https), drop the fragment, drop ``utm_*`` tracking parameters, and
+    sort the surviving query parameters so parameter order doesn't split
+    duplicates. Pure ``F.*`` expressions (regexp + array HOFs) — runs
+    inside whole-stage codegen, no UDF; an engine-portable spec any SQL
+    dialect with regex + list ops can reproduce.
+    """
+    u = F.regexp_replace(_c(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & (~p.rlike("^utm_")),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+
+
+def registrable_domain(host_or_url: str | Column) -> Column:
+    """Last-two-label registrable domain (``a.b.example.com`` →
+    ``example.com``) — the grouping key for per-domain caps and domain
+    mixing weights. A heuristic, not a full public-suffix-list lookup
+    (no PSL data in this environment; the seam is this one function).
+    Accepts a bare host or a URL (host is extracted if '://' present).
+    """
+    s = _c(host_or_url)
+    host = F.when(
+        s.contains("://"), F.regexp_extract(s, r"://([^/?#]*)", 1)
+    ).otherwise(s)
+    host = F.lower(F.regexp_replace(host, r":\d+$", ""))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(n <= 2, host).otherwise(
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    )

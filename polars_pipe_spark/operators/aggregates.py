@@ -376,3 +376,65 @@ def trimmed_mean(
         .first()
     )
     return float(lo_val), float(hi_val), int(row["n"]), float(row["mean"])
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) from EXACT moments.
+
+    ``x_col``/``y_col`` must be integer-valued (scale money to cents
+    first): the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,( Σy²))
+    are summed in DECIMAL(38,0) — exact, order-free, mergeable — so the
+    whole regression is ONE map-side-combinable aggregate per group, and
+    the only floating-point steps are the final divisions, computed in a
+    fixed expression order any engine reproduces bit-identically:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)        as DOUBLE
+        intercept = (Σy − slope·Σx) / n                     as DOUBLE
+        corr_r    = num / (sqrt(den_x) · sqrt(den_y))       as DOUBLE
+
+    Degenerate groups (zero x-variance) get NULL slope/intercept/corr.
+    Scale: a single groupBy — the same shuffle profile as any grouped
+    sum; no second pass, no residual join, no driver math. Exactness
+    bound: intermediate products must fit DECIMAL(38,0) (|n·Σxy| <
+    10³⁸) — far beyond any realistic cents-scaled corpus.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("decimal(38,0)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("decimal(38,0)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    den_x = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    den_y = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    slope = F.when(den_x != 0.0, num / den_x)
+    intercept = F.when(
+        den_x != 0.0,
+        (F.col("__sy").cast("double") - slope * F.col("__sx").cast("double"))
+        / F.col("__n").cast("double"),
+    )
+    corr = F.when(
+        (den_x != 0.0) & (den_y != 0.0), num / (F.sqrt(den_x) * F.sqrt(den_y))
+    )
+    return agg.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        corr.alias("corr_r"),
+    )

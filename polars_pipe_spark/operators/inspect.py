@@ -112,3 +112,52 @@ def describe_df(
     )
     # A stats table has ~11 rows — one partition, one output file.
     return df.sparkSession.createDataFrame(out_rows, schema).coalesce(1)
+
+
+def k_anonymity_report(
+    df: "DataFrame",
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+) -> "DataFrame":
+    """Privacy re-identification audit before a dataset release:
+    k-anonymity (every combination of quasi-identifier values — the
+    equivalence class — must cover ≥ k rows) and, when
+    ``sensitive_col`` is given, l-diversity (distinct sensitive values
+    within each class).
+
+    One summary row: total rows, class count, the smallest class, rows
+    sitting in classes below ``k`` (the re-identifiable population) and
+    their integer-exact ppm share, plus ``min_l``. Shape: a single
+    groupBy over the quasi columns followed by a global 1-row aggregate
+    of per-class counts — two map-side-combinable stages; the widest
+    intermediate is one row per equivalence class. No quasi-identifier
+    VALUES leave the executors (the summary is counts only), which is
+    the point for a privacy audit at 100 TB.
+    """
+    per_class = [
+        F.count(F.lit(1)).alias("__size"),
+    ]
+    if sensitive_col is not None:
+        per_class.append(F.countDistinct(sensitive_col).alias("__l"))
+    classes = df.groupBy(*quasi_cols).agg(*per_class)
+    aggs = [
+        F.sum("__size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__size").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("__size") < k, F.col("__size")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        aggs.append(F.min("__l").cast("long").alias("min_l"))
+    out = classes.agg(*aggs)
+    # integer floor-division: double-quotient-then-cast would hit the
+    # Spark-truncates / DuckDB-rounds cast seam
+    return out.withColumn(
+        "below_k_ppm",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN "
+            "CAST((rows_below_k * 1000000) DIV n_rows AS BIGINT) END"
+        ),
+    )

@@ -187,3 +187,79 @@ def fuzzy_join(
             dist.alias("edit_dist"),
         )
     )
+
+
+def _bucket_expr(cols: list[str], n_buckets: int) -> "F.Column":
+    """Deterministic hash bucket in [0, n_buckets): md5 of the
+    '|'-joined stringified keys, first 12 hex nibbles as an integer —
+    the same cross-engine-reproducible idiom the sampling/checksum
+    operators use (any engine with md5 + string ops can replicate it,
+    unlike xxhash64)."""
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return (
+        F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def bloom_prune(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | list[str],
+    right_on: str | list[str],
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Runtime-filter (Bloom-style) pruning of a big probe side: keep
+    only ``left`` rows whose key hash-bucket appears among ``right``'s
+    key buckets. Guaranteed NO false negatives (every row that would
+    join survives); false positives pass at a rate of roughly
+    ``distinct(right keys) / n_buckets`` and are eliminated by the real
+    join that follows.
+
+    This is the manual form of Spark's own runtime bloom filter
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), exposed as an
+    operator so the pruning happens BEFORE an expensive shuffle the
+    optimizer can't see through (e.g. ahead of an aggregation or a
+    UDF-bearing stage). Build cost: one two-stage distinct-bucket
+    aggregate over the (selective) build side — the broadcast payload is
+    bounded by ``n_buckets`` longs regardless of data size; probe cost:
+    a map-side filter, no shuffle. At 100 TB the probe side is never
+    shuffled to discover it doesn't match.
+    """
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    if len(lkeys) != len(rkeys):
+        raise ValueError("left_on and right_on must pair up")
+    # one-shot collect_set agg: map-side partials are already ≤
+    # n_buckets longs each, so the single-reducer merge is bounded —
+    # no pre-distinct shuffle needed
+    bitmap = right.select(_bucket_expr(rkeys, n_buckets).alias("__b")).agg(
+        F.sort_array(F.collect_set("__b")).alias("__bloom")
+    )
+    return (
+        left.crossJoin(F.broadcast(bitmap))
+        .filter(F.array_contains(F.col("__bloom"), _bucket_expr(lkeys, n_buckets)))
+        .drop("__bloom")
+    )
+
+
+def bloom_prune_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str | list[str],
+    right_on: str | list[str],
+    how: str = "inner",
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """``bloom_prune`` the probe side, then run the exact equi-join.
+    Result rows are identical to the plain join (the filter admits no
+    false negatives); the join's shuffle moves only the candidate
+    subset."""
+    pruned = bloom_prune(left, right, left_on, right_on, n_buckets)
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = pruned[lk] == right[rk]
+        cond = c if cond is None else cond & c
+    return pruned.join(right, cond, how)

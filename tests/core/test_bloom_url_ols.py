@@ -1,0 +1,130 @@
+"""Unit tests for the round-4 session-3 operators: bloom-pruned join,
+URL canonicalisation, grouped OLS, k-anonymity audit — each checked
+against a plain-Python model on small hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_pipe_spark.operators.aggregates import grouped_ols
+from polars_pipe_spark.operators.inspect import k_anonymity_report
+from polars_pipe_spark.operators.joins import bloom_prune, bloom_prune_join
+from polars_pipe_spark.functions.text import normalize_url, registrable_domain
+
+
+class TestBloomPrune:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(i, f"p{i % 3}") for i in range(200)], "k long, tag string"
+        )
+        right = spark.createDataFrame([(i,) for i in range(0, 200, 25)], "rk long")
+        return left, right
+
+    def test_no_false_negatives(self, sides):
+        left, right = sides
+        pruned = bloom_prune(left, right, "k", "rk", n_buckets=64)
+        kept = {r.k for r in pruned.collect()}
+        assert set(range(0, 200, 25)) <= kept  # every true match survives
+
+    def test_prunes_something(self, sides):
+        left, right = sides
+        pruned = bloom_prune(left, right, "k", "rk", n_buckets=64)
+        # 8 build keys over 64 buckets: ~7/8 of probe rows should go
+        assert pruned.count() < 200
+
+    def test_join_equals_plain_join(self, sides):
+        left, right = sides
+        expect = sorted(
+            (r.k, r.tag) for r in left.join(right, left.k == right.rk).collect()
+        )
+        got = sorted(
+            (r.k, r.tag)
+            for r in bloom_prune_join(left, right, "k", "rk", n_buckets=16).collect()
+        )
+        assert got == expect
+
+    def test_key_arity_mismatch(self, sides):
+        left, right = sides
+        with pytest.raises(ValueError):
+            bloom_prune(left, right, ["k"], ["rk", "rk"])
+
+
+class TestNormalizeUrl:
+    def norm(self, spark, raw):
+        df = spark.createDataFrame([(raw,)], "u string")
+        return df.select(normalize_url("u").alias("n")).collect()[0].n
+
+    def test_full_canonicalisation(self, spark):
+        raw = "HTTPS://WWW.Site.COM:443/Path/X?utm_source=a&z=1&a=2#frag"
+        assert self.norm(spark, raw) == "https://site.com/Path/X?a=2&z=1"
+
+    def test_http_default_port_and_empty_path(self, spark):
+        assert self.norm(spark, "http://EXAMPLE.org:80") == "http://example.org/"
+
+    def test_non_default_port_kept(self, spark):
+        assert self.norm(spark, "http://a.io:8080/x") == "http://a.io:8080/x"
+
+    def test_all_params_dropped(self, spark):
+        assert (
+            self.norm(spark, "https://a.io/p?utm_a=1&utm_b=2") == "https://a.io/p"
+        )
+
+    def test_registrable_domain(self, spark):
+        df = spark.createDataFrame(
+            [("https://a.b.Example.com:9/x",), ("deep.sub.site.org",), ("io",)],
+            "h string",
+        )
+        got = [r.d for r in df.select(registrable_domain("h").alias("d")).collect()]
+        assert got == ["example.com", "site.org", "io"]
+
+
+class TestGroupedOls:
+    def test_against_python_model(self, spark):
+        rows = [("g", x, 3 * x + 7 + (x % 2)) for x in range(1, 11)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        out = grouped_ols(df, ["g"], "x", "y").collect()[0]
+        n = len(rows)
+        sx = sum(r[1] for r in rows)
+        sy = sum(r[2] for r in rows)
+        sxy = sum(r[1] * r[2] for r in rows)
+        sxx = sum(r[1] * r[1] for r in rows)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        assert out.n == n
+        assert out.slope == pytest.approx(slope, abs=1e-12)
+        assert out.intercept == pytest.approx(intercept, abs=1e-12)
+        assert 0.99 < out.corr_r <= 1.0  # near-perfect line
+
+    def test_degenerate_group_nulls(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5, 1), ("g", 5, 9)], "g string, x long, y long"
+        )
+        out = grouped_ols(df, ["g"], "x", "y").collect()[0]
+        assert out.slope is None and out.intercept is None and out.corr_r is None
+        assert out.n == 2
+
+
+class TestKAnonymity:
+    def test_hand_computed(self, spark):
+        rows = (
+            [("n1", "A", i) for i in range(6)]  # class size 6, l=6
+            + [("n1", "B", 1), ("n1", "B", 1)]  # size 2 (< k), l=1
+            + [("n2", "A", 2)]  # size 1 (< k), l=1
+        )
+        df = spark.createDataFrame(rows, "nat string, seg string, bal long")
+        out = k_anonymity_report(
+            df, ["nat", "seg"], k=5, sensitive_col="bal"
+        ).collect()[0]
+        assert out.n_rows == 9
+        assert out.n_classes == 3
+        assert out.min_class_size == 1
+        assert out.rows_below_k == 3
+        assert out.min_l == 1
+        assert out.below_k_ppm == 3 * 1_000_000 // 9
+
+    def test_without_sensitive(self, spark):
+        df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+        row = k_anonymity_report(df, ["g"], k=1).collect()[0]
+        assert row.rows_below_k == 0 and "min_l" not in row.asDict()
