@@ -5076,6 +5076,71 @@ def _q207_k_anonymity(spark, sf):
     )
 
 
+def _q208_range_partition_audit(spark, sf):
+    """Balanced total-order layout without a global sort: exact
+    quartile boundaries from the distributed histogram-narrowing
+    selection (q165 machinery — aggregate scans only, never a
+    one-reducer sort) define 4 range buckets over order-value cents;
+    the audit reports each bucket's row count and min/max, proving the
+    ranges are disjoint, exhaustive and balanced — exactly what a
+    `repartitionByRange(4, col)` export would ship per file at 100 TB,
+    with the boundary choice explainable and reproducible (Spark's own
+    RangePartitioner samples nondeterministically). The oracle derives
+    the same thresholds as sorted row_number lookups —
+    algorithm-independent (the q170 pattern)."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v = _t_par(spark, sf, "orders").select(cents.alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    th = exact_quantiles(v, "c", [0.25, 0.5, 0.75])
+    t25, t50, t75 = (int(th[q][1]) for q in (0.25, 0.5, 0.75))
+    bucket = (
+        (F.col("c") > t25).cast("int")
+        + (F.col("c") > t50).cast("int")
+        + (F.col("c") > t75).cast("int")
+    ).cast("long")
+    return (
+        v.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+
+
+def _q209_schema_evolution_read(spark, sf):
+    """Source-surface: schema-evolution read via ``mergeSchema`` — an
+    old parquet snapshot (2 columns) and a new one (adds n_regionkey)
+    land in one frame with NULL back-fill for the missing column, the
+    way a years-old 100 TB lake with drifting producers actually reads.
+    The footer-merge cost is metadata-only (no data rewrite); the
+    oracle states the expected union analytically from the base table."""
+    import tempfile
+
+    base = _t(spark, sf, "nation")
+    d = tempfile.mkdtemp(prefix="schema_evo_")
+    base.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        f"{d}/v1"
+    )
+    base.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/v1", f"{d}/v2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_region"),
+        F.sum(F.col("n_regionkey").isNull().cast("long")).alias(
+            "n_without_region"
+        ),
+        F.countDistinct("n_nationkey").alias("distinct_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5288,6 +5353,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q205_url_normalize": _q205_url_normalize,
     "q206_group_ols": _q206_group_ols,
     "q207_k_anonymity": _q207_k_anonymity,
+    "q208_range_partition_audit": _q208_range_partition_audit,
+    "q209_schema_evolution_read": _q209_schema_evolution_read,
 }
 
 
@@ -8937,6 +9004,47 @@ _ORACLES["q206_group_ols"] = """
                 * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
            END, 6) AS corr_r
     FROM m
+"""
+
+# q208: thresholds re-derived as sorted row_number lookups — the oracle
+# is independent of the histogram-narrowing algorithm
+_ORACLES["q208_range_partition_audit"] = """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    s AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v),
+    cnt AS (SELECT COUNT(*) AS n FROM v),
+    th AS (
+      SELECT
+        (SELECT c FROM s WHERE r =
+           (SELECT CAST(FLOOR((n - 1) * 0.25) AS BIGINT) + 1 FROM cnt)) AS t25,
+        (SELECT c FROM s WHERE r =
+           (SELECT CAST(FLOOR((n - 1) * 0.5) AS BIGINT) + 1 FROM cnt)) AS t50,
+        (SELECT c FROM s WHERE r =
+           (SELECT CAST(FLOOR((n - 1) * 0.75) AS BIGINT) + 1 FROM cnt)) AS t75
+    )
+    SELECT CAST((CASE WHEN c > t25 THEN 1 ELSE 0 END
+               + CASE WHEN c > t50 THEN 1 ELSE 0 END
+               + CASE WHEN c > t75 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(c) AS min_cents, MAX(c) AS max_cents
+    FROM v, th GROUP BY 1
+"""
+
+# q209: the merged-read outcome stated analytically from the base table
+_ORACLES["q209_schema_evolution_read"] = """
+    WITH u AS (
+      SELECT n_nationkey, CAST(NULL AS INTEGER) AS n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_regionkey FROM nation
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(n_regionkey) AS BIGINT) AS n_with_region,
+           CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_without_region,
+           CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS distinct_keys
+    FROM u
 """
 
 _ORACLES["q207_k_anonymity"] = """
