@@ -60,6 +60,9 @@ HEADLINE = [
     # MaxSim late interaction
     "q196_containment_neardup",
     "q197_maxsim_late_interaction",
+    # round-4 session-3: runtime-filter join pruning, exact-moment OLS
+    "q204_bloom_prune_join",
+    "q206_group_ols",
 ]
 
 

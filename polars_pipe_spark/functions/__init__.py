@@ -9,10 +9,12 @@
 - ``sampling``: content-hash deterministic sampling, train/test split,
   source mixing, context-window packing.
 - ``multimodal``: binary media columns + Arrow-batched decode stubs.
+- ``integrity``: table checksums, split-leakage and referential audits.
 """
 
 from polars_pipe_spark.functions import (
     dedup,
+    integrity,
     multimodal,
     retrieval,
     sampling,
@@ -20,4 +22,4 @@ from polars_pipe_spark.functions import (
     text,
 )
 
-__all__ = ["dedup", "multimodal", "retrieval", "sampling", "similarity", "text"]
+__all__ = ["dedup", "integrity", "multimodal", "retrieval", "sampling", "similarity", "text"]

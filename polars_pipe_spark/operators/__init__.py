@@ -3,6 +3,7 @@ from polars_pipe_spark.operators import (
     cdc,
     inspect,
     joins,
+    layout,
     reshape,
     transform,
     validation,
@@ -14,6 +15,7 @@ __all__ = [
     "cdc",
     "inspect",
     "joins",
+    "layout",
     "reshape",
     "transform",
     "validation",

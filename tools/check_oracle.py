@@ -246,6 +246,15 @@ def main() -> int:
 
     print(f"\n{n_pass} ok, {n_weak} rows-only, {n_fail} failed / {len(wanted)} total")
     if json_path:
+        # subset runs MERGE into an existing artifact (a 4-query re-check
+        # must not clobber the 200-query record); a full sweep replaces
+        # it outright so renamed/removed queries don't linger
+        if args and os.path.exists(json_path):
+            with open(json_path) as fh:
+                merged = json.load(fh)
+            merged.update(report)
+            merged = {k: v for k, v in merged.items() if k in queries}
+            report = merged
         with open(json_path, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)
         print(f"wrote {json_path} ({len(report)} queries)")
