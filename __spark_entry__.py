@@ -5141,6 +5141,41 @@ def _q209_schema_evolution_read(spark, sf):
     )
 
 
+def _q210_domain_caps(spark, sf):
+    """Per-domain document cap (RefinedWeb/C4 keep-at-most-N-per-host):
+    keep the 20 docs with the smallest deterministic md5 draw per
+    source, reported with their rank and the domain's total. Selection
+    is the SALTED two-level exact top-k (q199's pattern): per-(source,
+    doc_id%32) partial sort-and-slice, then merge the ≤32×20 survivors
+    — a monster domain never funnels through one reducer, which is the
+    failure mode of the naive row_number window the oracle uses. The
+    md5 draw makes the cap a uniform sample, reproducible across runs
+    and engines (no rand())."""
+    docs = _t_par(spark, sf, "documents")
+    item = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    partial = docs.groupBy("source", (F.col("doc_id") % 32).alias("salt")).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.slice(F.array_sort(F.collect_list(item)), 1, 20).alias("top_part"),
+    )
+    merged = partial.groupBy("source").agg(
+        F.sum("n_part").alias("n_docs"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("top_part"))), 1, 20).alias(
+            "kept"
+        ),
+    )
+    return merged.select(
+        "source", "n_docs", F.posexplode("kept").alias("pos", "k")
+    ).select(
+        "source",
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("k.doc_id").alias("doc_id"),
+        "n_docs",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5355,6 +5390,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_k_anonymity": _q207_k_anonymity,
     "q208_range_partition_audit": _q208_range_partition_audit,
     "q209_schema_evolution_read": _q209_schema_evolution_read,
+    "q210_domain_caps": _q210_domain_caps,
 }
 
 
@@ -9030,6 +9066,23 @@ _ORACLES["q208_range_partition_audit"] = """
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(c) AS min_cents, MAX(c) AS max_cents
     FROM v, th GROUP BY 1
+"""
+
+# q210: the oracle is the naive row_number window the salted two-level
+# selection must exactly reproduce
+_ORACLES["q210_domain_caps"] = """
+    WITH k AS (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM k
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM r WHERE rank <= 20
 """
 
 # q209: the merged-read outcome stated analytically from the base table
