@@ -4763,27 +4763,56 @@ def _q197_maxsim_late_interaction(spark, sf):
     over per-query candidates."""
     emb = _t(spark, sf, "embeddings")
 
-    def sub(v, j):
-        return F.slice(v, 1 + 4 * j, 4)
+    def dot(a, off_a, b, off_b):
+        # unrolled scalar chain — same left-to-right order as the HOF
+        # fold it replaces (0.0 + t₁ ≡ t₁ here), but whole-stage
+        # codegen-able instead of interpreted-lambda per element
+        total = None
+        for i in range(1, 5):
+            t = F.element_at(a, off_a + i).cast("double") * F.element_at(
+                b, off_b + i
+            ).cast("double")
+            total = t if total is None else total + t
+        return total
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    # sub-vector norms are computed ONCE PER ROW on each side BEFORE the
+    # crossJoin (the projections stay below the join), not per pair —
+    # this cuts the per-pair work from 48 reductions (16 dots + 32
+    # norms) to 16 dots + lookups; values are the identical expressions,
+    # just factored out of the pair loop
+    def with_norms(df, vcol, prefix):
+        return df.select(
+            "*",
+            *[
+                F.sqrt(dot(F.col(vcol), 4 * j, F.col(vcol), 4 * j)).alias(
+                    f"{prefix}{j}"
+                )
+                for j in range(4)
+            ],
         )
 
-    def cos(a, b):
-        na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
-        return F.when(na * nb > 0, dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
-
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    q = with_norms(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        ),
+        "qv",
+        "qn",
     )
-    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"))
+    c = with_norms(
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")),
+        "cv",
+        "cn",
+    )
+
+    def cos(j, k):
+        denom = F.col(f"qn{j}") * F.col(f"cn{k}")
+        return F.when(
+            denom > 0, dot(F.col("qv"), 4 * j, F.col("cv"), 4 * k) / denom
+        ).otherwise(F.lit(0.0))
+
     score = None
     for j in range(4):
-        best = F.greatest(*[cos(sub(F.col("qv"), j), sub(F.col("cv"), k)) for k in range(4)])
+        best = F.greatest(*[cos(j, k) for k in range(4)])
         score = best if score is None else score + best
     scored = (
         c.crossJoin(F.broadcast(q))
