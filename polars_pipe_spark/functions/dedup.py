@@ -345,24 +345,24 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        upd = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+        )
+        # the change flag rides the update itself — the fixpoint test is
+        # then a flat aggregate over the checkpointed frame instead of a
+        # second label-to-label join per round
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                upd.alias("label"),
+                (upd < F.col("label")).cast("int").alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.agg(F.sum("chg")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
