@@ -575,13 +575,12 @@ def _q26_simhash(spark, sf):
     )
 
 
-def _q27_ngram_jaccard(spark, sf):
-    """Character-4-gram Jaccard over same-source candidate pairs
-    (blocking join on source, then exact set similarity ≥ 0.25)."""
+def _char_gram_frame(spark, sf, n=4):
+    """Shared candidate-side frame for the char-gram set family (q27
+    jaccard, q211 dedup-explain): (id, source, packed grams, ng)."""
     from polars_pipe_spark.functions.text import normalize_text
 
     df = _t_par(spark, sf, "documents")
-    n = 4
     # materialise the normalised text first: the gram lambda references it
     # once PER GRAM, and inlining would re-run the regex normalisation
     # hundreds of times per document (same CSE pitfall as minhash bands)
@@ -615,7 +614,15 @@ def _q27_ngram_jaccard(spark, sf):
     # more than the one recompute the self-join needs (measured 4.4s →
     # 19.2s with persist at sf0.1). Contrast minhash, whose small
     # shingle-set/band frames DO win from caching.
-    g = normed.select("id", "source", packed.alias("grams"), F.size(packed).alias("ng"))
+    return normed.select(
+        "id", "source", packed.alias("grams"), F.size(packed).alias("ng")
+    )
+
+
+def _q27_ngram_jaccard(spark, sf):
+    """Character-4-gram Jaccard over same-source candidate pairs
+    (blocking join on source, then exact set similarity ≥ 0.25)."""
+    g = _char_gram_frame(spark, sf, n=4)
     a, b = g.alias("a"), g.alias("b")
     # size-band pre-filter: j = i/(|A|+|B|-i) >= 1/4 forces i >= (|A|+|B|)/5
     # and i <= min(|A|,|B|), hence max <= 4*min — pairs outside the band can
@@ -5205,6 +5212,78 @@ def _q210_domain_caps(spark, sf):
     )
 
 
+def _q211_dedup_explain(spark, sf):
+    """Dedup EXPLAIN report: for every candidate near-dup pair (q27's
+    same-source char-4-gram candidates at jaccard ≥ 0.25), the full
+    evidence row a curation reviewer needs — both set sizes, the exact
+    intersection, and integer-exact jaccard + containment in micro-units
+    (the asymmetric containment signal flags quote-inside-a-page pairs
+    that symmetric jaccard underrates). One candidate join produces ALL
+    signals; no per-signal corpus rescan. All-BIGINT output: the ratio
+    micros are integral divisions of exact counts, no float seam."""
+    g = _char_gram_frame(spark, sf, n=4)
+    a, b = g.alias("a"), g.alias("b")
+    band = (F.col("a.ng") <= 4 * F.col("b.ng")) & (
+        F.col("b.ng") <= 4 * F.col("a.ng")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.id") < F.col("b.id"))
+            & band,
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("a.grams", "b.grams")))
+        .filter(5 * F.col("n_inter") >= F.col("a.ng") + F.col("b.ng"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ng").cast("long").alias("ng_a"),
+            F.col("b.ng").cast("long").alias("ng_b"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+        )
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "ng_a",
+            "ng_b",
+            "n_inter",
+            "CAST((n_inter * 1000000) DIV (ng_a + ng_b - n_inter) AS BIGINT)"
+            " AS jaccard_micros",
+            "CAST((n_inter * 1000000) DIV least(ng_a, ng_b) AS BIGINT)"
+            " AS containment_micros",
+        )
+    )
+
+
+def _q212_label_balance(spark, sf):
+    """Class-balance audit for a labeled training set: label count,
+    majority share and Gini impurity over ``embeddings.label`` — the
+    pre-training sanity check that catches a collapsed or skewed label
+    column before a job burns compute. Two map-side-combinable
+    aggregates (per-label counts → one summary row); Gini is computed
+    integer-exactly as ((N² − Σc²)·10⁶) DIV N² in DECIMAL(38,0) /
+    HUGEINT, so there is no float seam at any corpus size."""
+    per = _t_par(spark, sf, "embeddings").groupBy("label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    summ = per.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max("c").alias("max_c"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("sum_c2"),
+    )
+    return summ.selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(n_labels AS BIGINT) AS n_labels",
+        "CAST((max_c * 1000000) DIV n_rows AS BIGINT) AS majority_share_ppm",
+        "CAST(((CAST(n_rows AS DECIMAL(38,0)) * n_rows - sum_c2) * 1000000)"
+        " DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT) AS gini_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5420,6 +5499,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q208_range_partition_audit": _q208_range_partition_audit,
     "q209_schema_evolution_read": _q209_schema_evolution_read,
     "q210_domain_caps": _q210_domain_caps,
+    "q211_dedup_explain": _q211_dedup_explain,
+    "q212_label_balance": _q212_label_balance,
 }
 
 
@@ -5757,6 +5838,43 @@ _ORACLES["q27_ngram_jaccard"] = f"""
 _ORACLES["q27_ngram_jaccard"] = (
     "SELECT * FROM (" + _ORACLES["q27_ngram_jaccard"] + ") WHERE jaccard >= 0.25"
 )
+
+_ORACLES["q211_dedup_explain"] = f"""
+    WITH g AS (
+      SELECT doc_id AS id, source,
+             list_distinct(list_transform(
+               range(1, greatest(length({_NORM}) - 3, 1) + 1),
+               i -> substr({_NORM}, i, 4))) AS grams
+      FROM documents
+    ),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(a.grams) AS ng_a, len(b.grams) AS ng_b,
+             len(list_filter(a.grams, s -> list_contains(b.grams, s))) AS n_inter
+      FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(ng_a AS BIGINT) AS ng_a, CAST(ng_b AS BIGINT) AS ng_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST((n_inter * 1000000) // (ng_a + ng_b - n_inter) AS BIGINT)
+             AS jaccard_micros,
+           CAST((n_inter * 1000000) // least(ng_a, ng_b) AS BIGINT)
+             AS containment_micros
+    FROM p WHERE 5 * n_inter >= ng_a + ng_b
+"""
+
+_ORACLES["q212_label_balance"] = """
+    WITH per AS (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY label),
+    s AS (SELECT SUM(c) AS n_rows, COUNT(*) AS n_labels, MAX(c) AS max_c,
+                 SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sum_c2
+          FROM per)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_labels AS BIGINT) AS n_labels,
+           CAST((max_c * 1000000) // n_rows AS BIGINT) AS majority_share_ppm,
+           CAST(((CAST(n_rows AS HUGEINT) * n_rows - sum_c2) * 1000000)
+                // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
+    FROM s
+"""
 
 _DOT = (
     "list_reduce(list_transform(range(1, len({a}) + 1), "
