@@ -1252,10 +1252,14 @@ def _q58_tfidf(spark, sf):
     docs = _t_par(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # document frequency as an unordered window count over token — NOT a
+    # groupBy + self-join back onto tf, which replans the whole tokenize
+    # lineage as a second corpus scan (the bm25_scores lesson). tf rows
+    # are unique per (doc, token), so the partition count IS the
+    # distinct-doc count; the window shuffles the small tf frame once.
     scored = (
-        tf.join(df_t, "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
