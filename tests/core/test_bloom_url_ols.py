@@ -128,3 +128,55 @@ class TestKAnonymity:
         df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
         row = k_anonymity_report(df, ["g"], k=1).collect()[0]
         assert row.rows_below_k == 0 and "min_l" not in row.asDict()
+
+
+class TestPlanAndEquivalence:
+    def test_bloom_probe_side_has_no_shuffle_before_filter(self, spark):
+        """The probe side must be a map-side filter fed by a broadcast:
+        a bloom_prune that shuffles the probe side before filtering has
+        lost its reason to exist."""
+        left = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        right = spark.read.parquet(
+            "/root/testdata/sf0.001/customer.parquet"
+        ).select("c_custkey")
+        pruned = bloom_prune(left, right, "o_custkey", "c_custkey")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        # the only Exchange allowed is the 1-row bitmap aggregate /
+        # broadcast — the probe FileScan must not sit under a hash
+        # partitioning exchange
+        probe_side = plan.split("BroadcastExchange")[0]
+        assert "Exchange hashpartitioning" not in probe_side
+
+    def test_domain_caps_matches_naive_window(self, spark):
+        """q210's salted two-level selection must equal the one-reducer
+        row_number form it replaces (brute-force pinned equivalence)."""
+        import __spark_entry__ as e
+        from pyspark.sql import Window
+        from pyspark.sql import functions as FF
+
+        got = sorted(
+            (r.source, r.rank, r.doc_id, r.n_docs)
+            for r in e.queries()["q210_domain_caps"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        w = Window.partitionBy("source").orderBy(
+            FF.md5(FF.col("doc_id").cast("string")), FF.col("doc_id")
+        )
+        naive = (
+            docs.select(
+                "source",
+                FF.row_number().over(w).cast("long").alias("rank"),
+                "doc_id",
+                FF.count(FF.lit(1))
+                .over(Window.partitionBy("source"))
+                .alias("n_docs"),
+            )
+            .filter(FF.col("rank") <= 20)
+        )
+        expect = sorted(
+            (r.source, r.rank, r.doc_id, r.n_docs) for r in naive.collect()
+        )
+        assert got == expect
