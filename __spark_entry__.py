@@ -5288,6 +5288,26 @@ def _q212_label_balance(spark, sf):
     )
 
 
+def _q213_json_typed_extract(spark, sf):
+    """Typed semi-structured extraction: ``from_json`` parses the events
+    ``props`` JSON column against a declared schema (the production path
+    for JSON-bearing lakes — one parse into a typed struct, pruned and
+    codegen'd; q46's regexp extraction is the schema-less fallback).
+    Per event type: row count, parsed sum, parse-miss count. Oracle uses
+    DuckDB's native JSON extraction — two independent parsers must agree
+    on every value."""
+    ev = _t_par(spark, sf, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.sum(F.col("p.k").isNull().cast("long")).alias("n_unparsed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5505,6 +5525,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q210_domain_caps": _q210_domain_caps,
     "q211_dedup_explain": _q211_dedup_explain,
     "q212_label_balance": _q212_label_balance,
+    "q213_json_typed_extract": _q213_json_typed_extract,
 }
 
 
@@ -5878,6 +5899,15 @@ _ORACLES["q212_label_balance"] = """
            CAST(((CAST(n_rows AS HUGEINT) * n_rows - sum_c2) * 1000000)
                 // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS gini_ppm
     FROM s
+"""
+
+_ORACLES["q213_json_typed_extract"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
+    FROM events GROUP BY event_type
 """
 
 _DOT = (
