@@ -5308,6 +5308,22 @@ def _q213_json_typed_extract(spark, sf):
     )
 
 
+def _q214_kmeans_exact(spark, sf):
+    """Distributed k-means training, ORACLE-CHECKED end to end: 2 Lloyd
+    iterations (k=4) on the integer micro-unit lattice
+    (functions/similarity.kmeans_train_exact). Assignments are
+    mapper-side literal expressions (no join), updates are one
+    aggregate job reading k×d bounded state to the driver, and because
+    every distance/argmin/update is exact integer arithmetic, the DuckDB
+    oracle replays the SAME trajectory as two unrolled CTE iterations —
+    the first genuinely iterative algorithm in the contract with a full
+    value-hash oracle (q33/q169 could only property-check)."""
+    from polars_pipe_spark.functions.similarity import kmeans_train_exact
+
+    emb = _t_par(spark, sf, "embeddings")
+    return kmeans_train_exact(emb, "embedding", "vec_id", k=4, iterations=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5526,6 +5542,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q211_dedup_explain": _q211_dedup_explain,
     "q212_label_balance": _q212_label_balance,
     "q213_json_typed_extract": _q213_json_typed_extract,
+    "q214_kmeans_exact": _q214_kmeans_exact,
 }
 
 
@@ -5908,6 +5925,78 @@ _ORACLES["q213_json_typed_extract"] = """
            CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed
     FROM events GROUP BY event_type
+"""
+
+_ORACLES["q214_kmeans_exact"] = """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+             vm AS cv
+      FROM e ORDER BY vec_id LIMIT 4
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.vm, c.cl,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.vm[i] - c.cv[i]) * (e.vm[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, vm, cl, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT cl, list(cv ORDER BY i) AS cv FROM (
+        SELECT a.cl, r.i,
+               CAST(SUM(a.vm[r.i]) // COUNT(*) AS BIGINT) AS cv
+        FROM a1 a CROSS JOIN range(1, 65) AS r(i)
+        GROUP BY a.cl, r.i
+      ) GROUP BY cl
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.vm, c.cl,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.vm[i] - c.cv[i]) * (e.vm[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN m1 c
+    ),
+    a2 AS (
+      SELECT vec_id, vm, cl, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS rn
+        FROM d2) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT cl, list(cv ORDER BY i) AS cv FROM (
+        SELECT a.cl, r.i,
+               CAST(SUM(a.vm[r.i]) // COUNT(*) AS BIGINT) AS cv
+        FROM a2 a CROSS JOIN range(1, 65) AS r(i)
+        GROUP BY a.cl, r.i
+      ) GROUP BY cl
+    ),
+    df AS (
+      SELECT e.vec_id, c.cl,
+             list_sum(list_transform(range(1, 65),
+               i -> (e.vm[i] - c.cv[i]) * (e.vm[i] - c.cv[i]))) AS dist
+      FROM e CROSS JOIN m2 c
+    ),
+    af AS (
+      SELECT vec_id, cl, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cl) AS rn
+        FROM df) WHERE rn = 1
+    )
+    SELECT af.cl AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(af.dist AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_sse,
+           ANY_VALUE(m.cv) AS centroid
+    FROM af JOIN m2 m ON af.cl = m.cl
+    GROUP BY af.cl
 """
 
 _DOT = (

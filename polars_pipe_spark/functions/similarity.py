@@ -15,8 +15,12 @@ Two paths, per the scale ladder:
   DuckDB oracle can reproduce them exactly; multi-probe = also search
   buckets at hamming distance 1.
 
-An IVF (k-means coarse quantiser) variant needs iterative clustering —
-out of oracle scope; the bucketed path plays the same architectural role.
+The IVF coarse quantiser trains either driver-side on a bounded sample
+(``ivf_train`` — float k-means, rows-only checkable) or fully
+distributed AND oracle-checkable via ``kmeans_train_exact``: Lloyd
+iterations on an integer micro-unit lattice, where every distance,
+argmin and centroid update is exact integer arithmetic that an unrolled
+SQL CTE replays identically.
 """
 
 from __future__ import annotations
@@ -854,4 +858,120 @@ def pq_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rk")
+    )
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH SQL
+    engines use (Spark ``DIV``, DuckDB ``//``); Python's ``//`` floors,
+    which differs on negative dividends."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def kmeans_train_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means on an INTEGER LATTICE — the IVF
+    coarse-quantiser training loop, made deterministic and
+    cross-engine oracle-checkable (closing the 'iterative clustering is
+    out of oracle scope' seam this module used to declare).
+
+    Every vector is scaled to micro-units (``round(x·10⁶)`` as BIGINT),
+    so distances are exact integer sums, the argmin is tie-broken to the
+    lowest cluster index by struct-min, and centroid updates are exact
+    truncating integer divisions of per-dimension sums — no float enters
+    the algorithm anywhere, which means any engine replays the identical
+    trajectory (an unrolled SQL CTE per iteration reproduces it
+    verbatim).
+
+    Shape per iteration: ONE aggregate job — assignment is a mapper-side
+    literal expression (the pq_encode pattern: centroids inline as
+    literals, no join, no shuffle of candidates) and the update reads
+    k rows of (count, d per-dimension sums, Σdist) back to the driver —
+    the bounded k×d state that legitimately lives driver-side, exactly
+    like ``exact_quantiles``' histogram. Init: the ``k`` lowest-id
+    vectors (deterministic, reproducible; pass a pre-shuffled id space
+    for a random-like seed). Empty clusters raise (k ≪ n upholds this;
+    a production trainer would re-seed the empty slot).
+
+    Returns one row per cluster: ``cluster_id, n_vecs, mean_sse``
+    (truncated per-member integer SSE in micro²-units) and the final
+    ``centroid`` (array<long> micro-units) — all integer-exact.
+    """
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_train_exact: empty input")
+    dim = dim_row["d"]
+    vm = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = df.select(F.col(id_col).alias("__id"), vm.alias("__vm"))
+    seed = base.orderBy("__id").limit(k).collect()
+    if len(seed) < k:
+        raise ValueError(f"kmeans_train_exact: need ≥ {k} rows")
+    centroids = [list(r["__vm"]) for r in seed]
+
+    def assign_expr(cents: list[list[int]]) -> str:
+        dists = []
+        for c in cents:
+            terms = " + ".join(
+                f"(element_at(__vm, {i + 1}) - ({int(c[i])}L))"
+                f" * (element_at(__vm, {i + 1}) - ({int(c[i])}L))"
+                for i in range(dim)
+            )
+            dists.append(f"({terms})")
+        arr = "array(" + ", ".join(dists) + ")"
+        return (
+            f"array_min(zip_with({arr}, sequence(0, {len(cents) - 1}),"
+            f" (d, i) -> struct(d, i)))"
+        )
+
+    for _ in range(iterations):
+        stats = (
+            base.selectExpr("__vm", f"{assign_expr(centroids)} AS a")
+            .groupBy(F.col("a.i").alias("cl"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("__vm", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cl = {r["cl"]: r for r in stats}
+        if len(by_cl) < len(centroids):
+            raise ValueError("kmeans_train_exact: empty cluster — lower k")
+        centroids = [
+            [_tdiv(int(by_cl[j][f"s{i}"]), int(by_cl[j]["n"])) for i in range(dim)]
+            for j in range(len(centroids))
+        ]
+
+    return (
+        base.selectExpr(f"{assign_expr(centroids)} AS a")
+        .groupBy(F.col("a.i").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("a.d").cast("decimal(38,0)")).alias("__sse"),
+        )
+        .selectExpr(
+            "cluster_id",
+            "n_vecs",
+            "CAST(__sse DIV n_vecs AS BIGINT) AS mean_sse",
+        )
+        .withColumn(
+            "centroid",
+            F.element_at(
+                F.array(
+                    *[F.array(*[F.lit(int(v)) for v in c]) for c in centroids]
+                ),
+                F.col("cluster_id").cast("int") + 1,
+            ),
+        )
     )

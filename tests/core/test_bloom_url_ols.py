@@ -180,3 +180,71 @@ class TestPlanAndEquivalence:
             (r.source, r.rank, r.doc_id, r.n_docs) for r in naive.collect()
         )
         assert got == expect
+
+
+class TestKmeansExact:
+    def test_against_python_model(self, spark):
+        from polars_pipe_spark.functions.similarity import (
+            _tdiv,
+            kmeans_train_exact,
+        )
+
+        vecs = [
+            (0, [0.0, 0.1]), (1, [10.0, 10.2]), (2, [0.2, -0.1]),
+            (3, [9.8, 10.0]), (4, [0.1, 0.0]), (5, [10.1, 9.9]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        out = {
+            r.cluster_id: r
+            for r in kmeans_train_exact(
+                df, "embedding", "vec_id", k=2, iterations=2
+            ).collect()
+        }
+
+        # plain-Python replay of the same integer-lattice trajectory
+        import struct as _s
+
+        def f32(x):  # replicate the float32 storage round-trip
+            return _s.unpack("f", _s.pack("f", x))[0]
+
+        vm = {i: [round(f32(x) * 1_000_000) for x in v] for i, v in vecs}
+        cents = [vm[0], vm[1]]
+        for _ in range(2):
+            assign = {}
+            for i, v in vm.items():
+                dists = [
+                    sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+                ]
+                assign[i] = dists.index(min(dists))
+            cents = [
+                [
+                    _tdiv(
+                        sum(vm[i][d] for i in assign if assign[i] == j),
+                        sum(1 for i in assign if assign[i] == j),
+                    )
+                    for d in range(2)
+                ]
+                for j in range(2)
+            ]
+        assign = {}
+        for i, v in vm.items():
+            dists = [sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents]
+            assign[i] = dists.index(min(dists))
+        for j in range(2):
+            members = [i for i in assign if assign[i] == j]
+            sse = sum(
+                sum((a - b) * (a - b) for a, b in zip(vm[i], cents[j]))
+                for i in members
+            )
+            assert out[j].n_vecs == len(members)
+            assert list(out[j].centroid) == cents[j]
+            assert out[j].mean_sse == _tdiv(sse, len(members))
+
+    def test_too_few_rows(self, spark):
+        from polars_pipe_spark.functions.similarity import kmeans_train_exact
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            kmeans_train_exact(df, "embedding", "vec_id", k=4)
