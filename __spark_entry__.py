@@ -361,23 +361,26 @@ def _q14_join_revenue_by_nation(spark, sf):
     orders = _t(spark, sf, "orders")
     cust = _t(spark, sf, "customer")
     nation = _t(spark, sf, "nation")
-    # Two-level agg instead of sum + countDistinct in one groupBy: the
-    # single-groupBy form plans an Expand that doubles every joined row
-    # before the shuffle. Level 1 partial-aggregates revenue per
-    # (nation, orderkey) — one shuffle with map-side combine, no Expand;
-    # level 2 re-aggregates per nation where count(*) IS the distinct
-    # order count (orderkey → nation is functional via orders→cust).
+    # Aggregate-below-join: lineitem collapses to one revenue row per
+    # orderkey BEFORE touching the join tree — the orderkey shuffle was
+    # owed either way (join or agg), but aggregating first ships ~4×
+    # fewer rows into the joins AND the agg output arrives already
+    # hash-partitioned on the join key, so the orders join adds no
+    # re-shuffle of that side. count(*) per nation then IS the distinct
+    # order count (one row per orderkey survives; no Expand, no
+    # countDistinct — the r1 lesson). The same rewrite is what Catalyst's
+    # partial-aggregation pushdown can't do for it because the aggregate
+    # is user-specified above the join in the naive form.
+    rev_per_order = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev_part")
+    )
     rev = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_per_order.join(orders, F.col("o_key") == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name", "o_orderkey")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
-            ).alias("rev_part")
-        )
         .groupBy("n_name")
         .agg(
             F.sum("rev_part").alias("revenue"),
@@ -579,6 +582,9 @@ def _char_gram_frame(spark, sf, n=4):
     """Shared candidate-side frame for the char-gram set family (q27
     jaccard, q211 dedup-explain): (id, source, packed grams, ng)."""
     from polars_pipe_spark.functions.text import normalize_text
+
+    if n != 4:
+        raise ValueError("radix-256 gram packing below is 4-char-specific")
 
     df = _t_par(spark, sf, "documents")
     # materialise the normalised text first: the gram lambda references it
