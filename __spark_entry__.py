@@ -5330,6 +5330,35 @@ def _q214_kmeans_exact(spark, sf):
     return kmeans_train_exact(emb, "embedding", "vec_id", k=4, iterations=2)
 
 
+def _q215_gap_fill_interpolate(spark, sf):
+    """Time-series backfill over a per-user daily spine: known days keep
+    their value, interior gaps linearly interpolate between surrounding
+    samples in EXACT integer cents, trailing days carry forward (LOCF),
+    leading days stay NULL — operators/windows.gap_fill_interpolate over
+    a per-user sequence() spine stretched 2 days past each user's
+    bounds so all four fill kinds appear. Two ordered window passes on
+    the spine's own (user) partitioning; interpolation uses truncating
+    integer division, identical on both engines."""
+    from polars_pipe_spark.operators.windows import gap_fill_interpolate
+
+    ev = _t_par(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    per = ev.groupBy("user_id", day.alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v_cents")
+    )
+    bounds = per.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("lo") - 2, F.col("hi") + 2)).alias("day"),
+    )
+    series = spine.join(per, ["user_id", "day"], "left")
+    return gap_fill_interpolate(series, "user_id", "day", "v_cents").select(
+        "user_id", "day", "v_cents", "filled", "fill_kind"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5549,6 +5578,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_label_balance": _q212_label_balance,
     "q213_json_typed_extract": _q213_json_typed_extract,
     "q214_kmeans_exact": _q214_kmeans_exact,
+    "q215_gap_fill_interpolate": _q215_gap_fill_interpolate,
 }
 
 
@@ -6003,6 +6033,51 @@ _ORACLES["q214_kmeans_exact"] = """
            ANY_VALUE(m.cv) AS centroid
     FROM af JOIN m2 m ON af.cl = m.cl
     GROUP BY af.cl
+"""
+
+_ORACLES["q215_gap_fill_interpolate"] = """
+    WITH per AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM per GROUP BY 1),
+    spine AS (
+      SELECT b.user_id, unnest(generate_series(b.lo - 2, b.hi + 2)) AS day
+      FROM b
+    ),
+    s AS (
+      SELECT spine.user_id, spine.day, per.v_cents
+      FROM spine LEFT JOIN per
+        ON spine.user_id = per.user_id AND spine.day = per.day
+    ),
+    st AS (
+      SELECT *,
+        last_value(v_cents IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v_cents IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v_cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM s
+    )
+    SELECT user_id, day, v_cents,
+           CASE WHEN v_cents IS NOT NULL THEN v_cents
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + ((day - pd) * (nv - pv)) // (nd - pd)
+                WHEN pv IS NOT NULL THEN pv END AS filled,
+           CASE WHEN v_cents IS NOT NULL THEN 'known'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                WHEN pv IS NOT NULL THEN 'locf'
+                ELSE 'leading' END AS fill_kind
+    FROM st
 """
 
 _DOT = (

@@ -172,3 +172,63 @@ def funnel_counts(
     return totals.select(F.explode(stage_rows).alias("s")).select(
         "s.stage_idx", "s.stage", "s.n_converted"
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "filled",
+    kind_col: str = "fill_kind",
+) -> DataFrame:
+    """Fill the NULL slots of a (spine-complete) integer time series:
+    interior gaps linearly INTERPOLATE between the surrounding known
+    samples, trailing gaps carry the last observation forward (LOCF),
+    and leading gaps (nothing observed yet) stay NULL — the standard
+    sensor/metric backfill semantics.
+
+    ``order_col`` must be integer-valued (day number, epoch bucket) and
+    ``value_col`` integer-scaled (e.g. cents): the interpolation
+    ``prev + ((next − prev)·(t − t_prev)) DIV (t_next − t_prev)`` is
+    then EXACT integer arithmetic — deterministic and engine-portable
+    (Spark ``DIV`` and DuckDB ``//`` both truncate toward zero).
+
+    Shape: two per-key ordered window passes (running last-known
+    backward, first-known forward) over the already-keyed spine — the
+    same partitioning the spine join produced, no extra shuffle beyond
+    the window sort; no self-joins, no explode.
+    """
+    v, d = F.col(value_col), F.col(order_col)
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    staged = df.select(
+        "*",
+        F.last(v, ignorenulls=True).over(w_back).alias("__pv"),
+        F.last(F.when(v.isNotNull(), d), ignorenulls=True).over(w_back).alias("__pd"),
+        F.first(v, ignorenulls=True).over(w_fwd).alias("__nv"),
+        F.first(F.when(v.isNotNull(), d), ignorenulls=True).over(w_fwd).alias("__nd"),
+    )
+    return staged.selectExpr(
+        *df.columns,
+        f"""CASE
+              WHEN {value_col} IS NOT NULL THEN {value_col}
+              WHEN __pv IS NOT NULL AND __nv IS NOT NULL THEN
+                __pv + (({order_col} - __pd) * (__nv - __pv)) DIV (__nd - __pd)
+              WHEN __pv IS NOT NULL THEN __pv
+            END AS {out_col}""",
+        f"""CASE
+              WHEN {value_col} IS NOT NULL THEN 'known'
+              WHEN __pv IS NOT NULL AND __nv IS NOT NULL THEN 'interp'
+              WHEN __pv IS NOT NULL THEN 'locf'
+              ELSE 'leading'
+            END AS {kind_col}""",
+    )
