@@ -229,3 +229,42 @@ class TestDebounce:
         # gap is measured to the PREVIOUS event (chained bursts), like
         # sessionization — not to the kept head
         assert out == [100, 103, 200]
+
+
+class TestGapFillInterpolate:
+    def test_all_fill_kinds(self, spark):
+        from polars_pipe_spark.operators.windows import gap_fill_interpolate
+
+        rows = [
+            ("u", 0, None),    # leading
+            ("u", 1, 100),     # known
+            ("u", 2, None),    # interp: 100 + (1*(40-100)) DIV 3 = 100 + -20 = 80
+            ("u", 3, None),    # interp: 100 + (2*(-60)) DIV 3 = 60
+            ("u", 4, 40),      # known
+            ("u", 5, None),    # locf -> 40
+        ]
+        df = spark.createDataFrame(rows, "k string, d long, v long")
+        out = {
+            r.d: (r.filled, r.fill_kind)
+            for r in gap_fill_interpolate(df, "k", "d", "v").collect()
+        }
+        assert out[0] == (None, "leading")
+        assert out[1] == (100, "known")
+        assert out[2] == (80, "interp")
+        assert out[3] == (60, "interp")
+        assert out[4] == (40, "known")
+        assert out[5] == (40, "locf")
+
+    def test_negative_slope_truncation(self, spark):
+        """(-7) DIV 2 must truncate toward zero (-3), matching DuckDB //."""
+        from polars_pipe_spark.operators.windows import gap_fill_interpolate
+
+        df = spark.createDataFrame(
+            [("u", 0, 0), ("u", 1, None), ("u", 2, -7)],
+            "k string, d long, v long",
+        )
+        out = {
+            r.d: r.filled
+            for r in gap_fill_interpolate(df, "k", "d", "v").collect()
+        }
+        assert out[1] == -3  # trunc(-7/2), NOT Python floor (-4)
