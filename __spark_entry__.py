@@ -5359,6 +5359,63 @@ def _q215_gap_fill_interpolate(spark, sf):
     )
 
 
+def _q216_association_rules(spark, sf):
+    """Association rules over the q187 co-occurrence graph: both
+    directed rules a→b from every vocab-bounded token pair, with
+    integer-exact support/confidence ppm and lift in micro-units
+    (DECIMAL(38,0)/HUGEINT through the cross-multiply, so the metric
+    has no float seam at any corpus size). The market-basket classic,
+    kept scale-safe the q187 way: only top-30-vocab tokens pair up, so
+    the rule space is ≤ 30·29 rows and the final top-20 is a bounded
+    TakeOrdered."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .orderBy(F.col("n_t").desc(), F.col("token").asc())
+        .limit(30)
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select("doc_id", F.col("token").alias("t_a"), F.col("n_t").alias("n_a"))
+    b = vt.select("doc_id", F.col("token").alias("t_b"), F.col("n_t").alias("n_b"))
+    pair_counts = (
+        a.join(b, "doc_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    fwd = pair_counts.select(
+        F.col("t_a").alias("antecedent"), F.col("t_b").alias("consequent"),
+        F.col("n_a").alias("n_ante"), F.col("n_b").alias("n_cons"), "n_ab",
+    )
+    rev = pair_counts.select(
+        F.col("t_b").alias("antecedent"), F.col("t_a").alias("consequent"),
+        F.col("n_b").alias("n_ante"), F.col("n_a").alias("n_cons"), "n_ab",
+    )
+    rules = fwd.unionByName(rev).crossJoin(F.broadcast(n_docs)).selectExpr(
+        "antecedent", "consequent", "n_ab",
+        "CAST((n_ab * 1000000) DIV n_docs AS BIGINT) AS support_ppm",
+        "CAST((n_ab * 1000000) DIV n_ante AS BIGINT) AS confidence_ppm",
+        "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_docs * 1000000)"
+        " DIV (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT) AS lift_micros",
+    )
+    return (
+        rules.filter(F.col("n_ab") >= 5)
+        .orderBy(
+            F.col("lift_micros").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5579,6 +5636,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q213_json_typed_extract": _q213_json_typed_extract,
     "q214_kmeans_exact": _q214_kmeans_exact,
     "q215_gap_fill_interpolate": _q215_gap_fill_interpolate,
+    "q216_association_rules": _q216_association_rules,
 }
 
 
@@ -6078,6 +6136,37 @@ _ORACLES["q215_gap_fill_interpolate"] = """
                 WHEN pv IS NOT NULL THEN 'locf'
                 ELSE 'leading' END AS fill_kind
     FROM st
+"""
+
+_ORACLES["q216_association_rules"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+    ), vocab AS (
+      SELECT token, n_t FROM (
+        SELECT token, COUNT(*) AS n_t FROM tok GROUP BY token
+        ORDER BY n_t DESC, token ASC LIMIT 30
+      )
+    ), vt AS (
+      SELECT doc_id, tok.token, n_t FROM tok JOIN vocab USING (token)
+    ), pc AS (
+      SELECT a.token AS t_a, b.token AS t_b, a.n_t AS n_a, b.n_t AS n_b,
+             COUNT(*) AS n_ab
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    rules AS (
+      SELECT t_a AS antecedent, t_b AS consequent,
+             n_a AS n_ante, n_b AS n_cons, n_ab FROM pc
+      UNION ALL
+      SELECT t_b, t_a, n_b, n_a, n_ab FROM pc
+    )
+    SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST((n_ab * 1000000) // n_docs AS BIGINT) AS support_ppm,
+           CAST((n_ab * 1000000) // n_ante AS BIGINT) AS confidence_ppm,
+           CAST((CAST(n_ab AS HUGEINT) * n_docs * 1000000)
+                // (CAST(n_ante AS HUGEINT) * n_cons) AS BIGINT) AS lift_micros
+    FROM rules, nd WHERE n_ab >= 5
+    ORDER BY lift_micros DESC, antecedent ASC, consequent ASC LIMIT 20
 """
 
 _DOT = (
