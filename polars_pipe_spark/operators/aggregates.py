@@ -438,3 +438,94 @@ def grouped_ols(
         intercept.alias("intercept"),
         corr.alias("corr_r"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    val_col: str,
+    weight_col: str,
+    qs: list[float],
+    n_buckets: int = 10_000,
+    direct_threshold: int = 100_000,
+) -> dict[float, tuple[int, int]]:
+    """EXACT weighted order statistics — :func:`exact_quantiles`
+    generalised to integer weights (revenue-weighted medians, token-
+    weighted percentiles). Semantics: over the expanded multiset where
+    each row appears ``weight`` times (W = Σweights), quantile q is the
+    element at 0-based rank ``floor((W-1)·q)`` — an actual data value,
+    so any engine that sorts and accumulates integer weights agrees
+    exactly.
+
+    Same distributed-selection shape as the unweighted form: each round
+    is ONE aggregate (per-bucket weight sums + row counts), the driver
+    narrows into the bucket whose cumulative weight covers the target,
+    and a bounded TakeOrdered walk finishes once the bucket holds ≤
+    ``direct_threshold`` ROWS (row count bounds the collect; weight
+    totals can be astronomically larger). Weights must be positive
+    integers; rows with NULL value/weight are excluded.
+
+    Returns {q: (weight_rank, value)}.
+    """
+    base = df.select(
+        F.col(val_col).alias("__v"), F.col(weight_col).cast("long").alias("__w")
+    ).filter(F.col("__v").isNotNull() & (F.col("__w") > 0))
+    W = base.agg(F.sum("__w")).first()[0]
+    if not W:
+        return {float(q): (0, None) for q in qs}
+    out: dict[float, tuple[int, int]] = {}
+    for q in qs:
+        k = int((W - 1) * q)
+        out[float(q)] = (k, _select_weighted_rank(base, k, n_buckets, direct_threshold))
+    return out
+
+
+def _select_weighted_rank(
+    base: DataFrame, k: int, n_buckets: int, direct_threshold: int
+):
+    cur, cur_k = base, k
+    while True:
+        n_rows, lo, hi = cur.agg(
+            F.count(F.lit(1)), F.min("__v"), F.max("__v")
+        ).first()
+        if lo == hi:
+            return lo
+        if n_rows <= direct_threshold:
+            rows = cur.orderBy("__v").limit(n_rows).collect()
+            seen = 0
+            for r in rows:
+                if seen + r["__w"] > cur_k:
+                    return r["__v"]
+                seen += r["__w"]
+            return rows[-1]["__v"]
+        width = (float(hi) - float(lo)) / n_buckets
+        if width <= 0.0:
+            # denormal-narrow float range — fall back to a direct walk
+            rows = cur.orderBy("__v").limit(n_rows).collect()
+            seen = 0
+            for r in rows:
+                if seen + r["__w"] > cur_k:
+                    return r["__v"]
+                seen += r["__w"]
+            return rows[-1]["__v"]
+        b_expr = F.least(
+            F.floor((F.col("__v") - float(lo)) / width).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        )
+        hist = sorted(
+            (r["b"], r["w"])
+            for r in cur.groupBy(b_expr.alias("b"))
+            .agg(F.sum("__w").alias("w"))
+            .collect()
+        )
+        seen = 0
+        for b, w in hist:
+            if seen + w > cur_k:
+                cur_k -= seen
+                cond = (
+                    (F.col("__v") >= float(lo) + (b - 1) * width)
+                    & (F.col("__v") <= float(lo) + (b + 2) * width)
+                    & (b_expr == b)
+                )
+                cur = cur.filter(cond)
+                break
+            seen += w

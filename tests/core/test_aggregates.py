@@ -248,3 +248,36 @@ class TestGroupedPandasStats:
                grouped_pandas_stats(df, ["g"], "x").collect()}
         assert out["a"] == (5, 2.0, 3.0, 4.0, 2.0)
         assert out["b"] == (2, 12.5, 15.0, 17.5, 5.0)
+
+
+class TestWeightedQuantiles:
+    def test_against_python_model(self, spark):
+        from polars_pipe_spark.operators.aggregates import weighted_quantiles
+
+        rows = [(10, 1), (20, 3), (30, 2), (40, 10), (50, 4)]
+        df = spark.createDataFrame(rows, "v long, w long")
+        res = weighted_quantiles(df, "v", "w", [0.0, 0.25, 0.5, 0.9, 1.0])
+        expanded = sorted(v for v, w in rows for _ in range(w))
+        W = len(expanded)
+        for q, (rank, val) in res.items():
+            assert rank == int((W - 1) * q)
+            assert val == expanded[rank], (q, rank, val)
+
+    def test_narrowing_path_matches_direct(self, spark):
+        """Force multi-round narrowing (tiny direct_threshold) and pin
+        it to the single-collect answer."""
+        from polars_pipe_spark.operators.aggregates import weighted_quantiles
+
+        rows = [(i * 7 % 1000, 1 + i % 5) for i in range(500)]
+        df = spark.createDataFrame(rows, "v long, w long")
+        direct = weighted_quantiles(df, "v", "w", [0.5], direct_threshold=100_000)
+        narrow = weighted_quantiles(
+            df, "v", "w", [0.5], n_buckets=8, direct_threshold=20
+        )
+        assert direct == narrow
+
+    def test_empty_and_null(self, spark):
+        from polars_pipe_spark.operators.aggregates import weighted_quantiles
+
+        df = spark.createDataFrame([(None, 3), (5, None)], "v long, w long")
+        assert weighted_quantiles(df, "v", "w", [0.5]) == {0.5: (0, None)}
