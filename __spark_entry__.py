@@ -5477,6 +5477,86 @@ def _q218_weighted_quantiles(spark, sf):
     )
 
 
+def _q219_rolling_wau(spark, sf):
+    """Trailing-7-day active users (rolling WAU) and window event
+    volume per day — the product-analytics rolling-distinct classic,
+    in its scale-safe form: each (user, day) contributes itself to the
+    7 window-ends it falls in (a bounded ×7 explode), then ONE distinct
+    aggregation per window-end — never a per-day self-join over the
+    raw events, never a sliding countDistinct window. The distinct and
+    sum aggregates run as separate shuffles joined on the tiny per-day
+    frame (mixing them in one agg plans an Expand that doubles the
+    exploded rows pre-shuffle)."""
+    ev = _t_par(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    ue = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    contrib = ue.select(
+        "user_id", "day", "n",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).withColumn("window_end", (F.col("day") + F.col("o")).cast("long"))
+    bounds = ue.agg(F.max("day").alias("mx"))
+    inwin = contrib.crossJoin(F.broadcast(bounds)).filter(
+        F.col("window_end") <= F.col("mx")
+    )
+    wau = inwin.groupBy("window_end").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    vol = inwin.groupBy("window_end").agg(F.sum("n").alias("n_events_7d"))
+    return wau.join(vol, "window_end").select(
+        "window_end", "wau", "n_events_7d"
+    )
+
+
+def _q220_pareto_frontier(spark, sf):
+    """2-D Pareto frontier (skyline) over lineitem price/quantity —
+    cheapest-for-the-most points: (price, qty) survives iff no point is
+    both cheaper-or-equal and higher-quantity (one strict). Computed as
+    a DISTRIBUTED PREFIX SCAN, not the naive global cummax window (a
+    one-reducer sort over every distinct price — the banned shape):
+    (1) per-price max qty (one shuffle); (2) coarse price buckets get
+    per-bucket maxima, the driver folds the BOUNDED bucket table into
+    running prefixes; (3) the within-bucket cummax window partitions BY
+    BUCKET with the prefix broadcast back in — every stage is either a
+    hash shuffle or a per-bucket sort. The oracle is the naive global
+    window the decomposition must equal."""
+    li = _t_par(spark, sf, "lineitem")
+    pts = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    ).filter(F.col("price").isNotNull() & F.col("qty").isNotNull())
+    pp = pts.groupBy("price").agg(F.max("qty").alias("qty"))
+    width = 100_000  # 1000-currency buckets; bucket table stays tiny
+    b = pp.withColumn("bkt", F.expr(f"price DIV {width}"))
+    bucket_rows = sorted(
+        (r["bkt"], r["m"])
+        for r in b.groupBy("bkt").agg(F.max("qty").alias("m")).collect()
+    )
+    prefix, run = [], None
+    for bkt, m in bucket_rows:
+        prefix.append((bkt, run))  # max qty over all STRICTLY earlier buckets
+        run = m if run is None else max(run, m)
+    pre = spark.createDataFrame(
+        [(int(k), v if v is None else int(v)) for k, v in prefix],
+        "bkt long, prefix_qty long",
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        b.join(F.broadcast(pre), "bkt")
+        .withColumn("in_bkt", F.max("qty").over(w))
+        .withColumn("prior", F.greatest(
+            F.coalesce(F.col("in_bkt"), F.lit(-1)),
+            F.coalesce(F.col("prefix_qty"), F.lit(-1)),
+        ))
+    )
+    return staged.filter(F.col("qty") > F.col("prior")).select("price", "qty")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5700,6 +5780,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q216_association_rules": _q216_association_rules,
     "q217_benford_audit": _q217_benford_audit,
     "q218_weighted_quantiles": _q218_weighted_quantiles,
+    "q219_rolling_wau": _q219_rolling_wau,
+    "q220_pareto_frontier": _q220_pareto_frontier,
 }
 
 
@@ -6276,6 +6358,45 @@ _ORACLES["q218_weighted_quantiles"] = """
     SELECT t.q_ppm, t.k AS weight_rank,
            (SELECT MIN(v) FROM cum WHERE c > t.k) AS value_cents
     FROM targets t
+"""
+
+_ORACLES["q219_rolling_wau"] = """
+    WITH ue AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT MAX(day) AS mx FROM ue),
+    contrib AS (
+      SELECT ue.user_id, ue.n, ue.day + o.o AS window_end
+      FROM ue CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT CAST(window_end AS BIGINT) AS window_end,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+           CAST(SUM(n) AS BIGINT) AS n_events_7d
+    FROM contrib, b WHERE window_end <= mx GROUP BY 1
+"""
+
+# q220: the naive global cummax window the distributed prefix-scan
+# decomposition must reproduce exactly
+_ORACLES["q220_pareto_frontier"] = """
+    WITH pts AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    pp AS (SELECT price, MAX(qty) AS qty FROM pts GROUP BY price),
+    c AS (
+      SELECT price, qty,
+             MAX(qty) OVER (ORDER BY price
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prior
+      FROM pp
+    )
+    SELECT price, CAST(qty AS BIGINT) AS qty
+    FROM c WHERE prior IS NULL OR qty > prior
 """
 
 _DOT = (
