@@ -5557,6 +5557,47 @@ def _q220_pareto_frontier(spark, sf):
     return staged.filter(F.col("qty") > F.col("prior")).select("price", "qty")
 
 
+def _q221_ab_test(spark, sf):
+    """A/B-test readout: users hash-split into two deterministic
+    variants (md5 parity — never ``rand()``), per-variant conversion to
+    'purchase' events, and the two-proportion z-statistic. Counts and
+    conversion ppm are integer-exact; only the final z is a double,
+    computed in one fixed expression and rounded to 6 decimals on both
+    engines (the q206 contract). One distinct-user aggregate + one
+    1-row summary — no joins against raw events."""
+    ev = _t_par(spark, sf, "events")
+    # conversion = heavy purchaser (>= 15 purchase events): the raw
+    # any-purchase flag is 1 for every user in this dataset (zero
+    # variance -> undefined z), so the threshold keeps both outcomes
+    # populated while staying integer-deterministic
+    users = ev.groupBy("user_id").agg(
+        (F.sum((F.col("event_type") == "purchase").cast("long")) >= 15)
+        .cast("long")
+        .alias("conv")
+    ).withColumn(
+        "variant",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 2,
+    )
+    summ = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    return summ.selectExpr(
+        "n_a", "conv_a", "n_b", "conv_b",
+        "CAST((conv_a * 1000000) DIV n_a AS BIGINT) AS cr_a_ppm",
+        "CAST((conv_b * 1000000) DIV n_b AS BIGINT) AS cr_b_ppm",
+        # z = (pa - pb) / sqrt(p(1-p)(1/na + 1/nb)), pooled p — every
+        # term derived from the exact integer counts in fixed order
+        "ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)"
+        " / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))"
+        " * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5782,6 +5823,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_weighted_quantiles": _q218_weighted_quantiles,
     "q219_rolling_wau": _q219_rolling_wau,
     "q220_pareto_frontier": _q220_pareto_frontier,
+    "q221_ab_test": _q221_ab_test,
 }
 
 
@@ -9650,6 +9692,31 @@ _ORACLES["q204_bloom_prune_join"] = f"""
     SELECT cc.o_orderpriority, cc.n_candidates,
            CAST(COALESCE(mm.n_matched, 0) AS BIGINT) AS n_matched
     FROM cc LEFT JOIN mm ON cc.o_orderpriority = mm.o_orderpriority
+"""
+
+_ORACLES["q221_ab_test"] = f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       >= 15 THEN 1 ELSE 0 END AS conv,
+             ({_hex_int_sql("md5(CAST(user_id AS VARCHAR))", 12)} % 2) AS variant
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST((conv_a * 1000000) // n_a AS BIGINT) AS cr_a_ppm,
+           CAST((conv_b * 1000000) // n_b AS BIGINT) AS cr_b_ppm,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_score
+    FROM s
 """
 
 # q205: ground-truth oracle — the expected canonical URL is written
