@@ -5598,6 +5598,44 @@ def _q221_ab_test(spark, sf):
     )
 
 
+def _q222_cusum_changepoint(spark, sf):
+    """Per-user CUSUM changepoint detection over the daily event-count
+    series — where did behaviour shift? The statistic is kept INTEGER:
+    with S = Σ counts and T = days observed, the running deviation
+    cusum_t = Σ_{i≤t} (n_i·T − S) avoids the mean division entirely
+    (scaled by T), so the argmax day is bit-deterministic on any
+    engine. One grouped aggregate builds the daily series, per-USER
+    ordered windows (never global) accumulate the deviation, and the
+    changepoint is the row_number-1 row by (|cusum| desc, day asc).
+    Users with < 10 active days are excluded (too short to call)."""
+    ev = _t_par(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wu = Window.partitionBy("user_id")
+    wc = wu.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        daily.withColumn("S", F.sum("n").over(wu))
+        .withColumn("T", F.count(F.lit(1)).over(wu))
+        .filter(F.col("T") >= 10)
+        .withColumn("cusum", F.sum(F.col("n") * F.col("T") - F.col("S")).over(wc))
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        staged.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("day").cast("long").alias("cp_day"),
+            F.abs(F.col("cusum")).cast("long").alias("cusum_abs"),
+            F.col("T").cast("long").alias("n_days"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5824,6 +5862,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q219_rolling_wau": _q219_rolling_wau,
     "q220_pareto_frontier": _q220_pareto_frontier,
     "q221_ab_test": _q221_ab_test,
+    "q222_cusum_changepoint": _q222_cusum_changepoint,
 }
 
 
@@ -6439,6 +6478,38 @@ _ORACLES["q220_pareto_frontier"] = """
     )
     SELECT price, CAST(qty AS BIGINT) AS qty
     FROM c WHERE prior IS NULL OR qty > prior
+"""
+
+_ORACLES["q222_cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT user_id, day, n,
+             SUM(n) OVER (PARTITION BY user_id) AS S,
+             COUNT(*) OVER (PARTITION BY user_id) AS T
+      FROM daily
+    ),
+    cs AS (
+      SELECT user_id, day, T,
+             SUM(n * T - S) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cusum
+      FROM st WHERE T >= 10
+    ),
+    rk AS (
+      SELECT user_id, day, T, cusum,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(cusum) DESC, day ASC) AS r
+      FROM cs
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS cp_day,
+           CAST(abs(cusum) AS BIGINT) AS cusum_abs,
+           CAST(T AS BIGINT) AS n_days
+    FROM rk WHERE r = 1
 """
 
 _DOT = (
