@@ -5636,6 +5636,30 @@ def _q222_cusum_changepoint(spark, sf):
     )
 
 
+def _q223_dow_seasonality(spark, sf):
+    """Day-of-week seasonality profile per event type: volume, exact
+    ppm share of the type's total, and a peak-day flag. The dow index
+    is pure arithmetic (days since 2024-01-01, a Monday, mod 7 — 0 =
+    Monday) rather than each engine's dayofweek() (Spark is 1-based
+    Sunday-start, DuckDB 0-based — a classic cross-engine seam this
+    sidesteps). One grouped aggregate + per-type windows over ≤ 7 rows."""
+    ev = _t_par(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    per = ev.groupBy(
+        "event_type", (day % 7).cast("long").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("event_type")
+    return (
+        per.withColumn("total", F.sum("n").over(wt))
+        .withColumn("peak_n", F.max("n").over(wt))
+        .selectExpr(
+            "event_type", "dow", "n",
+            "CAST((n * 1000000) DIV total AS BIGINT) AS share_ppm",
+            "CAST(CASE WHEN n = peak_n THEN 1 ELSE 0 END AS BIGINT) AS is_peak",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5863,6 +5887,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_pareto_frontier": _q220_pareto_frontier,
     "q221_ab_test": _q221_ab_test,
     "q222_cusum_changepoint": _q222_cusum_changepoint,
+    "q223_dow_seasonality": _q223_dow_seasonality,
 }
 
 
@@ -6510,6 +6535,25 @@ _ORACLES["q222_cusum_changepoint"] = """
            CAST(abs(cusum) AS BIGINT) AS cusum_abs,
            CAST(T AS BIGINT) AS n_days
     FROM rk WHERE r = 1
+"""
+
+_ORACLES["q223_dow_seasonality"] = """
+    WITH per AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *, SUM(n) OVER (PARTITION BY event_type) AS total,
+             MAX(n) OVER (PARTITION BY event_type) AS peak_n
+      FROM per
+    )
+    SELECT event_type, dow, n,
+           CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN n = peak_n THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+    FROM w
 """
 
 _DOT = (
