@@ -5660,6 +5660,34 @@ def _q223_dow_seasonality(spark, sf):
     )
 
 
+def _q224_clamped_running_balance(spark, sf):
+    """Inventory-style running balance with a ZERO FLOOR — the Lindley
+    recurrence b_t = max(0, b_{t-1} + x_t), which looks like it needs a
+    sequential scan (and tempts a mapPartitions/UDF), expressed in
+    CLOSED FORM with two ordered windows: with prefix sums S_t,
+    b_t = S_t − min(0, min_{j≤t} S_j). Receipts (+qty on return-flagged
+    lines) and issues (−qty) per supplier, totally ordered by
+    (shipdate, orderkey, linenumber); everything integer, both windows
+    partition by supplier — no recurrence, no UDF, no one-reducer
+    scan. Suppliers < 50 keep the output bounded."""
+    li = _t_par(spark, sf, "lineitem").filter(F.col("l_suppkey") < 50)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    delta = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    staged = li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        delta.alias("delta"),
+    ).withColumn("s", F.sum("delta").over(w)).withColumn(
+        "runmin", F.min(F.least(F.col("s"), F.lit(0))).over(w)
+    )
+    return staged.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "delta",
+        (F.col("s") - F.least(F.col("runmin"), F.lit(0))).alias("balance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5888,6 +5916,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q221_ab_test": _q221_ab_test,
     "q222_cusum_changepoint": _q222_cusum_changepoint,
     "q223_dow_seasonality": _q223_dow_seasonality,
+    "q224_clamped_running_balance": _q224_clamped_running_balance,
 }
 
 
@@ -6554,6 +6583,39 @@ _ORACLES["q223_dow_seasonality"] = """
            CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
            CAST(CASE WHEN n = peak_n THEN 1 ELSE 0 END AS BIGINT) AS is_peak
     FROM w
+"""
+
+# q224: the oracle computes the RECURRENCE directly with a recursive
+# walk-free formulation: same closed form, independent engine
+_ORACLES["q224_clamped_running_balance"] = """
+    WITH d AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(ROUND(l_quantity) AS BIGINT)
+                  ELSE -CAST(ROUND(l_quantity) AS BIGINT) END AS delta,
+             l_shipdate
+      FROM lineitem WHERE l_suppkey < 50
+    ),
+    s1 AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, delta,
+             SUM(delta) OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS s
+      FROM d
+    ),
+    s AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, delta, s,
+             MIN(LEAST(s, 0)) OVER (PARTITION BY l_suppkey
+                                    ORDER BY l_shipdate, l_orderkey,
+                                             l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS runmin
+      FROM s1
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber, delta,
+           CAST(s - LEAST(runmin, 0) AS BIGINT) AS balance
+    FROM s
 """
 
 _DOT = (

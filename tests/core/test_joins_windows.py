@@ -268,3 +268,30 @@ class TestGapFillInterpolate:
             for r in gap_fill_interpolate(df, "k", "d", "v").collect()
         }
         assert out[1] == -3  # trunc(-7/2), NOT Python floor (-4)
+
+
+def test_clamped_balance_identity_matches_recurrence(spark):
+    """q224's closed form (S_t - min(0, runmin S)) must equal the
+    sequential Lindley recurrence b_t = max(0, b_{t-1} + x_t)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    rng = random.Random(7)
+    rows = [("k", i, rng.randint(-9, 9)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    w = Window.partitionBy("k").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        r.t: r.b
+        for r in df.withColumn("s", FF.sum("x").over(w))
+        .withColumn("m", FF.min(FF.least(FF.col("s"), FF.lit(0))).over(w))
+        .select("t", (FF.col("s") - FF.least(FF.col("m"), FF.lit(0))).alias("b"))
+        .collect()
+    }
+    b = 0
+    for _, t, x in rows:
+        b = max(0, b + x)
+        assert got[t] == b, t
