@@ -5688,6 +5688,45 @@ def _q224_clamped_running_balance(spark, sf):
     )
 
 
+def _q225_token_source_pmi(spark, sf):
+    """Pointwise mutual information between top-vocab tokens and
+    sources — which tokens are domain MARKERS (PMI ≫ 0) vs universal
+    filler (PMI ≈ 0)? All four counts (joint doc count, token docs,
+    source docs, N) are exact integers from two grouped aggregates;
+    PMI = ln(n_xy·N / (n_x·n_y)) is one fixed double expression over
+    them, rounded to 6 (the q206 contract). Pair space bounded by
+    top-30 vocab × sources; min joint support 5 keeps the log away
+    from noise."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(tokens("text"))).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_x"))
+        .orderBy(F.col("n_x").desc(), F.col("token").asc())
+        .limit(30)
+    )
+    vt = tok.join(F.broadcast(vocab), "token")
+    joint = vt.groupBy("token", "source", "n_x").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    src_counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_y"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        joint.join(F.broadcast(src_counts), "source")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_xy") >= 5)
+        .selectExpr(
+            "token", "source", "n_xy", "n_x", "n_y", "n",
+            "ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)"
+            " / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5917,6 +5956,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_cusum_changepoint": _q222_cusum_changepoint,
     "q223_dow_seasonality": _q223_dow_seasonality,
     "q224_clamped_running_balance": _q224_clamped_running_balance,
+    "q225_token_source_pmi": _q225_token_source_pmi,
 }
 
 
@@ -6616,6 +6656,32 @@ _ORACLES["q224_clamped_running_balance"] = """
     SELECT l_suppkey, l_orderkey, l_linenumber, delta,
            CAST(s - LEAST(runmin, 0) AS BIGINT) AS balance
     FROM s
+"""
+
+_ORACLES["q225_token_source_pmi"] = f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(list_distinct({_TOKS})) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, n_x FROM (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_x FROM tok GROUP BY token
+        ORDER BY n_x DESC, token ASC LIMIT 30
+      )
+    ),
+    joint AS (
+      SELECT tok.token, tok.source, vocab.n_x,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM tok JOIN vocab USING (token) GROUP BY 1, 2, 3
+    ),
+    sc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_y
+           FROM documents GROUP BY source),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT token, joint.source, n_xy, n_x, n_y, n,
+           ROUND(LN(CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi
+    FROM joint JOIN sc ON joint.source = sc.source, nd
+    WHERE n_xy >= 5
 """
 
 _DOT = (
