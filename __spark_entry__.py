@@ -5727,6 +5727,44 @@ def _q225_token_source_pmi(spark, sf):
     )
 
 
+def _q226_transition_entropy(spark, sf):
+    """Per-user behavioural entropy: Shannon entropy (nats) of the
+    event-type transition distribution — bots and loops score near 0,
+    diverse explorers near ln(25). Transitions from a per-user lag
+    window (total order via event_id tiebreak), counts exact; entropy
+    is a sum of (c/T)·ln(T/c) doubles whose ulp-level addition-order
+    noise sits ten orders below the 6-decimal contract rounding. Users
+    with < 20 transitions are excluded."""
+    ev = _t_par(spark, sf, "events")
+    lw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "event_type",
+            F.lag("event_type").over(lw).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("user_id", "prev", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wu = Window.partitionBy("user_id")
+    staged = pairs.withColumn("T", F.sum("c").over(wu))
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.max("T").cast("long").alias("n_transitions"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_pairs"),
+            F.round(
+                F.sum(
+                    (F.col("c").cast("double") / F.col("T"))
+                    * F.log(F.col("T").cast("double") / F.col("c"))
+                ),
+                6,
+            ).alias("entropy"),
+        )
+        .filter(F.col("n_transitions") >= 20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5957,6 +5995,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_dow_seasonality": _q223_dow_seasonality,
     "q224_clamped_running_balance": _q224_clamped_running_balance,
     "q225_token_source_pmi": _q225_token_source_pmi,
+    "q226_transition_entropy": _q226_transition_entropy,
 }
 
 
@@ -6682,6 +6721,28 @@ _ORACLES["q225_token_source_pmi"] = f"""
                  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 6) AS pmi
     FROM joint JOIN sc ON joint.source = sc.source, nd
     WHERE n_xy >= 5
+"""
+
+_ORACLES["q226_transition_entropy"] = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cnt AS (
+      SELECT user_id, prev, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tt AS (
+      SELECT *, SUM(c) OVER (PARTITION BY user_id) AS T FROM cnt
+    )
+    SELECT user_id,
+           CAST(MAX(T) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs,
+           ROUND(SUM((CAST(c AS DOUBLE) / T)
+                 * LN(CAST(T AS DOUBLE) / c)), 6) AS entropy
+    FROM tt GROUP BY user_id HAVING CAST(MAX(T) AS BIGINT) >= 20
 """
 
 _DOT = (
