@@ -5765,6 +5765,45 @@ def _q226_transition_entropy(spark, sf):
     )
 
 
+def _q227_growth_accounting(spark, sf):
+    """Growth accounting: the period-over-period value delta decomposed
+    into NEW / CHURNED / EXPANDED / CONTRACTED / FLAT user cohorts
+    (first vs second half of the event window, split at day 15) — the
+    standard revenue-bridge readout. Per-user half-period value cents
+    via one conditional aggregate (no self-join of the two periods);
+    classification and deltas are pure integer expressions; one final
+    5-row rollup. The cohort deltas must sum to total Δ — the oracle
+    enforces the bridge identity by recomputation."""
+    ev = _t_par(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    cents = F.round(F.col("value") * 100).cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(day < 15, cents)), F.lit(0)
+        ).alias("v1"),
+        F.coalesce(
+            F.sum(F.when(day >= 15, cents)), F.lit(0)
+        ).alias("v2"),
+    )
+    cat = (
+        F.when((F.col("v1") == 0) & (F.col("v2") > 0), "new")
+        .when((F.col("v1") > 0) & (F.col("v2") == 0), "churned")
+        .when(F.col("v2") > F.col("v1"), "expanded")
+        .when(F.col("v2") < F.col("v1"), "contracted")
+        .otherwise("flat")
+    )
+    return (
+        per.withColumn("category", cat)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("v2") - F.col("v1")).alias("delta_cents"),
+            F.sum("v1").alias("p1_cents"),
+            F.sum("v2").alias("p2_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5996,6 +6035,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q224_clamped_running_balance": _q224_clamped_running_balance,
     "q225_token_source_pmi": _q225_token_source_pmi,
     "q226_transition_entropy": _q226_transition_entropy,
+    "q227_growth_accounting": _q227_growth_accounting,
 }
 
 
@@ -6743,6 +6783,34 @@ _ORACLES["q226_transition_entropy"] = """
            ROUND(SUM((CAST(c AS DOUBLE) / T)
                  * LN(CAST(T AS DOUBLE) / c)), 6) AS entropy
     FROM tt GROUP BY user_id HAVING CAST(MAX(T) AS BIGINT) >= 20
+"""
+
+_ORACLES["q227_growth_accounting"] = """
+    WITH per AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 15
+               THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS v1,
+             CAST(COALESCE(SUM(CASE WHEN
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+               THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT) AS v2
+      FROM events GROUP BY user_id
+    ),
+    cls AS (
+      SELECT *,
+             CASE WHEN v1 = 0 AND v2 > 0 THEN 'new'
+                  WHEN v1 > 0 AND v2 = 0 THEN 'churned'
+                  WHEN v2 > v1 THEN 'expanded'
+                  WHEN v2 < v1 THEN 'contracted'
+                  ELSE 'flat' END AS category
+      FROM per
+    )
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(v2 - v1) AS BIGINT) AS delta_cents,
+           CAST(SUM(v1) AS BIGINT) AS p1_cents,
+           CAST(SUM(v2) AS BIGINT) AS p2_cents
+    FROM cls GROUP BY category
 """
 
 _DOT = (
