@@ -5804,6 +5804,47 @@ def _q227_growth_accounting(spark, sf):
     )
 
 
+def _q228_session_basket_lift(spark, sf):
+    """Within-session event-type lift: do two event types co-occur in
+    the same behavioural session more than chance predicts? Sessions
+    come from the gap-based sessionize operator (30-min gap, total
+    order via event_id), presence is distinct per session, and lift is
+    the exact integer cross-multiply (n_xy·S·10⁶) DIV (n_x·n_y) in
+    DECIMAL(38,0) — the q216 association machinery lifted from
+    documents to sessionized behaviour. ≤ C(5,2) output rows."""
+    from polars_pipe_spark.operators.windows import sessionize
+
+    ev = _t_par(spark, sf, "events")
+    s = sessionize(ev, "user_id", "ts", 30.0, tiebreak_cols=["event_id"])
+    et = s.select("user_id", "session_id", "event_type").distinct()
+    tot = (
+        et.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    singles = et.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = et.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = et.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "type_a", "type_b", "n_xy", "n_a", "n_b", "n_sessions",
+            "CAST((CAST(n_xy AS DECIMAL(38,0)) * n_sessions * 1000000)"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_micros",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6036,6 +6077,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q225_token_source_pmi": _q225_token_source_pmi,
     "q226_transition_entropy": _q226_transition_entropy,
     "q227_growth_accounting": _q227_growth_accounting,
+    "q228_session_basket_lift": _q228_session_basket_lift,
 }
 
 
@@ -6811,6 +6853,44 @@ _ORACLES["q227_growth_accounting"] = """
            CAST(SUM(v1) AS BIGINT) AS p1_cents,
            CAST(SUM(v2) AS BIGINT) AS p2_cents
     FROM cls GROUP BY category
+"""
+
+_ORACLES["q228_session_basket_lift"] = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM gaps
+    ),
+    et AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM
+            (SELECT DISTINCT user_id, session_id FROM et)),
+    singles AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+                FROM et GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM et a JOIN et b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_xy,
+           sa.n_t AS n_a, sb.n_t AS n_b, n_sessions,
+           CAST((CAST(n_xy AS HUGEINT) * n_sessions * 1000000)
+                // (CAST(sa.n_t AS HUGEINT) * sb.n_t) AS BIGINT) AS lift_micros
+    FROM pairs
+    JOIN singles sa ON pairs.type_a = sa.event_type
+    JOIN singles sb ON pairs.type_b = sb.event_type, tot
 """
 
 _DOT = (
