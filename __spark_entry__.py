@@ -5845,6 +5845,43 @@ def _q228_session_basket_lift(spark, sf):
     )
 
 
+def _q229_lead_time_sla(spark, sf):
+    """Fulfilment SLA readout: ship-lag (days from order to line ship)
+    percentiles per order priority — p50/p95/max plus volume. Exact
+    WITHOUT any quantile machinery: the lag domain is small and
+    bounded (≤ ~4 months of days), so per-(priority, lag) counts + a
+    cumulative window over the bounded lag axis give order statistics
+    by direct rank lookup — the counting-sort trick for low-cardinality
+    domains (cheaper than even histogram narrowing when the domain is
+    already tiny). Rank semantics match q165: value at 0-based rank
+    floor((n−1)·q)."""
+    li = _t_par(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    per = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority", lag.alias("lag_days"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    wc = wp.orderBy("lag_days").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        per.withColumn("n", F.sum("c").over(wp))
+        .withColumn("cum", F.sum("c").over(wc))
+        # floor((n-1)·q) via exact decimal multiply + integral DIV
+        .withColumn("k50", F.expr("CAST(((n - 1) * 0.5) DIV 1 AS BIGINT)"))
+        .withColumn("k95", F.expr("CAST(((n - 1) * 0.95) DIV 1 AS BIGINT)"))
+    )
+    return staged.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.min(F.when(F.col("cum") > F.col("k50"), F.col("lag_days"))).alias("p50_days"),
+        F.min(F.when(F.col("cum") > F.col("k95"), F.col("lag_days"))).alias("p95_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6078,6 +6115,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q226_transition_entropy": _q226_transition_entropy,
     "q227_growth_accounting": _q227_growth_accounting,
     "q228_session_basket_lift": _q228_session_basket_lift,
+    "q229_lead_time_sla": _q229_lead_time_sla,
 }
 
 
@@ -6891,6 +6929,35 @@ _ORACLES["q228_session_basket_lift"] = """
     FROM pairs
     JOIN singles sa ON pairs.type_a = sa.event_type
     JOIN singles sb ON pairs.type_b = sb.event_type, tot
+"""
+
+_ORACLES["q229_lead_time_sla"] = """
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+      SELECT o_orderpriority, lag_days, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lags GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT *,
+             SUM(c) OVER (PARTITION BY o_orderpriority) AS n,
+             SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM per
+    )
+    SELECT o_orderpriority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           MIN(CASE WHEN cum > CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                    THEN lag_days END) AS p50_days,
+           MIN(CASE WHEN cum > CAST(FLOOR((n - 1) * 0.95) AS BIGINT)
+                    THEN lag_days END) AS p95_days,
+           MAX(lag_days) AS max_days
+    FROM st GROUP BY o_orderpriority
 """
 
 _DOT = (
