@@ -5882,6 +5882,40 @@ def _q229_lead_time_sla(spark, sf):
     )
 
 
+def _q230_revenue_concentration(spark, sf):
+    """Revenue-concentration readout (the 80/20 check): the per-customer
+    value threshold above which ~80% of total revenue sits, plus how few
+    customers that is — the mass threshold is the value-weighted
+    quantile OF THE VALUE ITSELF at q=0.2 (weighted_quantiles reused
+    with weight = value), so the \"top 80% of mass\" boundary falls out
+    of the same distributed selection machinery with no global sort;
+    the follow-up is ONE exact integer aggregate. Output also pins the
+    boundary group (customers exactly at the threshold) so the split
+    is unambiguous."""
+    from polars_pipe_spark.operators.aggregates import weighted_quantiles
+
+    orders = _t_par(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    t = int(weighted_quantiles(per, "y", "y", [0.2])[0.2][1])
+    return per.agg(
+        F.lit(t).cast("long").alias("threshold_cents"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("y") > t, 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(F.col("y") == t, 1).otherwise(0)).alias("n_at"),
+        F.sum("y").alias("total_cents"),
+        F.sum(F.when(F.col("y") > t, F.col("y")).otherwise(0)).alias(
+            "mass_above_cents"
+        ),
+    ).selectExpr(
+        "threshold_cents", "n_customers", "n_above", "n_at",
+        "total_cents", "mass_above_cents",
+        "CAST((mass_above_cents * 1000000) DIV total_cents AS BIGINT)"
+        " AS mass_above_ppm",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6116,6 +6150,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q227_growth_accounting": _q227_growth_accounting,
     "q228_session_basket_lift": _q228_session_basket_lift,
     "q229_lead_time_sla": _q229_lead_time_sla,
+    "q230_revenue_concentration": _q230_revenue_concentration,
 }
 
 
@@ -6958,6 +6993,35 @@ _ORACLES["q229_lead_time_sla"] = """
                     THEN lag_days END) AS p95_days,
            MAX(lag_days) AS max_days
     FROM st GROUP BY o_orderpriority
+"""
+
+_ORACLES["q230_revenue_concentration"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(y) AS W FROM per),
+    cum AS (
+      SELECT y, SUM(y) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+      FROM per
+    ),
+    th AS (
+      SELECT (SELECT MIN(y) FROM cum
+              WHERE c > (SELECT CAST(FLOOR((W - 1) * 0.2) AS BIGINT) FROM tot))
+             AS t
+    )
+    SELECT CAST(t AS BIGINT) AS threshold_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN y > t THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(SUM(CASE WHEN y = t THEN 1 ELSE 0 END) AS BIGINT) AS n_at,
+           CAST(SUM(y) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN y > t THEN y ELSE 0 END) AS BIGINT)
+             AS mass_above_cents,
+           CAST((SUM(CASE WHEN y > t THEN y ELSE 0 END) * 1000000)
+                // SUM(y) AS BIGINT) AS mass_above_ppm
+    FROM per, th GROUP BY t
 """
 
 _DOT = (
