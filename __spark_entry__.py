@@ -5916,6 +5916,39 @@ def _q230_revenue_concentration(spark, sf):
     )
 
 
+def _q231_embedding_norm_audit(spark, sf):
+    """Embedding-corpus health: the squared-norm distribution flags
+    degenerate vectors (zeroed, truncated, or exploding embeddings ship
+    in real corpora more often than anyone admits). Norms are computed
+    on the milli-unit integer lattice (Σ round(x·10³)² — exact, the
+    q214 trick), the p01/p99 fences come from the distributed exact
+    selection, and the final row is one integer aggregate. The oracle
+    re-derives the fences as sorted row_number lookups."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    emb = _t_par(spark, sf, "embeddings")
+    n2 = F.aggregate(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    vecs = emb.select(F.col("vec_id"), n2.alias("n2"))
+    th = exact_quantiles(vecs, "n2", [0.01, 0.99])
+    lo, hi = int(th[0.01][1]), int(th[0.99][1])
+    return vecs.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.lit(lo).cast("long").alias("p01_n2"),
+        F.lit(hi).cast("long").alias("p99_n2"),
+        F.sum((F.col("n2") < lo).cast("long")).alias("n_low"),
+        F.sum((F.col("n2") > hi).cast("long")).alias("n_high"),
+        F.min("n2").alias("min_n2"),
+        F.max("n2").alias("max_n2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6151,6 +6184,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_session_basket_lift": _q228_session_basket_lift,
     "q229_lead_time_sla": _q229_lead_time_sla,
     "q230_revenue_concentration": _q230_revenue_concentration,
+    "q231_embedding_norm_audit": _q231_embedding_norm_audit,
 }
 
 
@@ -7022,6 +7056,32 @@ _ORACLES["q230_revenue_concentration"] = """
            CAST((SUM(CASE WHEN y > t THEN y ELSE 0 END) * 1000000)
                 // SUM(y) AS BIGINT) AS mass_above_ppm
     FROM per, th GROUP BY t
+"""
+
+_ORACLES["q231_embedding_norm_audit"] = """
+    WITH v AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                    * CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+               AS BIGINT) AS n2
+      FROM embeddings
+    ),
+    s AS (SELECT n2, ROW_NUMBER() OVER (ORDER BY n2) AS r FROM v),
+    cnt AS (SELECT COUNT(*) AS n FROM v),
+    th AS (
+      SELECT
+        (SELECT n2 FROM s WHERE r =
+           (SELECT CAST(FLOOR((n - 1) * 0.01) AS BIGINT) + 1 FROM cnt)) AS lo,
+        (SELECT n2 FROM s WHERE r =
+           (SELECT CAST(FLOOR((n - 1) * 0.99) AS BIGINT) + 1 FROM cnt)) AS hi
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(lo AS BIGINT) AS p01_n2, CAST(hi AS BIGINT) AS p99_n2,
+           CAST(SUM(CASE WHEN n2 < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN n2 > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           MIN(n2) AS min_n2, MAX(n2) AS max_n2
+    FROM v, th GROUP BY lo, hi
 """
 
 _DOT = (
