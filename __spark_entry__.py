@@ -5949,6 +5949,43 @@ def _q231_embedding_norm_audit(spark, sf):
     )
 
 
+def _q232_time_to_convert(spark, sf):
+    """Activation speed: days from a user's first signup to their first
+    purchase AT-OR-AFTER it — conversion-latency percentiles via the
+    q229 bounded-domain counting sort (lag domain ≤ the event window in
+    days, so the cumulative axis is ≤ ~31 rows). One conditional-min
+    aggregate per user (no self-join of the two event streams), then
+    exact p50/p90 by rank lookup."""
+    ev = _t_par(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("su"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    lagged = (
+        firsts.filter(F.col("su").isNotNull() & (F.col("fp") >= F.col("su")))
+        .select(
+            F.datediff(
+                F.col("fp").cast("date"), F.col("su").cast("date")
+            ).cast("long").alias("lag_days")
+        )
+    )
+    per = lagged.groupBy("lag_days").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = w_all.orderBy("lag_days").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        per.withColumn("n", F.sum("c").over(w_all))
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("k50", F.expr("CAST(((n - 1) * 0.5) DIV 1 AS BIGINT)"))
+        .withColumn("k90", F.expr("CAST(((n - 1) * 0.9) DIV 1 AS BIGINT)"))
+    )
+    return staged.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(F.when(F.col("cum") > F.col("k50"), F.col("lag_days"))).alias("p50_days"),
+        F.min(F.when(F.col("cum") > F.col("k90"), F.col("lag_days"))).alias("p90_days"),
+        F.max("lag_days").alias("max_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6185,6 +6222,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_lead_time_sla": _q229_lead_time_sla,
     "q230_revenue_concentration": _q230_revenue_concentration,
     "q231_embedding_norm_audit": _q231_embedding_norm_audit,
+    "q232_time_to_convert": _q232_time_to_convert,
 }
 
 
@@ -7082,6 +7120,35 @@ _ORACLES["q231_embedding_norm_audit"] = """
            CAST(SUM(CASE WHEN n2 > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
            MIN(n2) AS min_n2, MAX(n2) AS max_n2
     FROM v, th GROUP BY lo, hi
+"""
+
+_ORACLES["q232_time_to_convert"] = """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS su,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id
+    ),
+    lagd AS (
+      SELECT CAST(date_diff('day', CAST(su AS DATE), CAST(fp AS DATE))
+                  AS BIGINT) AS lag_days
+      FROM firsts WHERE su IS NOT NULL AND fp >= su
+    ),
+    per AS (SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lagd GROUP BY lag_days),
+    st AS (
+      SELECT *, SUM(c) OVER () AS n,
+             SUM(c) OVER (ORDER BY lag_days ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM per
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           MIN(CASE WHEN cum > CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                    THEN lag_days END) AS p50_days,
+           MIN(CASE WHEN cum > CAST(FLOOR((n - 1) * 0.9) AS BIGINT)
+                    THEN lag_days END) AS p90_days,
+           MAX(lag_days) AS max_days
+    FROM st
 """
 
 _DOT = (
