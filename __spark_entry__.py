@@ -5986,6 +5986,29 @@ def _q232_time_to_convert(spark, sf):
     )
 
 
+def _q233_partitioned_write_prune(spark, sf):
+    """Hive-partitioned lake round-trip: events written
+    ``partitionBy(event_type)``, read back with a partition filter —
+    the layout that turns a 100 TB scan into a directory lookup
+    (PartitionFilters in the plan, non-matching partitions never
+    opened). The query proves the pruned read returns exactly the
+    partitioned subset: per-type counts + value cents for two types,
+    checked against the flat source by the oracle."""
+    import tempfile
+
+    ev = _t(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="part_evt_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+    back = spark.read.parquet(d).filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6223,6 +6246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_revenue_concentration": _q230_revenue_concentration,
     "q231_embedding_norm_audit": _q231_embedding_norm_audit,
     "q232_time_to_convert": _q232_time_to_convert,
+    "q233_partitioned_write_prune": _q233_partitioned_write_prune,
 }
 
 
@@ -7149,6 +7173,16 @@ _ORACLES["q232_time_to_convert"] = """
                     THEN lag_days END) AS p90_days,
            MAX(lag_days) AS max_days
     FROM st
+"""
+
+_ORACLES["q233_partitioned_write_prune"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
 """
 
 _DOT = (

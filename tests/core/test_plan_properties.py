@@ -558,3 +558,20 @@ class TestRound4QueryPlans:
         assert "BroadcastExchange" in p
         assert "CartesianProduct" not in p
         assert "TakeOrderedAndProject" in p
+
+
+class TestPartitionPruning:
+    def test_partitioned_read_prunes_at_plan_level(self, spark, tmp_path):
+        """q233's layout claim: a filter on the partition column must
+        appear as PartitionFilters (directory-level pruning), not as a
+        post-scan data filter."""
+        src = spark.createDataFrame(
+            [(i, ["a", "b", "c"][i % 3]) for i in range(30)], "v long, p string"
+        )
+        d = str(tmp_path / "part")
+        src.write.mode("overwrite").partitionBy("p").parquet(d)
+        back = spark.read.parquet(d).filter(F.col("p") == "a")
+        plan = physical(back)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "p" in m.group(1)  # pruning pushed to the directory listing
+        assert back.count() == 10
