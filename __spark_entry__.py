@@ -6009,6 +6009,38 @@ def _q233_partitioned_write_prune(spark, sf):
     )
 
 
+def _q234_dedup_survivorship(spark, sf):
+    """Survivorship policy applied to the q63 near-dup clusters: per
+    cluster keep the LONGEST document (ties to the lowest id — a total
+    deterministic rule), and report the curation ledger: clusters,
+    member docs, survivors, and exactly how many characters the
+    collapse reclaims. The survivor pick is a window partitioned by
+    cluster (bounded by cluster size); the oracle re-derives the
+    clusters with q63's recursive CTE and applies the same rule."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters, minhash_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
+    ).select("id_a", "id_b").persist()
+    clusters = dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sized = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.lit(1)).alias("n_docs_in_clusters"),
+        F.sum((F.col("rk") == 1).cast("long")).alias("n_survivors"),
+        F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_reclaimed"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6247,6 +6279,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_embedding_norm_audit": _q231_embedding_norm_audit,
     "q232_time_to_convert": _q232_time_to_convert,
     "q233_partitioned_write_prune": _q233_partitioned_write_prune,
+    "q234_dedup_survivorship": _q234_dedup_survivorship,
 }
 
 
@@ -10596,6 +10629,28 @@ _ORACLES["q207_k_anonymity"] = """
            CAST((SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000)
                 // SUM(sz) AS BIGINT) AS below_k_ppm
     FROM cls
+"""
+
+
+# q234: clusters re-derived with q63's recursive CTE, survivor rule on top
+_ORACLES["q234_dedup_survivorship"] = f"""
+    WITH cl AS ({_ORACLES["q63_dedup_clusters"]}),
+    sized AS (
+      SELECT cl.doc_id, cl.cluster_id, d.n_chars
+      FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS r
+      FROM sized
+    )
+    SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in_clusters,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(CASE WHEN r > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_reclaimed
+    FROM rk
 """
 
 
