@@ -759,6 +759,7 @@ def pq_topk(
     query_id_col: str,
     codebooks: list[list[list[float]]],
     k: int = 5,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     full-precision and scores against each corpus vector's RECONSTRUCTED
@@ -804,9 +805,22 @@ def pq_topk(
             total = t if total is None else total + t
         return total
 
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
+    # the bounded-collect contract is ENFORCED, not assumed (r4 ADVICE):
+    # limit(N+1) caps the driver transfer even when the caller passes an
+    # unbounded frame, and the overflow raises instead of OOMing the driver
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query batch exceeds max_queries={max_queries}; the ADC "
+            "LUTs are built driver-side from the collected batch — shard the "
+            "query set or raise max_queries deliberately"
+        )
     lut_rows = []
     for r in qrows:
         if r["qv"] is None:
@@ -907,6 +921,17 @@ def kmeans_train_exact(
     if dim_row is None:
         raise ValueError("kmeans_train_exact: empty input")
     dim = dim_row["d"]
+    # fail fast on null / wrong-length vectors (r4 ADVICE): element_at past
+    # the end yields NULL distances, which would silently group rows under a
+    # null cluster instead of erroring
+    n_bad = df.filter(
+        F.col(vec_col).isNull() | (F.size(vec_col) != dim)
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"kmeans_train_exact: {n_bad} rows have null or non-{dim}-dim "
+            "vectors — filter or repair the input first"
+        )
     vm = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale).cast("long"),

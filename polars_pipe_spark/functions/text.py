@@ -453,9 +453,15 @@ def normalize_url(col: str | Column) -> Column:
     u = F.regexp_replace(_c(col), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r":(80|443)$", ""), r"^www\.", ""
+    # default-port stripping is gated on the SCHEME (r4 ADVICE): :80 is
+    # only the default for http and :443 only for https — https://h:80/x
+    # must NOT merge with https://h/x
+    port_stripped = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
     )
+    host = F.regexp_replace(port_stripped, r"^www\.", "")
     path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
@@ -468,12 +474,16 @@ def normalize_url(col: str | Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    # an input with no '://' has no scheme to canonicalise — return NULL
+    # rather than a degenerate ':///...' string (r4 ADVICE)
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+        )
     )
 
 

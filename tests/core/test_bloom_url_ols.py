@@ -71,6 +71,16 @@ class TestNormalizeUrl:
             self.norm(spark, "https://a.io/p?utm_a=1&utm_b=2") == "https://a.io/p"
         )
 
+    def test_port_strip_gated_on_scheme(self, spark):
+        # :80 is http's default only — on https it is a REAL port and must
+        # survive (r4 ADVICE: https://h:80/x must not merge with https://h/x)
+        assert self.norm(spark, "https://h.io:80/x") == "https://h.io:80/x"
+        assert self.norm(spark, "http://h.io:443/x") == "http://h.io:443/x"
+        assert self.norm(spark, "ftp://h.io:80/x") == "ftp://h.io:80/x"
+
+    def test_no_scheme_returns_null(self, spark):
+        assert self.norm(spark, "example.com/path?a=1") is None
+
     def test_registrable_domain(self, spark):
         df = spark.createDataFrame(
             [("https://a.b.Example.com:9/x",), ("deep.sub.site.org",), ("io",)],
