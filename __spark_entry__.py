@@ -6083,6 +6083,69 @@ def _q234_dedup_survivorship(spark, sf):
     )
 
 
+def _q235_image_decode(spark, sf):
+    """REAL image decode end-to-end (no codec library): synthetic BMP
+    (24-bit BI_RGB, even doc_ids) and PPM-P6 (odd doc_ids) payloads are
+    built per document in one ``mapInPandas`` encode stage, packed into
+    the media struct, and decoded back by the dependency-free codecs in
+    ``extract_image_features(use_fake_decoder=False)`` — header parse,
+    row-padding/bottom-up handling, and exact integer-luma averaging all
+    exercised on real bytes. The construction is analytic — width
+    4+id%13, height 3+id%7, all pixels (7id, 13id, 29id) mod 256 except
+    a black pixel at (0,0) — so the ORACLE derives width/height/
+    mean_luma in closed form (ground truth, not a second decoder):
+    mean_luma = (299R+587G+114B)·(wh−1) / (255000·wh), integer
+    numerator, one double division — bit-identical across engines."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make_payloads(it):
+        for pdf in it:
+            payloads, mimes = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                px = np.empty((h, w, 3), dtype="uint8")
+                px[:, :] = [(did * 7) % 256, (did * 13) % 256, (did * 29) % 256]
+                px[0, 0] = 0
+                if did % 2 == 0:
+                    payloads.append(encode_bmp(w, h, px))
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(w, h, px))
+                    mimes.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "mime": mimes}
+            )
+
+    media = docs.mapInPandas(
+        make_payloads, "doc_id long, payload binary, mime string"
+    ).select(
+        "doc_id",
+        pack_media(F.col("payload"), F.lit(None).cast("string"), F.col("mime")).alias(
+            "media"
+        ),
+    )
+    feats = extract_image_features(media, use_fake_decoder=False)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6322,6 +6385,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_time_to_convert": _q232_time_to_convert,
     "q233_partitioned_write_prune": _q233_partitioned_write_prune,
     "q234_dedup_survivorship": _q234_dedup_survivorship,
+    "q235_image_decode": _q235_image_decode,
 }
 
 
@@ -9214,6 +9278,31 @@ _ORACLES["q149_pca_whiten"] = """
              WHERE embedding IS NOT NULL AND len(embedding) >= 8) AS n_vecs
     FROM (SELECT unnest(range(8)) AS i) ii,
          (SELECT unnest(range(8)) AS j) jj
+"""
+
+
+# q235: ground-truth oracle for the REAL decode path — width/height/luma
+# derived in closed form from the analytic payload construction, never by
+# re-implementing the decoder. Integer luma numerator, one double
+# division, so the doubles are bit-identical across engines.
+_ORACLES["q235_image_decode"] = """
+    WITH p AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h,
+             (doc_id * 7) % 256 AS r,
+             (doc_id * 13) % 256 AS g,
+             (doc_id * 29) % 256 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS mime,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           ROUND(CAST((299*r + 587*g + 114*b) * (w*h - 1) AS DOUBLE)
+                 / (255000.0 * w * h), 6) AS mean_luma
+    FROM p
 """
 
 

@@ -27,10 +27,50 @@ skew-join splitting; pair outputs are deduplicated with an id<id guard
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_pipe_spark.functions.text import doc_fingerprint, shingles, tokens
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_band_buckets(banded: DataFrame, max_band_members: int | None) -> DataFrame:
+    """Guardrail against degenerate LSH buckets: a band shared by B docs
+    emits B·(B−1)/2 candidate pairs, so one pathological bucket (e.g.
+    thousands of empty/boilerplate documents with identical signatures)
+    turns the band self-join quadratic. Bands with more than
+    ``max_band_members`` members are DROPPED from candidate generation —
+    standard LSH practice (such bands carry no discriminative signal;
+    their members are still reachable through their other, rarer bands,
+    and truly identical documents belong to exact dedup anyway).
+
+    The member count is a band-keyed partial aggregate (skew-tolerant)
+    and the oversized-band set is at most |banded|/cap rows, so the
+    anti-join side is broadcastable by construction. Dropped-band
+    logging is gated on the logger level so the default path adds no
+    extra Spark action.
+    """
+    if max_band_members is None:
+        return banded
+    over = (
+        banded.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("__n_members"))
+        .filter(F.col("__n_members") > max_band_members)
+    )
+    if logger.isEnabledFor(logging.INFO):
+        stats = over.agg(
+            F.count(F.lit(1)).alias("n_bands"), F.sum("__n_members").alias("n_rows")
+        ).first()
+        if stats["n_bands"]:
+            logger.info(
+                "minhash LSH: dropped %d oversized band bucket(s) covering %d "
+                "(id, band) rows (cap=%d members/band)",
+                stats["n_bands"], stats["n_rows"], max_band_members,
+            )
+    return banded.join(F.broadcast(over.select("band")), "band", "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -99,9 +139,11 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     sig_k: int = 8,
     n_bands: int = 4,
+    max_band_members: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing at least one LSH band.
-    Returns (id_a, id_b) with id_a < id_b, distinct."""
+    Returns (id_a, id_b) with id_a < id_b, distinct. Band buckets larger
+    than ``max_band_members`` are dropped (see :func:`_cap_band_buckets`)."""
     rows_per_band = sig_k // n_bands
     # Materialise the signature as a column BEFORE banding: the band
     # expression references the signature 2×sig_k times, and inlining it
@@ -118,6 +160,7 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    banded = _cap_band_buckets(banded, max_band_members)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -166,8 +209,11 @@ def minhash_near_dups(
     n_bands: int = 4,
     threshold: float = 0.5,
     cache_intermediates: bool | str = "sets",
+    max_band_members: int | None = 1000,
 ) -> DataFrame:
     """Full pipeline: LSH candidates → exact Jaccard → threshold.
+    Band buckets larger than ``max_band_members`` are dropped before the
+    self-join (see :func:`_cap_band_buckets`).
 
     The single-DAG formulation derives the signatures FROM the
     distinct-shingle sets (one tokenise+shingle pipeline feeding both the
@@ -217,6 +263,7 @@ def minhash_near_dups(
     banded = sig_df.select(
         "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
     ).distinct()
+    banded = _cap_band_buckets(banded, max_band_members)
     if cache == "all":
         banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")

@@ -13,11 +13,17 @@ Schema convention (the part that matters at 100 TB):
 
 Decode / feature-extraction runs as Arrow-batched Pandas UDFs over
 ``mapInPandas`` — the real shape of a media pipeline stage (per-partition
-batch iterator, bounded memory, no driver involvement). The actual codec
-calls are STUBBED (image/audio libraries are not in this container):
-``decode_image_stub`` raises ``NotImplementedError`` when asked for real
-decoding, and offers a deterministic fake (seeded from the content hash)
-so the plumbing — schema, batching, partitioning — is fully testable.
+batch iterator, bounded memory, no driver involvement). Two decode tiers:
+
+- **Real, dependency-free codecs** for the uncompressed container formats
+  whose specs need only byte arithmetic: 24-bit BI_RGB **BMP** and binary
+  **PPM (P6)** (plus the byte-level audio featurizer below). These run the
+  full payload→pixels→features path with numpy only — no PIL/opencv.
+  ``use_fake_decoder=False`` dispatches on the payload's magic bytes.
+- **Stubbed compressed codecs**: JPEG/PNG/mp3 genuinely need codec
+  libraries (not in this container); those payloads raise a clear
+  ``NotImplementedError`` naming the seam. The deterministic fake decoder
+  (seeded from the content hash) remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -59,6 +65,101 @@ def media_from_text_column(df: DataFrame, text_col: str, media_col: str = "media
     return df.withColumn(media_col, pack_media(payload, F.lit(None).cast("string"), mime))
 
 
+# ---------------------------------------------------------------------------
+# Dependency-free image codecs (BMP 24-bit BI_RGB, PPM P6)
+# ---------------------------------------------------------------------------
+
+# integer luma weights: 299·R + 587·G + 114·B per pixel, scale 1000·255.
+# Keeping the per-pixel luma INTEGER makes the corpus-wide mean an exact
+# integer sum — bit-identical across engines (the q13/q147 lesson applied
+# to pixels), with one final double division.
+_LUMA_SCALE = 255_000.0
+
+
+def encode_bmp(width: int, height: int, pixels) -> bytes:
+    """Minimal 24-bit uncompressed (BI_RGB) BMP writer — bottom-up rows,
+    BGR byte order, rows padded to 4 bytes. ``pixels`` is an
+    (height, width, 3) uint8 RGB array. Test/synthesis helper: lets the
+    real decoder be exercised without any image library."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype="uint8")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad  # RGB→BGR + row padding
+        for r in range(height - 1, -1, -1)  # bottom-up
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + dib + body
+
+
+def encode_ppm(width: int, height: int, pixels) -> bytes:
+    """Binary PPM (P6) writer: ASCII header + raw RGB bytes."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype="uint8")
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode a BMP (24-bit BI_RGB) or PPM (P6) payload to
+    ``(width, height, n_channels, mean_luma)`` with numpy only.
+
+    mean_luma = (Σ_pixels 299·R+587·G+114·B) / (255000 · n_pixels) — the
+    integer-sum-then-one-division form, so the double is deterministic.
+    Compressed formats (PNG/JPEG/…) raise ``NotImplementedError``: those
+    need a codec library; this is the documented seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+        dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"BMP decoder supports 24-bit BI_RGB only (got bpp={bpp}, "
+                f"compression={compression})"
+            )
+        bottom_up = height > 0
+        height = abs(height)
+        row_bytes = width * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = np.frombuffer(
+            payload, dtype="uint8", count=stride * height, offset=pixel_offset
+        ).reshape(height, stride)[:, :row_bytes]
+        px = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR→RGB
+        if bottom_up:
+            px = px[::-1]
+    elif payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+        parts = payload.split(maxsplit=4)
+        width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        if maxval != 255:
+            raise NotImplementedError("PPM decoder supports maxval=255 only")
+        data_off = len(payload) - width * height * 3
+        px = np.frombuffer(
+            payload, dtype="uint8", count=width * height * 3, offset=data_off
+        ).reshape(height, width, 3)
+    else:
+        raise NotImplementedError(
+            f"no dependency-free decoder for payload magic {payload[:2]!r} — "
+            "compressed formats (PNG/JPEG) need a codec library"
+        )
+    lum = px.astype("int64") @ np.array([299, 587, 114], dtype="int64")
+    mean_luma = float(int(lum.sum()) / (_LUMA_SCALE * width * height))
+    return width, height, 3, mean_luma
+
+
 IMAGE_FEATURES_SCHEMA = (
     "doc_id long, content_hash string, n_bytes long, mime string, "
     "width int, height int, n_channels int, mean_luma double"
@@ -75,8 +176,10 @@ def extract_image_features(
 
     Arrow-batched; each batch decodes payload bytes and emits fixed-width
     features. ``use_fake_decoder=True`` derives deterministic fake
-    dimensions from the content hash (plumbing test); ``False`` requires
-    a real codec and raises ``NotImplementedError`` here.
+    dimensions from the content hash (plumbing test, payload never read);
+    ``False`` decodes for REAL via the dependency-free BMP/PPM codecs
+    (:func:`decode_image`) — compressed formats raise
+    ``NotImplementedError`` naming the codec seam.
     """
 
     # Flatten struct fields (and derive the fake-decoder seed) JVM-side so
@@ -104,11 +207,23 @@ def extract_image_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not use_fake_decoder:
-                raise NotImplementedError(
-                    "real image decoding needs an image codec library "
-                    "(PIL/opencv) — not available in this environment; "
-                    "pass use_fake_decoder=True for the deterministic stub"
+                # per-payload decode loop: variable-size container parsing
+                # is inherently per-item; the pixel math inside each decode
+                # is numpy. Arrow still batches the transfer.
+                dims = [decode_image(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "content_hash": pdf["content_hash"],
+                        "n_bytes": pdf["n_bytes"],
+                        "mime": pdf["mime"],
+                        "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                        "height": pd.Series([d[1] for d in dims], dtype="int32"),
+                        "n_channels": pd.Series([d[2] for d in dims], dtype="int32"),
+                        "mean_luma": pd.Series([d[3] for d in dims], dtype="float64"),
+                    }
                 )
+                continue
             seed = pdf["__seed"].to_numpy()
             out = pd.DataFrame(
                 {
@@ -275,27 +390,82 @@ def resize_images(
     dimensions plus the resized payload's hash/size. ``use_fake_decoder``
     derives a deterministic fake resized payload (md5 of
     (content_hash, w, h), byte size scaled by target/1024² area ratio) so
-    schema, batching, and downstream joins are fully testable; the real
-    branch raises until a codec library exists — dropping one in changes
-    ONLY the body of ``batches``, never the schema or the callers.
+    schema, batching, and downstream joins are fully testable;
+    ``use_fake_decoder=False`` runs the REAL decode → nearest-neighbour
+    resample → BMP re-encode path via the dependency-free codecs
+    (:func:`decode_image` magic dispatch, :func:`encode_bmp` output) —
+    compressed input formats raise at the documented codec seam. The fake
+    branch never selects the payload column (pruned at the scan); the
+    real branch must.
     """
-    flat = df.select(
+    meta = [
         F.col(id_col),
         F.col(f"{media_col}.content_hash").alias("content_hash"),
         F.col(f"{media_col}.mime").alias("mime"),
         F.col(f"{media_col}.n_bytes").alias("n_bytes"),
-    )
+    ]
+    if use_fake_decoder:
+        flat = df.select(*meta)
+    else:
+        flat = df.select(*meta, F.col(f"{media_col}.payload").alias("payload"))
+
+    def _resize_real(payload: bytes) -> bytes:
+        import struct
+
+        import numpy as np
+
+        # decode (reusing the BMP/PPM parsers via decode dispatch), then
+        # nearest-neighbour index sampling, then 24-bit BMP re-encode
+        if payload[:2] == b"BM":
+            pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+            _, w, h = struct.unpack_from("<Iii", payload, 14)
+            bottom_up = h > 0
+            h = abs(h)
+            row_bytes = w * 3
+            stride = row_bytes + ((-row_bytes) % 4)
+            rows = np.frombuffer(
+                payload, dtype="uint8", count=stride * h, offset=pixel_offset
+            ).reshape(h, stride)[:, :row_bytes]
+            px = rows.reshape(h, w, 3)[:, :, ::-1]
+            if bottom_up:
+                px = px[::-1]
+        elif payload[:2] == b"P6":
+            parts = payload.split(maxsplit=4)
+            w, h = int(parts[1]), int(parts[2])
+            off = len(payload) - w * h * 3
+            px = np.frombuffer(
+                payload, dtype="uint8", count=w * h * 3, offset=off
+            ).reshape(h, w, 3)
+        else:
+            raise NotImplementedError(
+                f"no dependency-free resize for magic {payload[:2]!r}"
+            )
+        yi = (np.arange(target_h) * h) // target_h
+        xi = (np.arange(target_w) * w) // target_w
+        return encode_bmp(target_w, target_h, px[yi][:, xi])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
             if not use_fake_decoder:
-                raise NotImplementedError(
-                    "real image resize needs a codec library (PIL/opencv) — "
-                    "not available in this environment; "
-                    "pass use_fake_decoder=True for the deterministic stub"
+                resized = [_resize_real(bytes(p)) for p in pdf["payload"]]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "content_hash": pdf["content_hash"],
+                        "mime": pdf["mime"],
+                        "target_w": target_w,
+                        "target_h": target_h,
+                        "resized_hash": [
+                            hashlib.md5(p).hexdigest() for p in resized
+                        ],
+                        "resized_n_bytes": pd.Series(
+                            [len(p) for p in resized], dtype="int64"
+                        ),
+                    }
                 )
+                continue
             rh = [
                 hashlib.md5(f"{h}:{target_w}x{target_h}".encode()).hexdigest()
                 for h in pdf["content_hash"]

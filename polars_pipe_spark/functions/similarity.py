@@ -660,7 +660,10 @@ def centroid_similarity(
         lambda acc, v: acc + v,
     )
     a, b = cent.alias("a"), cent.alias("b")
-    pairs = a.crossJoin(b).where(F.col("a.g") < F.col("b.g"))
+    # explicit broadcast hint: cent is one row per GROUP (tiny by
+    # construction), but without the hint Catalyst may still plan a full
+    # cartesian shuffle if its size estimate drifts (r4 VERDICT #3)
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("a.g") < F.col("b.g"))
     na = dot(F.col("a.cvec"), F.col("a.cvec"))
     nb = dot(F.col("b.cvec"), F.col("b.cvec"))
     d = dot(F.col("a.cvec"), F.col("b.cvec"))

@@ -437,3 +437,47 @@ class TestRound4Guards:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         out = pca_whiten(df, "embedding", "vec_id", dims=4).collect()
         assert {r.vec_id for r in out} == {i for i in range(10)}
+
+
+class TestBandBucketGuardrail:
+    """r4 VERDICT #4: a degenerate corpus (many docs with identical
+    signatures) must NOT make the band self-join quadratic — oversized
+    band buckets are dropped with a logged count."""
+
+    def degenerate(self, spark, n=60):
+        # every doc identical -> every band bucket has n members
+        rows = [(i, "the same exact boilerplate text repeated here") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_oversized_buckets_dropped(self, spark):
+        df = self.degenerate(spark)
+        cands = dd.minhash_lsh_candidates(
+            df, "text", "doc_id", max_band_members=10
+        )
+        assert cands.count() == 0  # all buckets over cap -> no candidates
+
+    def test_cap_none_keeps_all_pairs(self, spark):
+        df = self.degenerate(spark, n=12)
+        cands = dd.minhash_lsh_candidates(
+            df, "text", "doc_id", max_band_members=None
+        )
+        assert cands.count() == 12 * 11 // 2
+
+    def test_under_cap_unaffected(self, near_dup_docs):
+        base = dd.minhash_near_dups(
+            near_dup_docs, "text", "doc_id", threshold=0.3, max_band_members=None
+        ).collect()
+        capped = dd.minhash_near_dups(
+            near_dup_docs, "text", "doc_id", threshold=0.3, max_band_members=1000
+        ).collect()
+        assert sorted((r.id_a, r.id_b) for r in base) == sorted(
+            (r.id_a, r.id_b) for r in capped
+        )
+
+    def test_dropped_bands_logged(self, spark, caplog):
+        import logging
+
+        df = self.degenerate(spark, n=30)
+        with caplog.at_level(logging.INFO, logger="polars_pipe_spark.functions.dedup"):
+            dd.minhash_lsh_candidates(df, "text", "doc_id", max_band_members=5).count()
+        assert any("oversized band bucket" in m for m in caplog.messages)

@@ -1,0 +1,66 @@
+"""Plan-level anti-pattern sweep over every registered query (r4 VERDICT
+#8): builds each queries() DataFrame at sf0.001 and fails on the two plan
+shapes that kill a 100 TB run regardless of bench-scale timing —
+partition-less windows (single-reducer funnels) and non-broadcast
+cartesian products. Queries with a deliberately global window over a
+frame that is bounded BY CONSTRUCTION must be declared (with the bound)
+in tools/plan_sweep.BOUNDED_GLOBAL_WINDOW; an undeclared one fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.plan_sweep import BOUNDED_GLOBAL_WINDOW, find_antipatterns, sweep
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestDetector:
+    def test_flags_global_window(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn(
+            "s", F.sum("id").over(Window.orderBy("id"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert any("global window" in f for f in find_antipatterns(plan))
+
+    def test_keyed_window_clean(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = spark.range(10).withColumn(
+            "s", F.sum("id").over(Window.partitionBy(F.col("id") % 3).orderBy("id"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert find_antipatterns(plan) == []
+
+    def test_flags_shuffle_cartesian(self, spark):
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "j")
+        joined = a.join(b, a.id < b.j)  # non-equi, non-broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert any("cartesian" in f.lower() for f in find_antipatterns(plan))
+
+
+@pytest.mark.slow
+class TestFullSweep:
+    def test_all_queries_clean(self, spark):
+        results = sweep(spark, SF_DIR)
+        assert results == {}, (
+            "plan anti-patterns found (fix the plan, or if the window frame "
+            "is bounded by construction, declare it in "
+            f"tools/plan_sweep.BOUNDED_GLOBAL_WINDOW): {results}"
+        )
+
+    def test_exemptions_still_exist(self):
+        import __spark_entry__ as entry
+
+        stale = set(BOUNDED_GLOBAL_WINDOW) - set(entry.queries())
+        assert not stale, f"exempted queries no longer registered: {stale}"
