@@ -3244,9 +3244,10 @@ def _q146_rag_chunks(spark, sf):
 def _q147_group_trend(spark, sf):
     """Per-type linear trend (closed-form least squares) of daily value:
     integer day index x, DECIMAL daily sum y, so all four regression
-    moments are exact and order-free; slope emits as sign-split scaled
-    integer division (Spark DIV truncates, DuckDB // floors — they only
-    agree on non-negative operands)."""
+    moments are exact and order-free; slope emits as a sign-split
+    (units, micros-remainder) radix pair from exact integral division
+    (Spark DIV truncates, DuckDB // floors — they only agree on
+    non-negative operands, and DIV's BIGINT return bounds each cell)."""
     ev = _t(spark, sf, "events")
     x = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
     daily = ev.groupBy(F.col("event_type"), x.alias("x")).agg(
@@ -3268,16 +3269,32 @@ def _q147_group_trend(spark, sf):
     # — Spark's non-ANSI cast nulls silently while DuckDB errors, so the
     # engines would diverge exactly at large scale).  Spark DIV on decimal
     # is divideToIntegralValue (exact); DuckDB mirrors via HUGEINT `//`.
-    pos = F.expr("CAST(abs(num) * 1000000 AS DECIMAL(38,0)) DIV den")
+    # BUT Spark's DIV *returns* BIGINT, so a single slope_micros column
+    # would itself wrap once |slope| > 9.2e12 units/day (found by the r5
+    # overflow-bound test, the same cliff shape q13 fixed for its sums).
+    # Radix-decompose instead — floor(M/den) = 1e6·floor(M/(1e6·den))
+    # + floor((M mod (1e6·den))/den) for non-negative integers, so the
+    # (units, micros-remainder) pair below reconstructs the old value
+    # exactly while every emitted cell is bounded: |slope_units| ≤ the
+    # slope itself in units/day, slope_micros_rem ∈ (-1e6, 1e6). The big
+    # intermediates all stay DECIMAL(38,0).
+    _m = "CAST(abs(num) * 1000000 AS DECIMAL(38,0))"
+    _denbig = "(CAST(den AS DECIMAL(38,0)) * 1000000)"
+    pos_units = F.expr(f"{_m} DIV {_denbig}")
+    pos_rem = F.expr(f"CAST(({_m} % {_denbig}) AS DECIMAL(38,0)) DIV den")
     return (
         m.withColumn("num", num)
         .withColumn("den", den)
         .filter((F.col("n") >= 2) & (F.col("den") > 0))
         .withColumn(
-            "slope_micros",
-            F.when(F.col("num") >= 0, pos).otherwise(-pos),
+            "slope_units",
+            F.when(F.col("num") >= 0, pos_units).otherwise(-pos_units),
         )
-        .select("event_type", "n", "num", "den", "slope_micros")
+        .withColumn(
+            "slope_micros_rem",
+            F.when(F.col("num") >= 0, pos_rem).otherwise(-pos_rem),
+        )
+        .select("event_type", "n", "num", "den", "slope_units", "slope_micros_rem")
     )
 
 
@@ -9393,17 +9410,27 @@ _ORACLES["q147_group_trend"] = """
     )
     -- den/slope through HUGEINT: DuckDB SUM(BIGINT) and bigint arithmetic
     -- promote to HUGEINT (decimal128(38,0)) — cast back to BIGINT so the
-    -- physical type matches Spark's LONG; abs(num)*1e6 // den stays in
-    -- HUGEINT (exact; never a lossy intermediate BIGINT/double).
-    SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DECIMAL(38,2)) AS num,
-           CAST(n * sxx - sx * sx AS BIGINT) AS den,
-           CASE WHEN CAST(n * sxy - sx * sy AS DECIMAL(38,2)) >= 0
-                THEN CAST(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS HUGEINT) // (n * sxx - sx * sx) AS BIGINT)
-                ELSE -CAST(CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000 AS HUGEINT) // (n * sxx - sx * sx) AS BIGINT)
-           END AS slope_micros
-    FROM m
-    WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+    -- physical type matches Spark's LONG. The slope leaves as the SAME
+    -- (units, micros-remainder) radix pair Spark emits (a single micros
+    -- BIGINT wraps past |slope| 9.2e12 units/day), with all the big
+    -- intermediates in HUGEINT — exact, never a lossy BIGINT/double.
+    , s AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DECIMAL(38,2)) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS den,
+             CAST(abs(CAST(n * sxy - sx * sy AS DECIMAL(38,2))) * 1000000
+                  AS HUGEINT) AS m_abs,
+             CAST(n * sxx - sx * sx AS HUGEINT) * 1000000 AS denbig
+      FROM m
+      WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+    )
+    SELECT event_type, n, num, den,
+           CASE WHEN num >= 0 THEN CAST(m_abs // denbig AS BIGINT)
+                ELSE -CAST(m_abs // denbig AS BIGINT) END AS slope_units,
+           CASE WHEN num >= 0 THEN CAST((m_abs % denbig) // den AS BIGINT)
+                ELSE -CAST((m_abs % denbig) // den AS BIGINT)
+           END AS slope_micros_rem
+    FROM s
 """
 
 

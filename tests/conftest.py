@@ -5,10 +5,39 @@ adds nulls and a struct column to exercise declared null/nested semantics).
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 import pytest
 from pyspark.sql import types as T
 
 from polars_pipe_spark import get_spark
+
+_TESTDATA = "/root/testdata/sf0.001"
+
+
+def pytest_collection_modifyitems(config, items):
+    """Outside the driver environment (e.g. CI) the generated parquet
+    fixtures under /root/testdata do not exist — skip the tests that read
+    them instead of erroring. No-op when the data is present. Detection
+    is by module source (any test whose file references the path), which
+    over-skips a few data-free tests in data-less CI — an acceptable
+    trade for zero per-test annotations to keep in sync."""
+    if os.path.isdir(_TESTDATA):
+        return
+    skip = pytest.mark.skip(
+        reason="driver-generated testdata not present (see TESTDATA.md)"
+    )
+    needs_data: dict[str, bool] = {}
+    for item in items:
+        p = str(item.fspath)
+        if p not in needs_data:
+            try:
+                needs_data[p] = "/root/testdata" in Path(p).read_text()
+            except OSError:
+                needs_data[p] = False
+        if needs_data[p]:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
