@@ -6163,6 +6163,86 @@ def _q235_image_decode(spark, sf):
     )
 
 
+def _q236_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic dedup ledger (Abbas et al. 2023) over the
+    embeddings corpus: pinned-centroid integer-L2 assignment (centroids =
+    the quantized first 4 stored vectors — the q168/q214 pretrained
+    pattern; the 4-row collect is bounded and documented), hyperplane-
+    bucket-blocked within-cluster cosine pairs (never an all-pairs
+    enumeration), keep-min-id survivor rule. One row per cluster with
+    members/dropped/survivors. The oracle re-derives assignment, buckets,
+    pair set, and ledger in SQL over the same data."""
+    from polars_pipe_spark.functions.dedup import semantic_dedup_ledger
+
+    emb = _t_par(spark, sf, "embeddings")
+    # quantize the pinned centroids IN SPARK (not Python round(), whose
+    # half-even ties would diverge from F.round/duckdb round half-up)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 4)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+            ).alias("q"),
+        )
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    centroids = [[int(x) for x in r["q"]] for r in cent_rows]
+    return semantic_dedup_ledger(
+        emb, "embedding", "vec_id", centroids, threshold=0.4, n_planes=8
+    )
+
+
+def _q237_bpe_encode(spark, sf):
+    """BPE tokenizer APPLY (the encode half q169's training leaves open):
+    train 8 merges on the corpus, encode every document with them, and
+    report per-doc tokenization stats (words, pre-merge chars, post-merge
+    symbol count). Encoding runs once per DISTINCT word and joins back to
+    a (doc, word)-pre-aggregated stream — never a per-occurrence fold
+    over the corpus (functions/text.py::bpe_encode_stats). The oracle
+    re-derives the full 8-round training AND the encode in SQL over a
+    double-separator string representation, so every merge decision and
+    every per-doc count is value-checked, not just a property."""
+    from polars_pipe_spark.functions.text import bpe_encode_stats
+
+    docs = _t_par(spark, sf, "documents")
+    return bpe_encode_stats(docs, "text", "doc_id", n_merges=8)
+
+
+def _q238_eval_allocation(spark, sf):
+    """Largest-remainder (Hamilton) apportionment of a fixed eval budget
+    (10,000 docs) across sources, proportional to corpus share — the
+    integer-exact way to cut an eval set so per-source allocations sum
+    EXACTLY to the budget (naive rounding over- or under-shoots). Base
+    quota = floor(budget·n/total) in BIGINT, leftover seats go to the
+    largest remainders (ties to source asc). The ranking windows run on
+    the one-row-per-SOURCE frame (bounded by domain count — declared in
+    tools/plan_sweep.BOUNDED_GLOBAL_WINDOW like q157)."""
+    budget = 10_000
+    docs = _t_par(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    staged = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr(f"CAST({budget} * n_docs AS BIGINT) DIV total"))
+        .withColumn("rem_num", F.expr(f"CAST({budget} * n_docs AS BIGINT) % total"))
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_rank = w_all.orderBy(F.col("rem_num").desc(), F.col("source").asc())
+    return (
+        staged.withColumn("leftover", F.lit(budget) - F.sum("base").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "alloc",
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).cast(
+                "long"
+            ),
+        )
+        .select("source", "n_docs", F.col("base").cast("long").alias("base"), "alloc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6403,6 +6483,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_partitioned_write_prune": _q233_partitioned_write_prune,
     "q234_dedup_survivorship": _q234_dedup_survivorship,
     "q235_image_decode": _q235_image_decode,
+    "q236_semantic_dedup": _q236_semantic_dedup,
+    "q237_bpe_encode": _q237_bpe_encode,
+    "q238_eval_allocation": _q238_eval_allocation,
 }
 
 
@@ -10838,6 +10921,134 @@ _ORACLES["q234_dedup_survivorship"] = f"""
            CAST(SUM(CASE WHEN r > 1 THEN n_chars ELSE 0 END) AS BIGINT)
              AS chars_reclaimed
     FROM rk
+"""
+
+
+# q236: SemDeDup ledger re-derived in SQL — quantized integer-L2
+# assignment to the pinned first-4 centroids (ties to lowest cid),
+# the q34 hyperplane bucket, within-(cluster,bucket) cosine pairs,
+# keep-min-id survivor rule.
+_ORACLES["q236_semantic_dedup"] = f"""
+    WITH cm AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+      FROM embeddings WHERE vec_id < 4
+    ), v AS (
+      SELECT vec_id AS id, embedding AS v,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm,
+             {_bucket_sql("embedding", 8)} AS bucket
+      FROM embeddings WHERE len(embedding) >= 64
+    ), asg AS (
+      SELECT id, v, bucket, CAST(cid AS BIGINT) AS cluster_id FROM (
+        SELECT vv.id, vv.v, vv.bucket, cm.cid,
+               row_number() OVER (PARTITION BY vv.id ORDER BY
+                 list_sum(list_transform(range(1, 65), i ->
+                   (vv.vm[CAST(i AS INT)] - cm.c[CAST(i AS INT)])
+                   * (vv.vm[CAST(i AS INT)] - cm.c[CAST(i AS INT)]))) ASC,
+                 cm.cid ASC) AS rn
+        FROM v vv, cm
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.id AS id
+      FROM asg a JOIN asg b
+        ON a.cluster_id = b.cluster_id AND a.bucket = b.bucket AND a.id < b.id
+      WHERE {_cosine_sql("a.v", "b.v")} >= 0.4
+    )
+    SELECT asg.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(d.id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(d.id) AS BIGINT) AS n_survivors
+    FROM asg LEFT JOIN dropped d ON asg.id = d.id
+    GROUP BY asg.cluster_id
+"""
+
+
+# q237: full BPE train+encode re-derived in SQL. Words are held as
+# double-separator strings (each symbol wrapped chr(31)·sym·chr(31), so
+# adjacent symbols carry TWO separators) — string replace() is then
+# exactly the leftmost-non-overlapping adjacent-pair merge the Spark
+# array fold performs ('aaaa' + merge(a,a) → [aa, aa], shared-boundary
+# cases included). 8 mechanical CTE rounds: count weighted adjacent
+# pairs, pick (cnt DESC, l, r) argmax, apply. Encode = symbol count of
+# the final string per distinct word, joined to (doc, word) occurrences.
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    s = "chr(31)"
+    ss = f"{s}||{s}"
+
+    def sym_split(d: str) -> str:
+        return f"str_split(trim({d}, {s}), {ss})"
+
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ), wf AS (
+      SELECT w, COUNT(*) AS freq FROM toks GROUP BY w
+    ), r0 AS (
+      SELECT w, freq,
+             regexp_replace(w, '(.)', {s} || '\\1' || {s}, 'g') AS d
+      FROM wf
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""", p{i} AS (
+      SELECT syms[CAST(j AS INT)] AS l, syms[CAST(j+1 AS INT)] AS r,
+             SUM(freq) AS cnt
+      FROM (SELECT freq, {sym_split("d")} AS syms,
+                   unnest(range(1, len({sym_split("d")}))) AS j FROM r{p})
+      GROUP BY 1, 2
+    ), b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    r{i} AS (
+      SELECT w, freq,
+             replace(d, {s}||l||{s}||{s}||r||{s}, {s}||l||r||{s}) AS d
+      FROM r{p}, b{i}
+    )"""
+        )
+    parts.append(
+        f""", enc AS (
+      SELECT w, len({sym_split("d")}) AS n_sym FROM r{n_merges}
+    ), per AS (
+      SELECT doc_id, w, COUNT(*) AS occ FROM toks GROUP BY 1, 2
+    )
+    SELECT per.doc_id,
+           CAST(SUM(occ) AS BIGINT) AS n_words,
+           CAST(SUM(length(per.w) * occ) AS BIGINT) AS n_chars,
+           CAST(SUM(enc.n_sym * occ) AS BIGINT) AS n_bpe_symbols
+    FROM per JOIN enc ON per.w = enc.w
+    GROUP BY per.doc_id"""
+    )
+    return "".join(parts)
+
+
+_ORACLES["q237_bpe_encode"] = _bpe_oracle_sql(8)
+
+
+# q238: Hamilton apportionment mirrored with HUGEINT-exact quotas; the
+# leftover-seat rule ranks remainders (desc, source asc).
+_ORACLES["q238_eval_allocation"] = """
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ), t AS (SELECT SUM(n_docs) AS total FROM c),
+    st AS (
+      SELECT source, n_docs,
+             CAST((10000 * n_docs) // total AS BIGINT) AS base,
+             CAST((10000 * n_docs) % total AS BIGINT) AS rem_num
+      FROM c, t
+    ), lk AS (
+      SELECT *,
+             10000 - SUM(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem_num DESC, source ASC) AS rk
+      FROM st
+    )
+    SELECT source, n_docs, base,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM lk
 """
 
 

@@ -63,6 +63,9 @@ HEADLINE = [
     # round-4 session-3: runtime-filter join pruning, exact-moment OLS
     "q204_bloom_prune_join",
     "q206_group_ols",
+    # round-5 heavies: SemDeDup ledger, BPE train+encode
+    "q236_semantic_dedup",
+    "q237_bpe_encode",
 ]
 
 
@@ -85,13 +88,17 @@ def main() -> None:
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
-    # best-of-2 per query: the second pass absorbs page-cache and codegen
-    # warmup plus transient host noise, so the recorded number reflects
-    # the engine, not the environment
+    # r5 protocol hardening (r4 VERDICT #5): FIXED query order (the
+    # HEADLINE list order, every run), best-of-N with N=3 by default
+    # (override with SPARK_GRAFT_BENCH_RUNS), and the per-query spread
+    # (max−min across the N runs) reported alongside the best so
+    # cross-round comparisons can tell regression from local[32] noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        best = None
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(runs):
             # honest per-run numbers: queries that persist() reused
             # intermediates must pay their cache-fill inside the measured
             # run, not inherit a warm cache from the previous run; also
@@ -101,13 +108,15 @@ def main() -> None:
             try:
                 df = qmap[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                elapsed = round(time.time() - t0, 3)
+                samples.append(round(time.time() - t0, 3))
             except Exception as e:  # record failures as negative sentinel
                 sys.stderr.write(f"bench {name} failed: {type(e).__name__}: {e}\n")
-                best = -1.0
+                samples = [-1.0]
                 break
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = best
+        timings[name] = min(samples) if samples[0] >= 0 else -1.0
+        spreads[name] = (
+            round(max(samples) - min(samples), 3) if samples[0] >= 0 else -1.0
+        )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -117,6 +126,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -455,6 +455,99 @@ def embedding_near_dups(
     return pairs
 
 
+def semantic_dedup_ledger(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[int]],
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, find high-cosine pairs
+    WITHIN each cluster, keep one representative per duplicate group, and
+    report the per-cluster curation ledger.
+
+    Adaptations for exact, distributed execution:
+
+    - **Assignment** is the pinned-centroid integer-L2 argmin (the
+      q168/q214 pretrained-quantiser pattern): ``centroids`` are
+      quantized integer vectors (``round(x·quant)``), distances are
+      exact BIGINT sums, ties go to the lowest centroid index — fully
+      deterministic and oracle-reproducible, with no iterative training
+      inside the query.
+    - **Within-cluster pair search is blocked**, not all-pairs: members
+      additionally carry a hyperplane-sign bucket, and the self-join runs
+      on (cluster, bucket) — the same candidate-bounding strategy as
+      :func:`embedding_near_dups`, so a 100 TB corpus never enumerates a
+      cluster quadratically. (The paper's exact within-cluster pairwise
+      cosine is recovered as bucket count → 0; the blocking is the scale
+      knob.)
+    - **Survivor rule**: a member is dropped iff it has a ≥ threshold
+      cosine edge to a LOWER id in its (cluster, bucket) block — the
+      keep-min-id rule used across this module, deterministic without
+      iteration.
+
+    Returns one row per cluster:
+    ``(cluster_id, n_members, n_dropped, n_survivors)``.
+    """
+    from polars_pipe_spark.functions.similarity import cosine_expr, hyperplane_bucket
+
+    dim = len(centroids[0])
+    vm = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        vm.alias("__vm"),
+        hyperplane_bucket(vec_col, n_planes).alias("bucket"),
+    ).filter(F.size("__vm") >= dim)
+
+    dists = []
+    for c in centroids:
+        terms = " + ".join(
+            f"(element_at(__vm, {i + 1}) - ({int(c[i])}L))"
+            f" * (element_at(__vm, {i + 1}) - ({int(c[i])}L))"
+            for i in range(dim)
+        )
+        dists.append(f"({terms})")
+    argmin = (
+        f"array_min(zip_with(array({', '.join(dists)}), "
+        f"sequence(0, {len(centroids) - 1}), (d, i) -> struct(d, i))).i"
+    )
+    assigned = base.withColumn("cluster_id", F.expr(argmin).cast("long")).persist()
+
+    dropped = (
+        assigned.alias("a")
+        .join(
+            assigned.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("bucket").alias("bucket_b"),
+                F.col("cluster_id").alias("cluster_b"),
+            ),
+            (F.col("a.cluster_id") == F.col("cluster_b"))
+            & (F.col("a.bucket") == F.col("bucket_b"))
+            & (F.col("a.id") < F.col("id_b")),
+        )
+        .filter(F.round(cosine_expr(F.col("a.v"), F.col("v_b")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dropped", F.lit(1)), "id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.coalesce(F.sum("__dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .withColumn("n_survivors", F.col("n_members") - F.col("n_dropped"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (train/test n-gram overlap)
 # ---------------------------------------------------------------------------

@@ -367,7 +367,12 @@ def oov_stats(df, text_col: str, id_col: str, vocab) -> "DataFrame":
     )
 
 
-def bpe_train(df, text_col: str, n_merges: int = 10) -> list[tuple[str, str, int]]:
+def bpe_train(
+    df,
+    text_col: str,
+    n_merges: int = 10,
+    return_word_table: bool = False,
+):
     """Train ``n_merges`` BPE merges (Sennrich-style) and return them as
     [(left, right, pair_count)] in merge order.
 
@@ -393,7 +398,7 @@ def bpe_train(df, text_col: str, n_merges: int = 10) -> list[tuple[str, str, int
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("seq", F.split(F.col("w"), ""))
-        .select("freq", "seq")
+        .select("w", "freq", "seq")
         .localCheckpoint()
     )
     merges: list[tuple[str, str, int]] = []
@@ -437,7 +442,44 @@ def bpe_train(df, text_col: str, n_merges: int = 10) -> list[tuple[str, str, int
                 ).otherwise(F.concat(acc, F.array(x))),
             ),
         ).localCheckpoint()
+    if return_word_table:
+        return merges, words
     return merges
+
+
+def bpe_encode_stats(df, text_col: str, id_col: str, n_merges: int = 8):
+    """The APPLY half of the BPE story: train ``n_merges`` merges
+    (:func:`bpe_train`), encode the corpus with them, and report
+    per-document tokenization stats.
+
+    Scale shape: encoding runs once per DISTINCT word (the word table the
+    training loop already maintains — millions of rows at 100 TB, never
+    the corpus), and the corpus side joins to it AFTER a
+    (doc, word)-grained pre-aggregate, so the shuffle carries one row per
+    distinct (doc, word) pair with map-side combine; AQE skew-join
+    splitting covers stopword-heavy words.
+
+    Returns one row per document with ≥ 1 token:
+    ``(doc_id, n_words, n_chars, n_bpe_symbols)`` — ``n_chars`` is the
+    pre-merge symbol count (characters across word occurrences), so
+    ``n_chars − n_bpe_symbols`` is exactly the merge saving.
+    """
+    _, words = bpe_train(df, text_col, n_merges, return_word_table=True)
+    wt = words.select("w", F.size("seq").alias("__n_sym"))
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+    )
+    return (
+        tok.join(wt, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n_occ").alias("n_words"),
+            F.sum(F.length("w") * F.col("__n_occ")).alias("n_chars"),
+            F.sum(F.col("__n_sym") * F.col("__n_occ")).alias("n_bpe_symbols"),
+        )
+    )
 
 
 def normalize_url(col: str | Column) -> Column:

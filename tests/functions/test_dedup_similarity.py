@@ -481,3 +481,49 @@ class TestBandBucketGuardrail:
         with caplog.at_level(logging.INFO, logger="polars_pipe_spark.functions.dedup"):
             dd.minhash_lsh_candidates(df, "text", "doc_id", max_band_members=5).count()
         assert any("oversized band bucket" in m for m in caplog.messages)
+
+
+class TestSemanticDedup:
+    """SemDeDup ledger: pinned-centroid assignment + blocked within-
+    cluster cosine pairs + keep-min-id survivors, hand-checked."""
+
+    def test_hand_computed_ledger(self, spark):
+        # two tight groups on opposite axes; centroids = the axis units
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),   # cluster 0
+            (1, [0.99, 0.01, 0.0, 0.0]), # near-dup of 0 -> dropped
+            # NB sign-consistent small components: plane 0's dim-0 weight
+            # is sin(0)=0, so the bucket of an x-dominant vector is decided
+            # by its y sign — an anti-sign y would land in another bucket
+            # (blocking recall loss, documented behavior, not a bug)
+            (2, [0.98, 0.01, 0.0, 0.0]), # near-dup of 0 -> dropped
+            (3, [0.0, 1.0, 0.0, 0.0]),   # cluster 1
+            (4, [0.0, 0.97, 0.02, 0.0]), # near-dup of 3 -> dropped
+            (5, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel: cluster 1 is
+                                         # closer than cluster 0's +x seed
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        centroids = [[1000, 0, 0, 0], [0, 1000, 0, 0]]
+        out = {
+            r.cluster_id: r
+            for r in dd.semantic_dedup_ledger(
+                df, "embedding", "vec_id", centroids, threshold=0.9, n_planes=2
+            ).collect()
+        }
+        assert out[0].n_members == 3
+        assert out[0].n_dropped == 2       # ids 1,2 dropped, 0 survives
+        assert out[0].n_survivors == 1
+        # id 5 lands in some cluster but is nobody's near-dup
+        total = sum(r.n_members for r in out.values())
+        dropped = sum(r.n_dropped for r in out.values())
+        assert total == 6 and dropped == 3
+
+    def test_survivor_is_min_id(self, spark):
+        rows = [(7, [1.0, 0.0]), (3, [1.0, 0.0]), (9, [0.999, 0.001])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = dd.semantic_dedup_ledger(
+            df, "embedding", "vec_id", [[1000, 0]], threshold=0.9, n_planes=1
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_members, r.n_dropped, r.n_survivors) == (3, 2, 1)

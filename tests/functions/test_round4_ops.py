@@ -516,3 +516,33 @@ def test_incremental_near_dups_statuses(spark):
     # 12/13 are near-identical: min id stays novel, the other tags batch
     assert got[12] == "novel"
     assert got[13] == "dup_within_batch"
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    from polars_pipe_spark.functions.text import bpe_encode_stats
+
+    # corpus "low low low lower": merges (3) = l+o, lo+w, e+r
+    # encode: low -> [low? no: after 3 merges: l+o=lo, lo+w=low] -> [low] (1)
+    #         lower -> [low, e+r=er] -> [low, er] (2)
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "low")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_encode_stats(df, "text", "doc_id", 3).collect()}
+    assert (out[1].n_words, out[1].n_chars) == (4, 14)
+    # doc1: 3×"low"→1 symbol each + "lower"→[low, er] 2 symbols = 5
+    assert out[1].n_bpe_symbols == 5
+    assert (out[2].n_words, out[2].n_chars, out[2].n_bpe_symbols) == (1, 3, 1)
+
+
+def test_bpe_encode_saving_bounds(spark):
+    from polars_pipe_spark.functions.text import bpe_encode_stats
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma alpha beta {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = bpe_encode_stats(df, "text", "doc_id", 4).collect()
+    assert len(out) == 6
+    for r in out:
+        # symbols never exceed chars, never fewer than words
+        assert r.n_words <= r.n_bpe_symbols <= r.n_chars

@@ -58,6 +58,10 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "bounded by the event window in days (≤ ~31 rows), never per-user "
         "or per-event data"
     ),
+    "q238_eval_allocation": (
+        "leftover-seat ranking runs on the one-row-per-SOURCE quota frame "
+        "— bounded by domain count (the q157 shape)"
+    ),
 }
 
 _WINDOW_RE = re.compile(r"^(Window|WindowGroupLimit|WindowSort)\b")
