@@ -6243,6 +6243,222 @@ def _q238_eval_allocation(spark, sf):
     )
 
 
+def _q239_ks_drift(spark, sf):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    purchase and click value distributions — the distribution-drift test
+    PSI (q142) approximates, computed EXACTLY on the cents-quantized
+    value axis. The cumulative ECDFs use a HIERARCHICAL PREFIX SUM: the
+    cents axis is cut into 500-cent ranges, cumulative counts run in a
+    range-partitioned window (≤ 500 rows per reducer), and per-range
+    offsets come from one global cumulative over the ~100-row range
+    frame (bounded by the VALUE DOMAIN, not the corpus — declared in
+    tools/plan_sweep.BOUNDED_GLOBAL_WINDOW). No corpus-sized
+    single-reducer window anywhere; the KS max is a plain aggregate.
+    KS numerator stays in exact integers (|cum_a·N_b − cum_b·N_a|); the
+    one double division happens at the end on identical operands in both
+    engines."""
+    ev = _t_par(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = (
+        ev.withColumn("c", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n2"),
+        )
+        .withColumn("r", F.expr("c DIV 500"))
+    )
+    w_in = (
+        Window.partitionBy("r")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = g.withColumn("c1_in", F.sum("n1").over(w_in)).withColumn(
+        "c2_in", F.sum("n2").over(w_in)
+    )
+    rtot = g.groupBy("r").agg(F.sum("n1").alias("s1"), F.sum("n2").alias("s2"))
+    w_r = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = rtot.select(
+        "r",
+        F.coalesce(F.sum("s1").over(w_r), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("s2").over(w_r), F.lit(0)).alias("off2"),
+    )
+    cum = within.join(F.broadcast(offsets), "r").select(
+        "c",
+        (F.col("off1") + F.col("c1_in")).alias("cum1"),
+        (F.col("off2") + F.col("c2_in")).alias("cum2"),
+    )
+    totals = g.agg(F.sum("n1").alias("n_a"), F.sum("n2").alias("n_b"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum1") * F.col("n_b") - F.col("cum2") * F.col("n_a"))
+            ).alias("ks_num"),
+        )
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.round(
+                F.col("ks_num").cast("double") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("ks"),
+        )
+    )
+
+
+def _q240_anova(spark, sf):
+    """One-way ANOVA F-statistic of event value across event types, from
+    EXACT integer moments (the >2-group companion to q221's two-sample
+    z-test). Per-group (n, Σcents, Σcents²) reduce in one partial-agg
+    shuffle; the between/within sums of squares use the identity
+    SSB = Σ s_g²/n_g − S²/N and SSW = Σ(ssq_g − s_g²/n_g), with each
+    s_g²/n_g term floored at milli precision through DECIMAL(38,0) DIV
+    (integer-exact, order-free summation over groups — never a
+    float accumulation whose grouping order could flip a bit). One final
+    double division pair produces F on identical operands in both
+    engines. Emitted terms are BIGINT (valid to sf ≈ 4e4; the DECIMAL
+    intermediates never overflow)."""
+    ev = _t_par(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    terms = g.select(
+        "n",
+        "s",
+        "ssq",
+        F.expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * s * 1000 AS DECIMAL(38,0)) DIV n"
+        ).alias("sq_over_n_milli"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s").alias("s_total"),
+        F.sum(F.expr("ssq * 1000") - F.col("sq_over_n_milli")).alias("ssw_milli"),
+        F.sum("sq_over_n_milli").alias("sq_sum_milli"),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_total").cast("long").alias("n_total"),
+        (
+            F.col("sq_sum_milli")
+            - F.expr(
+                "CAST(CAST(s_total AS DECIMAL(38,0)) * s_total * 1000"
+                " AS DECIMAL(38,0)) DIV n_total"
+            )
+        ).cast("long").alias("ssb_milli"),
+        F.col("ssw_milli").cast("long").alias("ssw_milli"),
+    ).select(
+        "k",
+        "n_total",
+        "ssb_milli",
+        "ssw_milli",
+        F.round(
+            (F.col("ssb_milli").cast("double") / (F.col("k") - 1))
+            / (F.col("ssw_milli").cast("double") / (F.col("n_total") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+def _q241_dup_graph_triangles(spark, sf):
+    """Distributed triangle counting + global transitivity on the
+    near-dup graph (the graph-analytics step past q63's connected
+    components: transitivity says whether near-dup clusters are cliques
+    — true redundancy — or sparse chains threaded by a few hub docs).
+    Standard oriented-triangle algorithm: edges are already id_a < id_b,
+    so the two-hop join (a<b<c) followed by the closing-edge join counts
+    each triangle exactly once — all equi-joins on ids, no enumeration
+    beyond path-of-length-2 candidates. Triads Σ d(d−1)/2 stay integer
+    (d(d−1) is even, DIV exact); transitivity = 3T/triads leaves as one
+    double division."""
+    from polars_pipe_spark.functions.dedup import minhash_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    e = (
+        minhash_near_dups(
+            docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    two_hop = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(
+            e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")),
+            "b",
+        )
+    )
+    tri = two_hop.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .unionAll(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(d * (d - 1)) DIV 2")).alias("n_triads"),
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.col("n_triads").cast("long").alias("n_triads"),
+            F.when(F.col("n_triads") > 0,
+                   F.round(
+                       (F.col("n_triangles") * 3).cast("double")
+                       / F.col("n_triads"), 6,
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
+def _q242_countmin_sketch(spark, sf):
+    """Count-Min sketch audit over the token stream: build the 4×64
+    mergeable counter grid in one corpus pass (functions/integrity.py::
+    count_min_sketch — each row explodes to depth cells, one partial-agg
+    groupBy on a ≤ depth·width key space), then point-estimate the
+    stopword probe set against EXACT counts. md5-derived bucket hashes
+    make every cell and every estimate engine-reproducible, so the
+    oracle value-checks the whole grid-lookup path, and the
+    ``never_undercounts`` column is the CMS one-sided guarantee checked
+    per key, not assumed."""
+    from polars_pipe_spark.functions.integrity import count_min_estimates
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    probes = spark.createDataFrame(
+        [(w,) for w in ["the", "and", "of", "to", "a", "data", "xyzzy-absent"]],
+        "token string",
+    )
+    return count_min_estimates(tok, "token", probes, width=64, depth=4)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6486,6 +6702,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_semantic_dedup": _q236_semantic_dedup,
     "q237_bpe_encode": _q237_bpe_encode,
     "q238_eval_allocation": _q238_eval_allocation,
+    "q239_ks_drift": _q239_ks_drift,
+    "q240_anova": _q240_anova,
+    "q241_dup_graph_triangles": _q241_dup_graph_triangles,
+    "q242_countmin_sketch": _q242_countmin_sketch,
 }
 
 
@@ -11049,6 +11269,141 @@ _ORACLES["q238_eval_allocation"] = """
            CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
              AS alloc
     FROM lk
+"""
+
+
+# q239: KS re-derived with ONE flat cumulative window (the oracle checks
+# SEMANTICS; the hierarchical prefix-sum is the Spark-side scale
+# strategy, not part of the definition). Integer numerator throughout.
+_ORACLES["q239_ks_drift"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), g AS (
+      SELECT c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2
+      FROM e GROUP BY c
+    ), cum AS (
+      SELECT c,
+             SUM(n1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c2
+      FROM g
+    ), t AS (SELECT SUM(n1) AS na, SUM(n2) AS nb FROM g)
+    SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+           CAST(MAX(ABS(c1 * t.nb - c2 * t.na)) AS BIGINT) AS ks_num,
+           ROUND(CAST(MAX(ABS(c1 * t.nb - c2 * t.na)) AS DOUBLE)
+                 / (t.na * t.nb), 6) AS ks
+    FROM cum, t GROUP BY t.na, t.nb
+"""
+
+
+# q240: per-group HUGEINT moments, milli-floored s²/n terms (// mirrors
+# DIV on non-negatives — squares are non-negative), final F from two
+# double divisions on identical operands.
+_ORACLES["q240_anova"] = """
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                      * CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS ssq
+      FROM events GROUP BY event_type
+    ), t AS (
+      SELECT COUNT(*) AS k, SUM(n) AS n_total, SUM(s) AS s_total,
+             SUM(ssq * 1000 - (s * s * 1000) // n) AS ssw_milli,
+             SUM((s * s * 1000) // n) AS sq_sum_milli
+      FROM g
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(sq_sum_milli - (s_total * s_total * 1000) // n_total
+                AS BIGINT) AS ssb_milli,
+           CAST(ssw_milli AS BIGINT) AS ssw_milli,
+           ROUND((CAST(sq_sum_milli - (s_total * s_total * 1000) // n_total
+                       AS DOUBLE) / (k - 1))
+                 / (CAST(ssw_milli AS DOUBLE) / (n_total - k)), 6) AS f_stat
+    FROM t
+"""
+
+
+# q241: triangles/triads over the SAME pair set as q63's clusters
+# (the shared _Q25_BODY fragment at threshold 0.2); oriented a<b<c join
+# counts each triangle once.
+_ORACLES["q241_dup_graph_triangles"] = f"""
+    WITH prs AS (
+      {_Q25_BODY}
+    ), e AS (SELECT id_a, id_b FROM prs),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e ab
+      JOIN e bc ON ab.id_b = bc.id_a
+      JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b
+    ), deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT id_a AS v FROM e UNION ALL SELECT id_b FROM e
+      ) GROUP BY v
+    ), st AS (
+      SELECT COUNT(*) AS n_nodes,
+             SUM((d * (d - 1)) // 2) AS n_triads
+      FROM deg
+    ), ec AS (SELECT COUNT(*) AS n_edges FROM e)
+    SELECT CAST(st.n_nodes AS BIGINT) AS n_nodes,
+           CAST(ec.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(st.n_triads AS BIGINT) AS n_triads,
+           CASE WHEN st.n_triads > 0
+                THEN ROUND(CAST(tri.n_triangles * 3 AS DOUBLE) / st.n_triads, 6)
+                ELSE 0.0 END AS transitivity
+    FROM st, ec, tri
+"""
+
+
+# q242: the CMS grid and estimates re-derived in SQL — md5-hex bucket
+# hash via the q30 strpos parse, min-over-rows estimator, one-sided
+# guarantee checked per probe key.
+def _cms_hash_sql(expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+_ORACLES["q242_countmin_sketch"] = f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), cells AS (
+      SELECT r.r AS row,
+             {_cms_hash_sql("CAST(r.r AS VARCHAR) || ':' || token")} % 64 AS bucket
+      FROM tok, (SELECT unnest(range(4)) AS r) r
+    ), grid AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, bucket
+    ), probes AS (
+      SELECT unnest(['the','and','of','to','a','data','xyzzy-absent']) AS key
+    ), pc AS (
+      SELECT key, r.r AS row,
+             {_cms_hash_sql("CAST(r.r AS VARCHAR) || ':' || key")} % 64 AS bucket
+      FROM probes, (SELECT unnest(range(4)) AS r) r
+    ), est AS (
+      SELECT key, MIN(COALESCE(g.cnt, 0)) AS est
+      FROM pc LEFT JOIN grid g USING (row, bucket)
+      GROUP BY key
+    ), exact AS (
+      SELECT token AS key, CAST(COUNT(*) AS BIGINT) AS exact
+      FROM tok GROUP BY token
+    )
+    SELECT est.key,
+           CAST(COALESCE(exact.exact, 0) AS BIGINT) AS exact,
+           CAST(est.est AS BIGINT) AS est,
+           est.est >= COALESCE(exact.exact, 0) AS never_undercounts
+    FROM est LEFT JOIN exact USING (key)
 """
 
 

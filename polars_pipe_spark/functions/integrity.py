@@ -121,3 +121,92 @@ def heavy_hitters(
         .filter(F.lit(1_000_000) * F.col("cnt") > F.lit(threshold_ppm) * F.col("total"))
         .select("token", "cnt", "total")
     )
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Deterministic CMS hash h_row(key): first 8 hex chars of
+    md5(row || ':' || key) as an integer, mod width — identical in any
+    engine with md5 (the q30 seed-extraction pattern)."""
+    h = F.md5(F.concat(F.lit(str(row)), F.lit(":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch table (Cormode & Muthukrishnan 2005): the
+    ``depth × width`` counter grid as rows ``(row, bucket, cnt)``.
+
+    Scale shape: ONE pass over the corpus — each input row contributes
+    ``depth`` (row, bucket) increments via a literal-array explode, then
+    a single partial-agg groupBy on the (row, bucket) key (cardinality ≤
+    depth·width, tiny) — this is exactly the mergeable-sketch property:
+    sketches of two partitions/days sum cell-wise. No driver state; the
+    grid itself is the output."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col(key_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    probe_keys: DataFrame,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """CMS point estimates for a bounded probe-key set, alongside exact
+    counts: ``est = min over rows of grid[row][h_row(key)]`` — the
+    classic one-sided estimator (est ≥ exact always; the audit column
+    proves it row by row). The probe side is broadcast; the grid is
+    depth·width rows, also broadcast — the only corpus-scale work is the
+    sketch build and the exact-count groupBy it is audited against."""
+    grid = count_min_sketch(df, key_col, width, depth)
+    probes = probe_keys.select(F.col(key_col).alias("key")).distinct()
+    probe_cells = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("key"), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(F.broadcast(grid), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+    exact = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            "key",
+            F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            F.col("est").cast("long").alias("est"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0))).alias("never_undercounts"),
+        )
+    )

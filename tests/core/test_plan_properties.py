@@ -575,3 +575,35 @@ class TestPartitionPruning:
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "p" in m.group(1)  # pruning pushed to the directory listing
         assert back.count() == 10
+
+
+class TestQ58TfidfSkewShape:
+    """r4 VERDICT #1: the document-frequency count must NOT be an
+    unordered window partitioned by the raw token (one reducer per
+    stopword token at scale) — it must be a partial-agg groupBy joined
+    back onto the persisted tf frame."""
+
+    def _q58(self, spark):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry
+
+        return entry.queries()["q58_tfidf"](spark, "/root/testdata/sf0.001")
+
+    def test_no_window_partitioned_by_token(self, spark):
+        p = physical(self._q58(spark))
+        # every Window node's partition spec must be doc-keyed, never the
+        # raw token (the final top-3 rank window partitions by doc_id)
+        for line in p.splitlines():
+            stripped = line.lstrip(" +-:|")
+            if stripped.startswith("Window "):
+                assert "doc_id" in stripped.split("windowspecdefinition")[-1], line
+                assert not re.search(r"\], \[token#\d+\]", stripped), line
+
+    def test_df_count_is_partial_aggregate_join(self, spark):
+        p = physical(self._q58(spark))
+        # the df side joins back (SortMerge or Hash join on token), and
+        # partial aggregation (map-side combine) is present
+        assert "Join" in p
+        assert "partial_count" in p or "HashAggregate" in p

@@ -84,3 +84,47 @@ def test_heavy_hitters_exact_threshold(spark):
     assert "hot" in out and out["hot"]["cnt"] == 20 and out["hot"]["total"] == 1000
     # strict inequality: exactly-at-threshold is excluded
     assert "warm" not in out
+
+
+class TestCountMinSketch:
+    def test_grid_mass_and_estimates(self, spark):
+        from polars_pipe_spark.functions.integrity import (
+            count_min_estimates,
+            count_min_sketch,
+        )
+
+        rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        grid = count_min_sketch(df, "k", width=16, depth=3).collect()
+        # every row of the grid holds the full stream mass
+        by_row = {}
+        for r in grid:
+            by_row[r.row] = by_row.get(r.row, 0) + r.cnt
+        assert by_row == {0: 14, 1: 14, 2: 14}
+
+        probes = spark.createDataFrame([("a",), ("b",), ("zz",)], "k string")
+        est = {
+            r.key: r
+            for r in count_min_estimates(df, "k", probes, width=16, depth=3).collect()
+        }
+        assert est["a"].exact == 10 and est["a"].est >= 10
+        assert est["b"].exact == 3 and est["b"].est >= 3
+        assert est["zz"].exact == 0 and est["zz"].est >= 0
+        assert all(r.never_undercounts for r in est.values())
+
+    def test_sketch_is_mergeable(self, spark):
+        """CMS of a union equals the cell-wise sum of the parts — the
+        property that makes per-partition/per-day sketches combinable."""
+        from polars_pipe_spark.functions.integrity import count_min_sketch
+
+        d1 = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+        d2 = spark.createDataFrame([("a",), ("c",)], "k string")
+        whole = {
+            (r.row, r.bucket): r.cnt
+            for r in count_min_sketch(d1.unionAll(d2), "k", 8, 2).collect()
+        }
+        parts = {}
+        for d in (d1, d2):
+            for r in count_min_sketch(d, "k", 8, 2).collect():
+                parts[(r.row, r.bucket)] = parts.get((r.row, r.bucket), 0) + r.cnt
+        assert whole == parts

@@ -62,6 +62,12 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "leftover-seat ranking runs on the one-row-per-SOURCE quota frame "
         "— bounded by domain count (the q157 shape)"
     ),
+    "q239_ks_drift": (
+        "the range-offset cumulative runs on the one-row-per-500-cent-"
+        "RANGE frame — bounded by the value domain (~100 rows), the "
+        "top level of a hierarchical prefix sum; the per-cent cumulative "
+        "is range-partitioned"
+    ),
 }
 
 _WINDOW_RE = re.compile(r"^(Window|WindowGroupLimit|WindowSort)\b")
