@@ -6459,6 +6459,199 @@ def _q242_countmin_sketch(spark, sf):
     return count_min_estimates(tok, "token", probes, width=64, depth=4)
 
 
+def _q243_hll_registers(spark, sf):
+    """From-scratch HyperLogLog over the events user population with
+    EXPLICIT register state (functions/integrity.py::hll_cardinality) —
+    q40's approx_count_distinct treats HLL++ as a black box; this one is
+    white-box: md5-derived (register, rank), register-wise MAX (the
+    merge law), an INTEGER harmonic-mean denominator via shiftleft, and
+    the linear-counting small-range correction — every cell
+    value-checked by the oracle, with the exact distinct count alongside
+    as the audit column."""
+    from polars_pipe_spark.functions.integrity import hll_cardinality
+
+    ev = _t_par(spark, sf, "events")
+    return hll_cardinality(ev, "user_id", m=64)
+
+
+def _q244_exact_k_sample(spark, sf):
+    """Deterministic exact-k sampling, both flavors a data curator needs:
+    (a) per-source exact-5 via a SOURCE-partitioned rank window over the
+    md5 order (seed-free, reproducible across engines and reruns —
+    the q53/q127 determinism contract extended to fixed counts), and
+    (b) the global exact-k case is the same pattern ordered globally,
+    which Spark plans as TakeOrderedAndProject (per-partition top-k +
+    driver merge, never a global sort) — q54 pins that plan shape. A
+    sampled-flag column makes the oracle check BOTH the chosen rows and
+    the rank order."""
+    docs = _t_par(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "doc_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.md5(F.col("doc_id").cast("string")).alias("sample_key"),
+        )
+    )
+
+
+def _q245_streaming_cms(spark, sf):
+    """Count-Min sketch maintained BY A STREAM — the mergeable-sketch
+    property in its natural habitat: each micro-batch's (row, bucket)
+    cell counts fold into the running grid by cell-wise SUM (a standard
+    streaming aggregation in complete mode, no custom state store), so
+    the final grid equals the batch-built sketch exactly. The oracle is
+    the batch CMS grid over the same token stream — streaming/batch
+    equivalence is the checked property (the q130/q32 pattern, applied
+    to a sketch)."""
+    import tempfile
+
+    from polars_pipe_spark.functions.integrity import _cms_bucket
+    from polars_pipe_spark.functions.text import tokens
+
+    path = f"{sf}/documents.parquet"
+    batch = _t_par(spark, sf, "documents")
+    if not os.path.isdir(path):
+        staged = tempfile.mkdtemp(prefix="pps_cms_src_") + "/documents"
+        batch.write.mode("overwrite").parquet(staged)
+        path = staged
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    tok = stream.select(F.explode(tokens("text")).alias("token"))
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_bucket(F.col("token"), r, 64).alias("bucket"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("c")
+    )
+    grid = cells.groupBy(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    name = "pps_cms_out"
+    q = (
+        grid.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+def _q246_grouped_hll(spark, sf):
+    """Distinct users PER EVENT TYPE via the white-box grouped HLL
+    (functions/integrity.py::hll_cardinality_by): one register set per
+    group in two partial-agg shuffles — untouched registers never
+    materialise; their 2^40 mass is added arithmetically. Exact distinct
+    counts ride along per group as the audit column."""
+    from polars_pipe_spark.functions.integrity import hll_cardinality_by
+
+    ev = _t_par(spark, sf, "events")
+    return hll_cardinality_by(ev, "event_type", "user_id", m=64)
+
+
+def _q247_wilson_intervals(spark, sf):
+    """Wilson score 95% confidence interval for the purchase share of
+    each day-of-week's events — the interval that stays valid at small n
+    and never leaves [0,1], unlike the naive normal interval (the
+    uncertainty-quantification companion to q221's point z-test). Counts
+    (k, n) are exact integers from one partial-agg groupBy; the interval
+    arithmetic is a fixed-order double formula over those two integers,
+    so both engines compute bit-identical bounds. z is pinned at 1.96.
+    Day-of-week is the engine-neutral datediff%7 (the q223 convention —
+    no dependence on either engine's dow numbering)."""
+    ev = _t_par(spark, sf, "events")
+    g = ev.groupBy(
+        F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    z2 = "(1.96 * 1.96)"
+    phat = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    center = f"({phat} + {z2} / (2.0 * n))"
+    margin = f"(1.96 * sqrt({phat} * (1.0 - {phat}) / n + {z2} / (4.0 * n * n)))"
+    denom = f"(1.0 + {z2} / n)"
+    return g.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.expr(phat), 6).alias("p_hat"),
+        F.round(F.expr(f"({center} - {margin}) / {denom}"), 6).alias("wilson_lo"),
+        F.round(F.expr(f"({center} + {margin}) / {denom}"), 6).alias("wilson_hi"),
+    )
+
+
+def _q248_corrupt_json_audit(spark, sf):
+    """Malformed-record ingestion audit — the production JSONL concern
+    the clean q44 source skips: a JSONL landing file is staged in-query
+    (one line per document; every doc_id % 10 == 3 line is deliberately
+    truncated mid-object), read back with Spark's native PERMISSIVE mode
+    + ``columnNameOfCorruptRecord``, and the audit reports good/corrupt
+    counts and the recovered value sum. Spark's JSON reader does the
+    quarantining — no custom parsing — and the corrupt rows keep their
+    raw line for a dead-letter queue. The oracle derives the expected
+    splits analytically from the construction."""
+    import tempfile
+
+    docs = _t_par(spark, sf, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            # truncated mid-object: unparseable on purpose
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "n_ch')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "n_chars": '),
+                F.col("n_chars").cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    d = tempfile.mkdtemp(prefix="pps_jsonl_")
+    lines.write.mode("overwrite").text(d)
+    schema = "doc_id long, n_chars long, _corrupt_record string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(d)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias(
+            "good_chars"
+        ),
+    ).select(
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_corrupt").cast("long").alias("n_corrupt"),
+        F.col("good_chars").cast("long").alias("good_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6706,6 +6899,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_anova": _q240_anova,
     "q241_dup_graph_triangles": _q241_dup_graph_triangles,
     "q242_countmin_sketch": _q242_countmin_sketch,
+    "q243_hll_registers": _q243_hll_registers,
+    "q244_exact_k_sample": _q244_exact_k_sample,
+    "q245_streaming_cms": _q245_streaming_cms,
+    "q246_grouped_hll": _q246_grouped_hll,
+    "q247_wilson_intervals": _q247_wilson_intervals,
+    "q248_corrupt_json_audit": _q248_corrupt_json_audit,
 }
 
 
@@ -11404,6 +11603,164 @@ _ORACLES["q242_countmin_sketch"] = f"""
            CAST(est.est AS BIGINT) AS est,
            est.est >= COALESCE(exact.exact, 0) AS never_undercounts
     FROM est LEFT JOIN exact USING (key)
+"""
+
+
+# q243: white-box HLL mirrored cell for cell — register/rank from the
+# same md5 hex parse, integer shiftleft denominator, identical double
+# formula (incl. linear-counting branch).
+_ORACLES["q243_hll_registers"] = f"""
+    WITH h AS (
+      SELECT {_cms_hash_sql("CAST(user_id AS VARCHAR)")} AS h1,
+             ({" + ".join(
+                 f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {i + 9}, 1)) - 1) * {16 ** (7 - i)}"
+                 for i in range(8)
+             )}) AS h2,
+             user_id
+      FROM events
+    ), rr AS (
+      SELECT h1 % 64 AS reg,
+             CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END AS rank
+      FROM h
+    ), regs AS (
+      SELECT reg, MAX(rank) AS m_r FROM rr GROUP BY reg
+    ), fr AS (
+      SELECT COALESCE(m_r, 0) AS m_r
+      FROM (SELECT unnest(range(64)) AS reg) r LEFT JOIN regs USING (reg)
+    ), s AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << (40 - m_r)) AS BIGINT) AS s_scaled,
+             CAST(SUM(CASE WHEN m_r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_regs
+      FROM fr
+    ), x AS (SELECT COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
+             FROM events)
+    SELECT CAST(64 AS BIGINT) AS m,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           s.n_zero_regs, s.s_scaled,
+           ROUND(CASE WHEN s.n_zero_regs > 0
+                      AND ((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+                           * CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+                           / CAST(s.s_scaled AS DOUBLE)) <= 2.5 * 64.0
+                 THEN 64.0 * ln(64.0 / CAST(s.n_zero_regs AS DOUBLE))
+                 ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+                      * CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+                      / CAST(s.s_scaled AS DOUBLE) END, 4) AS est
+    FROM s, x
+"""
+
+
+_ORACLES["q244_exact_k_sample"] = """
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, sample_key FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk,
+             md5(CAST(doc_id AS VARCHAR)) AS sample_key
+      FROM documents
+    ) WHERE rk <= 5
+"""
+
+
+# q245: streaming/batch equivalence — the streaming grid must equal the
+# batch-built sketch cell for cell (reuses q242's grid derivation).
+_ORACLES["q245_streaming_cms"] = f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), cells AS (
+      SELECT r.r AS row,
+             {_cms_hash_sql("CAST(r.r AS VARCHAR) || ':' || token")} % 64 AS bucket
+      FROM tok, (SELECT unnest(range(4)) AS r) r
+    )
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row, bucket
+"""
+
+
+# q246: grouped white-box HLL — same register math as q243, keyed by
+# event_type; zero-register mass added arithmetically like the engine.
+_ORACLES["q246_grouped_hll"] = f"""
+    WITH h AS (
+      SELECT event_type,
+             {_cms_hash_sql("CAST(user_id AS VARCHAR)")} AS h1,
+             ({" + ".join(
+                 f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {i + 9}, 1)) - 1) * {16 ** (7 - i)}"
+                 for i in range(8)
+             )}) AS h2,
+             user_id
+      FROM events
+    ), rr AS (
+      SELECT event_type, h1 % 64 AS reg,
+             CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END AS rank,
+             user_id
+      FROM h
+    ), regs AS (
+      SELECT event_type, reg, MAX(rank) AS m_r FROM rr GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(1 AS BIGINT) << (40 - m_r))
+                  + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 40) AS BIGINT)
+               AS s_scaled,
+             CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+      FROM regs GROUP BY event_type
+    ), x AS (
+      SELECT event_type,
+             COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, CAST(64 AS BIGINT) AS m,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           s.n_zero_regs, s.s_scaled,
+           ROUND(CASE WHEN s.n_zero_regs > 0
+                      AND ((0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+                           * CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+                           / CAST(s.s_scaled AS DOUBLE)) <= 2.5 * 64.0
+                 THEN 64.0 * ln(64.0 / CAST(s.n_zero_regs AS DOUBLE))
+                 ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+                      * CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE)
+                      / CAST(s.s_scaled AS DOUBLE) END, 4) AS est
+    FROM s JOIN x USING (event_type)
+"""
+
+
+# q247: Wilson bounds recomputed with the IDENTICAL operand order —
+# fixed-order double math over exact integer (k, n).
+_ORACLES["q247_wilson_intervals"] = """
+    WITH g AS (
+      SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    )
+    SELECT dow, n, k,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS p_hat,
+           ROUND((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.96 * 1.96) / (2.0 * n))
+                  - (1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) / n
+                        + (1.96 * 1.96) / (4.0 * n * n))))
+                 / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lo,
+           ROUND((((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (1.96 * 1.96) / (2.0 * n))
+                  + (1.96 * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))) / n
+                        + (1.96 * 1.96) / (4.0 * n * n))))
+                 / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_hi
+    FROM g
+"""
+
+
+# q248: expected quarantine split derived analytically from the staged
+# construction (doc_id % 10 == 3 lines are corrupt by design).
+_ORACLES["q248_corrupt_json_audit"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(SUM(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 3 THEN n_chars END) AS BIGINT)
+             AS good_chars
+    FROM documents
 """
 
 

@@ -256,6 +256,12 @@ class IOBase(ABC):
         # values must be newline-free — this is the line-corpus format
         df.write.mode("overwrite").text(str(path), **kw)
 
+    def _write_json(self, df: DataFrame, path: str, **kw: Any) -> None:
+        # JSONL (one object per line) — extension beyond the reference,
+        # which reads JSON but never writes it (adapters/io_funcs.py:24
+        # has no JSON sink); users expect the round trip
+        df.write.mode("overwrite").json(str(path), **kw)
+
     def _write_yaml(self, data: dict, path: str, **kw: Any) -> None:
         write_yaml(data, path)
 
@@ -264,6 +270,7 @@ class IOBase(ABC):
         return {
             FileType.PARQUET: self._write_parquet,
             FileType.CSV: self._write_csv,
+            FileType.JSON: self._write_json,
             FileType.ORC: self._write_orc,
             FileType.TEXT: self._write_text,
             FileType.YAML: self._write_yaml,

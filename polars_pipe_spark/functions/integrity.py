@@ -210,3 +210,123 @@ def count_min_estimates(
             (F.col("est") >= F.coalesce("exact", F.lit(0))).alias("never_undercounts"),
         )
     )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) with EXPLICIT
+    registers — the mergeable-cardinality counterpart to
+    :func:`count_min_sketch` (Spark's ``approx_count_distinct`` wraps
+    HLL++ as a black box; this one exposes the register state so
+    sketches from different partitions/days merge by register-wise MAX,
+    and every intermediate is engine-reproducible for the oracle).
+
+    Determinism choices: the 64-bit value hash comes from md5 hex
+    (register = first 32 bits mod m, rank = 33 − bit_length of the next
+    32 bits, so rank ∈ [1, 33]); the harmonic-mean denominator is the
+    INTEGER Σ_j 2^(40−M_j) via shiftleft (≤ 64·2^40 ≈ 7e13 — exact, no
+    float accumulation ordering); the single double division and the
+    standard small-range linear-counting correction use identical
+    operand order in both engines.
+
+    Returns one row: ``(m, n_exact, n_zero_regs, s_scaled, est)`` —
+    ``n_exact`` is the exact distinct count the estimate is audited
+    against.
+    """
+    key = F.col(key_col).cast("string")
+    h = F.md5(key)
+    reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(33 - F.length(F.bin(h2)))
+    regs = df.select(reg.alias("reg"), rank.alias("rank")).groupBy("reg").agg(
+        F.max("rank").alias("m_r")
+    )
+    spark = df.sparkSession
+    full = (
+        spark.range(m)
+        .select(F.col("id").alias("reg"))
+        .join(regs, "reg", "left")
+        .select(F.coalesce("m_r", F.lit(0)).alias("m_r"))
+    )
+    summary = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m_r)")).alias("s_scaled"),
+        F.sum(F.when(F.col("m_r") == 0, 1).otherwise(0)).alias("n_zero_regs"),
+    )
+    exact = df.agg(F.countDistinct(key).alias("n_exact"))
+    alpha_expr = f"0.7213 / (1.0 + 1.079 / {m}.0)"
+    raw = f"({alpha_expr}) * {m}.0 * {m}.0 * CAST(shiftleft(CAST(1 AS BIGINT), 40) AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+    est = (
+        f"CASE WHEN n_zero_regs > 0 AND ({raw}) <= 2.5 * {m}.0 "
+        f"THEN {m}.0 * ln({m}.0 / CAST(n_zero_regs AS DOUBLE)) "
+        f"ELSE ({raw}) END"
+    )
+    return (
+        summary.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).cast("long").alias("m"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_zero_regs").cast("long").alias("n_zero_regs"),
+            F.col("s_scaled").cast("long").alias("s_scaled"),
+            F.round(F.expr(est), 4).alias("est"),
+        )
+    )
+
+
+def hll_cardinality_by(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Grouped :func:`hll_cardinality`: one register set PER GROUP (the
+    "distinct users per segment" shape). Untouched registers are never
+    materialised — ``n_zero = m − present`` and their 2^40 mass is added
+    arithmetically, so the per-group state is ≤ m rows and the whole
+    computation is two partial-agg shuffles on (group, reg) then
+    (group). Same integer denominator and estimator as the global form.
+
+    Returns one row per group:
+    ``(<group_col>, m, n_exact, n_zero_regs, s_scaled, est)``.
+    """
+    key = F.col(key_col).cast("string")
+    h = F.md5(key)
+    reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(33 - F.length(F.bin(h2)))
+    regs = (
+        df.select(F.col(group_col).alias("g"), reg.alias("reg"), rank.alias("rank"))
+        .groupBy("g", "reg")
+        .agg(F.max("rank").alias("m_r"))
+    )
+    summary = regs.groupBy("g").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - m_r)"))
+            + (F.lit(m) - F.count(F.lit(1)))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 40)")
+        ).alias("s_scaled"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero_regs"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.countDistinct(key).alias("n_exact")
+    )
+    alpha_expr = f"0.7213 / (1.0 + 1.079 / {m}.0)"
+    raw = (
+        f"({alpha_expr}) * {m}.0 * {m}.0 * "
+        f"CAST(shiftleft(CAST(1 AS BIGINT), 40) AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN n_zero_regs > 0 AND ({raw}) <= 2.5 * {m}.0 "
+        f"THEN {m}.0 * ln({m}.0 / CAST(n_zero_regs AS DOUBLE)) "
+        f"ELSE ({raw}) END"
+    )
+    return summary.join(exact, "g").select(
+        F.col("g").alias(group_col),
+        F.lit(m).cast("long").alias("m"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_zero_regs").cast("long").alias("n_zero_regs"),
+        F.col("s_scaled").cast("long").alias("s_scaled"),
+        F.round(F.expr(est), 4).alias("est"),
+    )

@@ -265,3 +265,19 @@ class TestPythonDataSource:
         batch = spark.read.format("pps_synth") \
             .option("rows", len(rows)).option("seed", 7).load().collect()
         assert sorted(map(tuple, rows))[:100] == sorted(map(tuple, batch))[:100]
+
+
+class TestJsonWrite:
+    def test_json_roundtrip(self, spark, tmp_path):
+        """JSON write is an extension beyond the reference (it reads JSON
+        but has no JSON sink) — round-trip through the dispatch."""
+        from polars_pipe_spark.adapters.io import FileType, IOWrapper
+
+        io = IOWrapper(spark)
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string"
+        )
+        p = str(tmp_path / "out_json")
+        io.write(df, p, FileType.JSON)
+        back = io.read(p, "json")
+        assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]

@@ -474,13 +474,22 @@ class TestBandBucketGuardrail:
             (r.id_a, r.id_b) for r in capped
         )
 
-    def test_dropped_bands_logged(self, spark, caplog):
-        import logging
+    def test_dropped_bands_logged(self, spark):
+        # mock the module logger directly — caplog capture is
+        # order-sensitive under the full suite (other tests reconfigure
+        # the root logging tree), and what we assert is OUR side of the
+        # contract: the eager stats pass runs and the message fires when
+        # INFO is enabled
+        from unittest import mock
 
         df = self.degenerate(spark, n=30)
-        with caplog.at_level(logging.INFO, logger="polars_pipe_spark.functions.dedup"):
+        with mock.patch.object(dd, "logger") as lg:
+            lg.isEnabledFor.return_value = True
             dd.minhash_lsh_candidates(df, "text", "doc_id", max_band_members=5).count()
-        assert any("oversized band bucket" in m for m in caplog.messages)
+        assert lg.info.called
+        assert any(
+            "oversized band bucket" in str(c.args[0]) for c in lg.info.call_args_list
+        )
 
 
 class TestSemanticDedup:

@@ -128,3 +128,37 @@ class TestCountMinSketch:
             for r in count_min_sketch(d, "k", 8, 2).collect():
                 parts[(r.row, r.bucket)] = parts.get((r.row, r.bucket), 0) + r.cnt
         assert whole == parts
+
+
+class TestHllRegisters:
+    def test_estimate_close_and_registers_merge(self, spark):
+        from polars_pipe_spark.functions.integrity import hll_cardinality
+
+        df = spark.createDataFrame([(i % 500,) for i in range(2000)], "k long")
+        r = hll_cardinality(df, "k", m=64).collect()[0]
+        assert r.n_exact == 500
+        # 64 registers -> ~13% std error; allow 3 sigma
+        assert 300 < r.est < 700
+        assert r.m == 64
+
+    def test_duplicates_do_not_change_sketch(self, spark):
+        """Register maxima are set-functions: the multiset multiplicity
+        must not move the estimate (the property exact counting lacks)."""
+        from polars_pipe_spark.functions.integrity import hll_cardinality
+
+        base = spark.createDataFrame([(i,) for i in range(100)], "k long")
+        dup = base.unionAll(base).unionAll(base)
+        a = hll_cardinality(base, "k", m=64).collect()[0]
+        b = hll_cardinality(dup, "k", m=64).collect()[0]
+        assert (a.s_scaled, a.n_zero_regs, a.est) == (
+            b.s_scaled, b.n_zero_regs, b.est,
+        )
+        assert a.n_exact == b.n_exact == 100
+
+    def test_small_range_linear_counting(self, spark):
+        from polars_pipe_spark.functions.integrity import hll_cardinality
+
+        df = spark.createDataFrame([(i,) for i in range(5)], "k long")
+        r = hll_cardinality(df, "k", m=64).collect()[0]
+        assert r.n_zero_regs >= 59  # most registers untouched
+        assert 3 <= r.est <= 8  # linear counting keeps it near 5

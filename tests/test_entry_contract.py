@@ -20,11 +20,12 @@ def test_oracle_keys_subset_of_queries():
     q = set(entry_mod.queries())
     o = set(entry_mod.oracle_sql())
     assert o <= q
-    # the rows-only set is intentional and small: q12 = xxhash64 has no
-    # DuckDB twin; q149 = LAPACK eigendecomposition.  q33/q40 graduated to
-    # oracle-checked property queries in r4 (exact counts + bounded
-    # booleans the oracle asserts as literal TRUE).
-    assert q - o == {"q12_lineage_hash", "q149_pca_whiten"}
+    # r5: EVERY registered query carries an oracle. q12 (xxhash64) and
+    # q149 (LAPACK eigh) — the last two rows-only holdouts — graduated
+    # to oracle-checked projections: q12 checks the lineage literals +
+    # hash totality (value determinism/collisions via q167), q149 checks
+    # the whitened-covariance identity over the full corpus.
+    assert q - o == set()
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
