@@ -6652,6 +6652,103 @@ def _q248_corrupt_json_audit(spark, sf):
     )
 
 
+def _q249_rendezvous_sharding(spark, sf):
+    """Rendezvous (highest-random-weight) hashing — the shard-assignment
+    rule that keeps placement STABLE under membership change (only the
+    departed shard's keys move, unlike mod-N where nearly everything
+    reshuffles). Each doc scores every shard with md5(shard:doc) and
+    takes the argmax (ties impossible: md5 collisions aside, scores are
+    distinct hex). The audit compares assignment under 8 shards vs the
+    same rule with shard 3 removed and proves the HRW property: moved
+    docs == docs that were ON shard 3, everyone else stays put — a
+    per-shard ledger the mod-N strategy would fail. Pure expressions,
+    one aggregate; no shuffle beyond the final groupBy."""
+    docs = _t_par(spark, sf, "documents")
+
+    def shard_of(shards: list[int]) -> F.Column:
+        best = None
+        for s in shards:
+            score = F.md5(
+                F.concat(F.lit(f"{s}:"), F.col("doc_id").cast("string"))
+            )
+            pair = F.struct(score.alias("score"), F.lit(s).alias("s"))
+            best = pair if best is None else F.when(
+                pair["score"] > best["score"], pair
+            ).otherwise(best)
+        return best["s"]
+
+    full = list(range(8))
+    reduced = [s for s in full if s != 3]
+    assigned = docs.select(
+        "doc_id",
+        shard_of(full).alias("shard_before"),
+        shard_of(reduced).alias("shard_after"),
+    )
+    return (
+        assigned.groupBy("shard_before")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard_before") != F.col("shard_after"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+        .select(
+            F.col("shard_before").cast("long").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_moved").cast("long").alias("n_moved"),
+            # the HRW stability property, checked per shard: only the
+            # removed shard's docs move
+            (
+                (F.col("shard_before") == 3) & (F.col("n_moved") == F.col("n_docs"))
+                | (F.col("shard_before") != 3) & (F.col("n_moved") == 0)
+            ).alias("hrw_stable"),
+        )
+    )
+
+
+def _q250_cdc_chunking(spark, sf):
+    """Content-defined chunking dedup audit (functions/text.py::
+    cdc_chunks — restic/LBFS-style): chunk boundaries fall where the
+    rolling 3-gram hash ≡ 0 (mod 16), so boundaries are LOCAL-content
+    functions and an early edit never re-splits the rest of the document
+    (the property fixed-size chunking lacks; it is why CDC is the
+    storage-dedup standard). The audit explodes every chunk, counts
+    cross-document sharing, and reports the corpus reuse ratio — the
+    storage a chunk-level dedup store would reclaim. One explode + one
+    chunk-keyed partial-agg groupBy."""
+    from polars_pipe_spark.functions.text import cdc_chunks
+
+    docs = _t_par(spark, sf, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(cdc_chunks("text", window=3, mask=16)).alias("chunk")
+    )
+    per_chunk = ch.groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs_with"),
+    )
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        per_chunk.agg(
+            F.sum("n_occ").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_distinct_chunks"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_distinct_chunks").cast("long").alias("n_distinct_chunks"),
+            F.col("n_shared_chunks").cast("long").alias("n_shared_chunks"),
+            F.expr(
+                "CAST((n_chunks - n_distinct_chunks) * 1000000 AS BIGINT)"
+                " DIV n_chunks"
+            ).alias("reuse_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6905,6 +7002,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_grouped_hll": _q246_grouped_hll,
     "q247_wilson_intervals": _q247_wilson_intervals,
     "q248_corrupt_json_audit": _q248_corrupt_json_audit,
+    "q249_rendezvous_sharding": _q249_rendezvous_sharding,
+    "q250_cdc_chunking": _q250_cdc_chunking,
 }
 
 
@@ -11761,6 +11860,88 @@ _ORACLES["q248_corrupt_json_audit"] = """
            CAST(SUM(CASE WHEN doc_id % 10 <> 3 THEN n_chars END) AS BIGINT)
              AS good_chars
     FROM documents
+"""
+
+
+# q249: HRW argmax re-derived with a rank-over-scores window per doc;
+# the stability booleans are CHECKED (computed from both assignments),
+# not asserted as literals.
+_ORACLES["q249_rendezvous_sharding"] = """
+    WITH scores AS (
+      SELECT doc_id, s.s AS shard,
+             md5(CAST(s.s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS score
+      FROM documents, (SELECT unnest(range(8)) AS s) s
+    ), best_before AS (
+      SELECT doc_id, shard AS shard_before FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    ), best_after AS (
+      SELECT doc_id, shard AS shard_after FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC) AS rn
+        FROM scores WHERE shard <> 3
+      ) WHERE rn = 1
+    ), j AS (
+      SELECT b.doc_id, b.shard_before, a.shard_after
+      FROM best_before b JOIN best_after a USING (doc_id)
+    )
+    SELECT CAST(shard_before AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           (shard_before = 3
+              AND SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+                  = COUNT(*))
+           OR (shard_before <> 3
+              AND SUM(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)
+                  = 0) AS hrw_stable
+    FROM j GROUP BY shard_before
+"""
+
+
+# q250: the CDC boundary rule replayed in SQL list ops — same rolling
+# 3-gram md5-int, same (0 ++ bounds ++ n) chunk spans.
+_ORACLES["q250_cdc_chunking"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, len(toks) + 1), i ->
+               i >= 3 AND i < len(toks)
+               AND {_cms_hash_sql("array_to_string(list_slice(toks, CAST(i - 2 AS INT), CAST(i AS INT)), ' ')")} % 16 = 0
+             ) AS bounds
+      FROM t WHERE len(toks) > 0
+    ), bp AS (
+      SELECT doc_id, toks,
+             list_concat(list_concat([CAST(0 AS BIGINT)], bounds),
+                         [CAST(len(toks) AS BIGINT)]) AS bpos
+      FROM b
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(bpos)), j ->
+               array_to_string(list_slice(toks,
+                 CAST(bpos[CAST(j AS INT)] + 1 AS INT),
+                 CAST(bpos[CAST(j + 1 AS INT)] AS INT)), ' '))) AS chunk
+      FROM bp
+    ), per AS (
+      SELECT chunk, COUNT(*) AS n_occ,
+             COUNT(DISTINCT doc_id) AS n_docs_with
+      FROM ch GROUP BY chunk
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents)
+             AS n_docs,
+           CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           CAST(((SUM(n_occ) - COUNT(*)) * 1000000) // SUM(n_occ) AS BIGINT)
+             AS reuse_ppm
+    FROM per
 """
 
 

@@ -546,3 +546,48 @@ def registrable_domain(host_or_url: str | Column) -> Column:
     return F.when(n <= 2, host).otherwise(
         F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     )
+
+
+def cdc_chunks(col: str | Column, window: int = 3, mask: int = 16) -> Column:
+    """Content-defined chunking (the restic/borgbackup/LBFS idea applied
+    to token streams): a chunk boundary falls AFTER token i whenever the
+    hash of the trailing ``window``-gram ≡ 0 (mod ``mask``) — the
+    boundary depends only on LOCAL content, so inserting text early in a
+    document does not shift later chunk boundaries (fixed-size chunking
+    would re-split everything downstream; that is the whole point of
+    CDC for dedup storage). Expected chunk length ≈ ``mask`` tokens.
+
+    Returns an ``array<string>`` of chunk texts (space-joined token
+    spans). Pure array HOFs — engine-portable; the rolling hash is the
+    first 8 md5 hex chars (the shared md5-int convention), so any SQL
+    engine reproduces identical boundaries.
+    """
+    t = tokens(col)
+    n = F.size(t)
+    # boundary after position i (1-based) if i >= window and
+    # md5int(t[i-window+1..i] joined) % mask == 0; the LAST position is
+    # never a boundary (the final chunk always closes at n)
+    idx = F.sequence(F.lit(1), n)
+    gram = lambda i: F.array_join(  # noqa: E731
+        F.slice(t, i - window + 1, F.lit(window)), " "
+    )
+    h = lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    bounds = F.filter(
+        idx, lambda i: (i >= window) & (i < n) & (h(i) % mask == 0)
+    )
+    # chunk j spans (bpos[j], bpos[j+1]]; bpos = 0 ++ bounds ++ n
+    bpos = F.concat(F.array(F.lit(0)), bounds, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bpos) - 1),
+        lambda j: F.array_join(
+            F.slice(
+                t,
+                F.element_at(bpos, j) + 1,
+                F.element_at(bpos, j + 1) - F.element_at(bpos, j),
+            ),
+            " ",
+        ),
+    )
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(chunks)

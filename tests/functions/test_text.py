@@ -256,3 +256,34 @@ class TestCleanText:
         # 4+ dots squeeze to ellipsis; 2-3 dots stay untouched
         assert out[3] == "wait... ok.. fine..."
         assert out[4] == "too many spaces here"
+
+
+class TestCdcChunking:
+    def chunks(self, spark, text):
+        from polars_pipe_spark.functions.text import cdc_chunks
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(cdc_chunks("text").alias("c")).collect()[0].c
+
+    def test_chunks_reassemble_exactly(self, spark):
+        text = "the quick brown fox jumps over the lazy dog " * 8
+        ch = self.chunks(spark, text)
+        from polars_pipe_spark.functions.text import normalize_text
+        # space-joining the chunks recovers the normalised token stream
+        assert " ".join(ch).split(" ") == text.split()
+
+    def test_early_edit_preserves_later_chunks(self, spark):
+        """THE content-defined property: prepending text changes only the
+        leading chunk(s); every boundary decided by later local content
+        stays, so the tail chunk sequence is identical (fixed-size
+        chunking would shift every boundary)."""
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 12
+        edited = "inserted words here " + base
+        a, b = self.chunks(spark, base), self.chunks(spark, edited)
+        # the suffixes agree: all but the first few chunks are shared
+        k = 2  # tolerate the boundary-straddling head chunks
+        assert a[k:] == b[len(b) - len(a) + k:]
+        assert len(set(a) & set(b)) >= len(a) - k
+
+    def test_empty_text(self, spark):
+        assert self.chunks(spark, "") == []
