@@ -6749,6 +6749,24 @@ def _q250_cdc_chunking(spark, sf):
     )
 
 
+def _q251_simhash_banded(spark, sf):
+    """Hamming-space LSH (Manku et al., WWW'07 — Google's web-dedup
+    banding) over the q26 SimHash column: 16-bit signatures split into 4
+    bit-bands, candidates from exact band equality, verified at hamming
+    ≤ 3. Pigeonhole makes this blocking LOSSLESS (3 flipped bits damage
+    ≤ 3 of 4 bands, so one band always survives — recall 1.0, which the
+    ORACLE exploits by checking against the brute-force all-pairs hamming
+    join; equality of the two sets IS the recall proof at this scale).
+    functions/dedup.py::simhash_near_dups; band-bucket cap shared with
+    the minhash path."""
+    from polars_pipe_spark.functions.dedup import simhash_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    return simhash_near_dups(
+        docs, "text", "doc_id", bits=16, n_bands=4, max_hamming=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7004,6 +7022,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q248_corrupt_json_audit": _q248_corrupt_json_audit,
     "q249_rendezvous_sharding": _q249_rendezvous_sharding,
     "q250_cdc_chunking": _q250_cdc_chunking,
+    "q251_simhash_banded": _q251_simhash_banded,
 }
 
 
@@ -11942,6 +11961,20 @@ _ORACLES["q250_cdc_chunking"] = f"""
            CAST(((SUM(n_occ) - COUNT(*)) * 1000000) // SUM(n_occ) AS BIGINT)
              AS reuse_ppm
     FROM per
+"""
+
+
+# q251: the oracle is the BRUTE-FORCE all-pairs hamming join over the
+# q26 signature derivation — banding is lossless at hamming ≤ 3 < 4
+# bands (pigeonhole), so the blocked set must EQUAL the exhaustive set;
+# any missing pair is a recall bug, any extra a banding bug.
+_ORACLES["q251_simhash_banded"] = f"""
+    WITH sig AS ({_ORACLES["q26_simhash"]})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
 """
 
 

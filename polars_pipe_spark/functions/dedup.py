@@ -346,6 +346,80 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_band_members: int | None = 1000,
+) -> DataFrame:
+    """Hamming-space LSH near-dup pairs over SimHash signatures — the
+    banding trick Manku/Jain/Das Sarma (WWW'07, Google's web dedup)
+    applied to the :func:`simhash` column q26 emits: split the b-bit
+    signature into ``n_bands`` equal bit-bands, self-join on exact band
+    equality, verify candidates with ``bit_count(xor) <= max_hamming``.
+
+    By pigeonhole the blocking is LOSSLESS whenever
+    ``max_hamming < n_bands``: k differing bits can damage at most k
+    bands, so at least one band is bit-identical and the pair IS a
+    candidate — recall 1.0, unlike minhash banding's probabilistic
+    recall. Same scale shape as :func:`minhash_lsh_candidates`: shuffle
+    on band key only, oversized band buckets dropped via
+    :func:`_cap_band_buckets`.
+
+    SIZE THE SIGNATURE TO THE CORPUS: the band-value space is
+    2^(bits/n_bands) buckets, so 16-bit/4-band (the test default) has
+    only 16 values per band — fine for thousands of docs, quadratic at
+    web scale. Production: ``bits=64, n_bands=4`` (Manku's setting,
+    65536 values per band) keeps buckets sparse at billions of docs.
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    sig_df = df.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
+    )
+    banded = sig_df.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright("sig", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).distinct()
+    banded = _cap_band_buckets(banded, max_band_members)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_distance(F.col("a.sig"), F.col("b.sig"))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup clusters: connected components over near-dup pairs
 # ---------------------------------------------------------------------------

@@ -536,3 +536,33 @@ class TestSemanticDedup:
         assert len(out) == 1
         r = out[0]
         assert (r.n_members, r.n_dropped, r.n_survivors) == (3, 2, 1)
+
+
+class TestSimhashBanded:
+    def test_banding_is_lossless_vs_bruteforce(self, spark, near_dup_docs):
+        """Pigeonhole proof checked empirically: the banded pair set
+        equals the all-pairs hamming join at max_hamming < n_bands."""
+        sigs = {
+            r.doc_id: r.s
+            for r in near_dup_docs.select(
+                "doc_id", dd.simhash("text", 16).alias("s")
+            ).collect()
+        }
+        ids = sorted(sigs)
+        brute = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dd.simhash_near_dups(
+                near_dup_docs, "text", "doc_id", bits=16, n_bands=4, max_hamming=3
+            ).collect()
+        }
+        assert banded == brute
+
+    def test_rejects_indivisible_bands(self, spark, near_dup_docs):
+        with pytest.raises(ValueError, match="divisible"):
+            dd.simhash_near_dups(near_dup_docs, "text", "doc_id", bits=16, n_bands=3)
