@@ -6767,6 +6767,23 @@ def _q251_simhash_banded(spark, sf):
     )
 
 
+def _q252_pagerank(spark, sf):
+    """Integer-exact PageRank (5 fixed iterations, damping 0.85) over the
+    near-dup graph — hub scoring that flags template/boilerplate
+    documents whose rank concentrates across many duplicate edges
+    (functions/dedup.py::pagerank_exact). The recurrence is pure integer
+    micro-arithmetic (share = rank DIV deg; damped inflow through
+    DECIMAL(38,0)), so the SQL oracle replays all five rounds as
+    unrolled CTEs and every node's rank must match to the micro."""
+    from polars_pipe_spark.functions.dedup import minhash_near_dups, pagerank_exact
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+    ).select("id_a", "id_b")
+    return pagerank_exact(pairs, iterations=5)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7023,6 +7040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q249_rendezvous_sharding": _q249_rendezvous_sharding,
     "q250_cdc_chunking": _q250_cdc_chunking,
     "q251_simhash_banded": _q251_simhash_banded,
+    "q252_pagerank": _q252_pagerank,
 }
 
 
@@ -11976,6 +11994,44 @@ _ORACLES["q251_simhash_banded"] = f"""
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
 """
+
+
+# q252: the five PageRank rounds unrolled as CTEs (the q237-BPE pattern
+# for iterative algorithms) over the shared q25 pair fragment; HUGEINT
+# keeps the damped product exact.
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    parts = [
+        f"""
+    WITH prs AS (
+      {_Q25_BODY}
+    ), e AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY s
+    ), r0 AS (
+      SELECT s AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg
+    )"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT d AS node,
+             CAST(150000 + (CAST(850000 AS HUGEINT) * SUM(share)) // 1000000
+                  AS BIGINT) AS rank_micro
+      FROM (
+        SELECT e.d, r.rank_micro // g.deg AS share
+        FROM e JOIN deg g ON e.s = g.s
+        JOIN r{i - 1} r ON r.node = e.s
+      ) GROUP BY d
+    )"""
+        )
+    parts.append(f"\n    SELECT node, rank_micro FROM r{iterations}")
+    return "".join(parts)
+
+
+_ORACLES["q252_pagerank"] = _pagerank_oracle_sql(5)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -972,3 +972,70 @@ def incremental_near_dups(
             .alias("neardup_status"),
         )
     )
+
+
+def pagerank_exact(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """Integer-exact PageRank over an undirected pair graph (Page/Brin
+    1998) — hub scoring for near-dup graphs: a document connected to
+    many duplicates concentrates rank, flagging template/boilerplate
+    hubs that CC cluster size alone understates.
+
+    EXACT-arithmetic recurrence (both engines replay it bit for bit —
+    no float accumulation order anywhere): ranks live in micro-units,
+    and one step is
+
+        share(u)  = rank_t(u) DIV deg(u)                (integer floor)
+        rank_t+1(v) = (1e6 − d_ppm) + (d_ppm · Σ_u→v share(u)) DIV 1e6
+
+    with rank_0 = 1e6 per node. Fixed ``iterations`` (default 5) rather
+    than convergence detection keeps the computation SQL-unrollable for
+    the oracle, the q169-BPE pattern for iterative algorithms. Each
+    round is one partial-agg shuffle on the destination node; the rank
+    frame is ``localCheckpoint``-ed per round (the dedup_clusters
+    lineage-truncation lesson).
+
+    Returns ``(node, rank_micro)``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(1_000_000).cast("long").alias("rank_micro")
+    ).localCheckpoint()
+    base = 1_000_000 - damping_ppm
+    for _ in range(iterations):
+        shares = (
+            edges.join(deg, "s")
+            .join(ranks.withColumnRenamed("node", "s"), "s")
+            .select("d", F.expr("rank_micro DIV deg").alias("share"))
+        )
+        ranks = (
+            shares.groupBy(F.col("d").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+            .select(
+                "node",
+                # the d·inflow product goes through DECIMAL(38,0): a
+                # BIGINT product overflows once n·1e6·d_ppm passes 2^63
+                # (n ≈ 1e7 nodes) — the q147 lesson; the quotient itself
+                # is ≤ the graph's total rank mass, int64-safe to n≈9e12
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST(CAST({damping_ppm} AS DECIMAL(38,0)) * inflow"
+                        " AS DECIMAL(38,0)) DIV 1000000"
+                    )
+                ).cast("long").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

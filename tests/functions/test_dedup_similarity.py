@@ -566,3 +566,44 @@ class TestSimhashBanded:
     def test_rejects_indivisible_bands(self, spark, near_dup_docs):
         with pytest.raises(ValueError, match="divisible"):
             dd.simhash_near_dups(near_dup_docs, "text", "doc_id", bits=16, n_bands=3)
+
+
+class TestPagerankExact:
+    def python_model(self, edges, iterations=5):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        rank = {v: 1_000_000 for v in adj}
+        for _ in range(iterations):
+            inflow = defaultdict(int)
+            for u in adj:
+                share = rank[u] // len(adj[u])
+                for v in adj[u]:
+                    inflow[v] += share
+            rank = {
+                v: 150_000 + (850_000 * inflow[v]) // 1_000_000 for v in adj
+            }
+        return rank
+
+    def test_matches_python_model(self, spark):
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.rank_micro
+            for r in dd.pagerank_exact(pairs, iterations=5).collect()
+        }
+        assert got == self.python_model(edges)
+
+    def test_hub_ranks_highest(self, spark):
+        # star graph: center 0 connected to 1..6 -> center dominates
+        edges = [(0, i) for i in range(1, 7)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.node: r.rank_micro
+            for r in dd.pagerank_exact(pairs, iterations=5).collect()
+        }
+        assert got[0] == max(got.values())
+        assert all(got[0] > got[i] for i in range(1, 7))
