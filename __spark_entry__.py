@@ -6784,6 +6784,141 @@ def _q252_pagerank(spark, sf):
     return pagerank_exact(pairs, iterations=5)
 
 
+def _q253_kmv_theta(spark, sf):
+    """KMV / theta sketch (Bar-Yossef 2002; the Apache DataSketches theta
+    family): keep the k SMALLEST md5 hashes of each set's members; with
+    θ = the k-th minimum (as a fraction of hash space), |A| ≈ (k−1)/θ.
+    Set algebra HLL cannot do directly: the INTERSECTION estimate comes
+    from counting shared hashes below min(θ_A, θ_B) — here for the
+    purchase-user vs click-user populations, audited against the exact
+    overlap. Everything is deterministic (md5 order): the k-th min is a
+    TakeOrdered-style bounded selection per side, the sketch compare is
+    a join of two ≤k-row frames. Estimates emit as exact integers
+    (numerators/denominators) plus one rounded double each."""
+    k = 64
+    ev = _t_par(spark, sf, "events")
+
+    def side(event_type):
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(F.col("user_id"))
+            .distinct()
+            .select(
+                "user_id",
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+                )
+                .cast("long")
+                .alias("h"),
+            )
+            .orderBy("h")
+            .limit(k)
+        )
+    a, b = side("purchase"), side("click")
+    theta_a = a.agg(F.max("h").alias("ta"), F.count(F.lit(1)).alias("ka"))
+    theta_b = b.agg(F.max("h").alias("tb"), F.count(F.lit(1)).alias("kb"))
+    # shared hashes below min(theta): intersection sample
+    inter = (
+        a.join(b.select(F.col("h").alias("hb")), F.col("h") == F.col("hb"))
+        .crossJoin(F.broadcast(theta_a))
+        .crossJoin(F.broadcast(theta_b))
+        .filter(F.col("h") <= F.least("ta", "tb"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "click").select("user_id").distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact_overlap"))
+    )
+    scale = float(2**32)
+    return (
+        theta_a.crossJoin(F.broadcast(theta_b))
+        .crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("ka").cast("long").alias("k_a"),
+            F.col("kb").cast("long").alias("k_b"),
+            F.col("ta").cast("long").alias("theta_a"),
+            F.col("tb").cast("long").alias("theta_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_exact_overlap").cast("long").alias("n_exact_overlap"),
+            F.round(
+                (F.col("ka") - 1).cast("double")
+                / (F.col("ta").cast("double") / F.lit(scale)),
+                4,
+            ).alias("est_a"),
+            F.round(
+                (F.col("kb") - 1).cast("double")
+                / (F.col("tb").cast("double") / F.lit(scale)),
+                4,
+            ).alias("est_b"),
+        )
+    )
+
+
+def _q254_phrase_search(spark, sf):
+    """Positional inverted index + exact phrase query (the capability a
+    positions-free index like q199 cannot express): postings are
+    (token, doc_id, pos); a 2-word phrase matches where the two tokens'
+    postings align at pos+1 WITHIN the same doc. The probe phrases are
+    the corpus' own top-3 bigrams (TakeOrdered, deterministic ties), and
+    the output CROSS-VALIDATES two independent derivations — adjacency-
+    explode bigram counts vs positional-join occurrence counts — which
+    must agree exactly; `agree` is computed, not asserted. Joins are
+    token-then-(doc,pos) keyed; the probe side is 3 rows, broadcast."""
+    from polars_pipe_spark.functions.text import shingles, tokens
+
+    docs = _t_par(spark, sf, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    ).persist()
+    bigrams = docs.select(F.explode(shingles("text", 2)).alias("bg"))
+    top3 = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_occ_bigram"))
+        .orderBy(F.col("n_occ_bigram").desc(), F.col("bg").asc())
+        .limit(3)
+        .select(
+            "bg",
+            "n_occ_bigram",
+            F.split("bg", " ")[0].alias("w1"),
+            F.split("bg", " ")[1].alias("w2"),
+        )
+    )
+    p1 = post.join(F.broadcast(top3), post.token == top3.w1).select(
+        "bg", "n_occ_bigram", "doc_id", "pos", "w2"
+    )
+    hits = p1.join(
+        post.select(
+            F.col("doc_id").alias("d2"),
+            F.col("pos").alias("p2"),
+            F.col("token").alias("t2"),
+        ),
+        (F.col("doc_id") == F.col("d2"))
+        & (F.col("p2") == F.col("pos") + 1)
+        & (F.col("t2") == F.col("w2")),
+    )
+    return (
+        hits.groupBy("bg", "n_occ_bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ_positional"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            "bg",
+            F.col("n_occ_bigram").cast("long").alias("n_occ_bigram"),
+            F.col("n_occ_positional").cast("long").alias("n_occ_positional"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_occ_bigram") == F.col("n_occ_positional")).alias("agree"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7041,6 +7176,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q250_cdc_chunking": _q250_cdc_chunking,
     "q251_simhash_banded": _q251_simhash_banded,
     "q252_pagerank": _q252_pagerank,
+    "q253_kmv_theta": _q253_kmv_theta,
+    "q254_phrase_search": _q254_phrase_search,
 }
 
 
@@ -12032,6 +12169,77 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 
 
 _ORACLES["q252_pagerank"] = _pagerank_oracle_sql(5)
+
+
+# q253: KMV sketch mirrored — same md5-int hash, k smallest per side via
+# rank, same θ/intersection/estimator arithmetic.
+_ORACLES["q253_kmv_theta"] = f"""
+    WITH pu AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), cu AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), ah AS (
+      SELECT h FROM (
+        SELECT {_cms_hash_sql("CAST(user_id AS VARCHAR)")} AS h,
+               row_number() OVER (ORDER BY {_cms_hash_sql("CAST(user_id AS VARCHAR)")}) AS rn
+        FROM pu
+      ) WHERE rn <= 64
+    ), bh AS (
+      SELECT h FROM (
+        SELECT {_cms_hash_sql("CAST(user_id AS VARCHAR)")} AS h,
+               row_number() OVER (ORDER BY {_cms_hash_sql("CAST(user_id AS VARCHAR)")}) AS rn
+        FROM cu
+      ) WHERE rn <= 64
+    ), ta AS (SELECT MAX(h) AS ta, COUNT(*) AS ka FROM ah),
+    tb AS (SELECT MAX(h) AS tb, COUNT(*) AS kb FROM bh),
+    inter AS (
+      SELECT COUNT(*) AS n_shared
+      FROM ah JOIN bh USING (h), ta, tb
+      WHERE h <= LEAST(ta.ta, tb.tb)
+    ), ex AS (
+      SELECT COUNT(*) AS n_exact_overlap FROM pu JOIN cu USING (user_id)
+    )
+    SELECT CAST(ka AS BIGINT) AS k_a, CAST(kb AS BIGINT) AS k_b,
+           CAST(ta AS BIGINT) AS theta_a, CAST(tb AS BIGINT) AS theta_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_exact_overlap AS BIGINT) AS n_exact_overlap,
+           ROUND(CAST(ka - 1 AS DOUBLE) / (CAST(ta AS DOUBLE) / 4294967296.0), 4)
+             AS est_a,
+           ROUND(CAST(kb - 1 AS DOUBLE) / (CAST(tb AS DOUBLE) / 4294967296.0), 4)
+             AS est_b
+    FROM ta, tb, inter, ex
+"""
+
+
+# q254: phrase semantics replayed on the token lists directly (the
+# oracle checks MEANING — adjacency counts — not the index layout).
+_ORACLES["q254_phrase_search"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i ->
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), top3 AS (
+      SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_occ_bigram
+      FROM bg GROUP BY bg
+      ORDER BY n_occ_bigram DESC, bg ASC LIMIT 3
+    ), hits AS (
+      SELECT top3.bg, top3.n_occ_bigram, t.doc_id,
+             len(list_filter(range(1, len(t.toks)), i ->
+               t.toks[CAST(i AS INT)] = string_split(top3.bg, ' ')[1]
+               AND t.toks[CAST(i + 1 AS INT)] = string_split(top3.bg, ' ')[2]))
+               AS n_in_doc
+      FROM top3, t
+    )
+    SELECT bg, n_occ_bigram,
+           CAST(SUM(n_in_doc) AS BIGINT) AS n_occ_positional,
+           CAST(SUM(CASE WHEN n_in_doc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs,
+           n_occ_bigram = CAST(SUM(n_in_doc) AS BIGINT) AS agree
+    FROM hits GROUP BY bg, n_occ_bigram
+"""
 
 
 def oracle_sql() -> dict[str, str]:
