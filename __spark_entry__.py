@@ -6919,6 +6919,88 @@ def _q254_phrase_search(spark, sf):
     )
 
 
+def _q255_mann_whitney(spark, sf):
+    """Exact Mann–Whitney U (rank-sum) test between the purchase and
+    click value distributions — the NONPARAMETRIC location test
+    completing the q221 z / q240 ANOVA / q239 KS battery. Ranks are
+    EXACT with the standard tie correction, computed WITHOUT a global
+    sort: twice-the-average-rank of a tie group at value c is
+    2·cum_before(c) + n(c) + 1 (integer — the ×2 trick keeps midranks
+    out of floats), with cum_before from the q239 hierarchical prefix
+    sum (range-partitioned cumulative + bounded ~100-row offset level).
+    U and the rank sums stay integers; the tie-corrected normal
+    approximation z is the single fixed-order double at the end."""
+    ev = _t_par(spark, sf, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = (
+        ev.withColumn("c", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("c")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "n1"
+            ),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n2"),
+        )
+        .withColumn("nt", F.col("n1") + F.col("n2"))
+        .withColumn("r", F.expr("c DIV 500"))
+    )
+    w_in = (
+        Window.partitionBy("r").orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = g.withColumn("cum_in", F.coalesce(F.sum("nt").over(w_in), F.lit(0)))
+    rtot = g.groupBy("r").agg(F.sum("nt").alias("s"))
+    w_r = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = rtot.select(
+        "r", F.coalesce(F.sum("s").over(w_r), F.lit(0)).alias("off")
+    )
+    ranked = within.join(F.broadcast(offsets), "r").select(
+        "c",
+        "n1",
+        "n2",
+        "nt",
+        (F.lit(2) * (F.col("off") + F.col("cum_in")) + F.col("nt") + 1).alias(
+            "rank2"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("n1").alias("na"),
+        F.sum("n2").alias("nb"),
+        F.sum(F.col("n1") * F.col("rank2")).alias("r1_2"),
+        F.sum(F.col("nt") * F.col("nt") * F.col("nt") - F.col("nt")).alias(
+            "tie_cubes"
+        ),
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST((r1_2 - na * (na + 1)) AS BIGINT) DIV 2").alias("u_stat"),
+        F.col("tie_cubes").cast("long").alias("tie_cubes"),
+        F.round(
+            (
+                F.expr("CAST((r1_2 - na * (na + 1)) AS BIGINT) DIV 2").cast("double")
+                - (F.col("na") * F.col("nb")).cast("double") / 2.0
+            )
+            / F.sqrt(
+                (F.col("na") * F.col("nb")).cast("double") / 12.0
+                * (
+                    (F.col("na") + F.col("nb") + 1).cast("double")
+                    - F.col("tie_cubes").cast("double")
+                    / (
+                        (F.col("na") + F.col("nb")).cast("double")
+                        * (F.col("na") + F.col("nb") - 1).cast("double")
+                    )
+                )
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7178,6 +7260,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_pagerank": _q252_pagerank,
     "q253_kmv_theta": _q253_kmv_theta,
     "q254_phrase_search": _q254_phrase_search,
+    "q255_mann_whitney": _q255_mann_whitney,
 }
 
 
@@ -12239,6 +12322,45 @@ _ORACLES["q254_phrase_search"] = f"""
              AS n_docs,
            n_occ_bigram = CAST(SUM(n_in_doc) AS BIGINT) AS agree
     FROM hits GROUP BY bg, n_occ_bigram
+"""
+
+
+# q255: ranks replayed with one flat exclusive-cumulative window (the
+# oracle checks semantics; the hierarchical prefix sum is Spark's scale
+# strategy); identical fixed-order double z at the end.
+_ORACLES["q255_mann_whitney"] = """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), g AS (
+      SELECT c,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n2,
+             COUNT(*) AS nt
+      FROM e GROUP BY c
+    ), rk AS (
+      SELECT c, n1, n2, nt,
+             2 * COALESCE(SUM(nt) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + nt + 1 AS rank2
+      FROM g
+    ), a AS (
+      SELECT SUM(n1) AS na, SUM(n2) AS nb,
+             SUM(n1 * rank2) AS r1_2,
+             SUM(nt * nt * nt - nt) AS tie_cubes
+      FROM rk
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST((r1_2 - na * (na + 1)) // 2 AS BIGINT) AS u_stat,
+           CAST(tie_cubes AS BIGINT) AS tie_cubes,
+           ROUND((CAST((r1_2 - na * (na + 1)) // 2 AS DOUBLE)
+                  - CAST(na * nb AS DOUBLE) / 2.0)
+                 / sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                        * (CAST(na + nb + 1 AS DOUBLE)
+                           - CAST(tie_cubes AS DOUBLE)
+                             / (CAST(na + nb AS DOUBLE)
+                                * CAST(na + nb - 1 AS DOUBLE)))), 6) AS z_score
+    FROM a
 """
 
 

@@ -199,3 +199,43 @@ class TestQ147OverflowBounds:
         m_abs = abs(num_cents) * 10**4
         assert int(r.slope_units) == -(m_abs // (den * 10**6))
         assert int(r.slope_micros_rem) == -((m_abs % (den * 10**6)) // den)
+
+
+class TestMannWhitneyModel:
+    """q255's exact tie-corrected U against a pure-Python midrank model
+    (no scipy in this environment — the model IS the textbook formula)."""
+
+    def model(self, a, b):
+        vals = sorted(set(a + b))
+        rank = {}
+        pos = 0
+        for v in vals:
+            t = (a + b).count(v)
+            rank[v] = pos + (t + 1) / 2  # average rank, 1-based
+            pos += t
+        r1 = sum(rank[v] for v in a)
+        u = r1 - len(a) * (len(a) + 1) / 2
+        return u
+
+    def test_u_matches_model(self, spark, monkeypatch):
+        import datetime
+
+        import __spark_entry__ as entry
+
+        a = [10.0, 12.0, 12.0, 15.0, 20.0]
+        b = [11.0, 12.0, 13.0, 30.0]
+        rows = [
+            ("purchase", datetime.datetime(2026, 1, 1), v) for v in a
+        ] + [("click", datetime.datetime(2026, 1, 1), v) for v in b]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        real = entry._t_par
+
+        def fake(spark_, sf_, table):
+            return df if table == "events" else real(spark_, sf_, table)
+
+        monkeypatch.setattr(entry, "_t_par", fake)
+        r = entry._q255_mann_whitney(spark, "x").collect()[0]
+        assert r.n_a == 5 and r.n_b == 4
+        assert float(r.u_stat) == self.model(a, b)
