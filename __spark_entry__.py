@@ -7001,6 +7001,70 @@ def _q255_mann_whitney(spark, sf):
     )
 
 
+def _q256_entity_resolution(spark, sf):
+    """End-to-end entity resolution (the MDM/record-linkage flow): a
+    second source of records is staged in-query (every 7th customer gets
+    a clone with a corrupted name — 3rd char dropped — same balance),
+    then: (1) candidate pairs from an EQUI-join on the strong key
+    (balance cents — blocking, never an all-pairs product), (2) verified
+    with levenshtein ≤ 2 on the name, (3) transitive closure via q63's
+    min-label propagation (functions/dedup.py::dedup_clusters), (4) the
+    resolution ledger: records, entities, merged records, largest
+    entity. The oracle re-derives the edges with DuckDB's levenshtein
+    and replays the closure with a recursive CTE — every count
+    value-checked."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters
+
+    cust = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    clones = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+            F.concat(
+                F.substring(F.lower(F.col("c_name")), 1, 2),
+                F.substring(F.lower(F.col("c_name")), 4, 100),
+            ).alias("name"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    records = cust.unionByName(clones).persist()
+    a = records.alias("a")
+    b = records.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("name").alias("name_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    edges = (
+        a.join(b, (F.col("a.cents") == F.col("cents_b")) & (F.col("a.rec_id") < F.col("rec_b")))
+        .filter(F.levenshtein(F.col("a.name"), F.col("name_b")) <= 2)
+        .select(F.col("a.rec_id").alias("id_a"), F.col("rec_b").alias("id_b"))
+    )
+    clusters = dedup_clusters(edges).select(
+        F.col("node").alias("rec_id"), "cluster_id"
+    )
+    # singletons (no edges) resolve to themselves
+    resolved = records.join(clusters, "rec_id", "left").select(
+        "rec_id", F.coalesce("cluster_id", F.col("rec_id")).alias("entity_id")
+    )
+    sizes = resolved.groupBy("entity_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").alias("n_records"),
+        F.count(F.lit(1)).alias("n_entities"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_merged"),
+        F.max("sz").alias("max_entity_size"),
+    ).select(
+        F.col("n_records").cast("long").alias("n_records"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+        F.col("max_entity_size").cast("long").alias("max_entity_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7261,6 +7325,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q253_kmv_theta": _q253_kmv_theta,
     "q254_phrase_search": _q254_phrase_search,
     "q255_mann_whitney": _q255_mann_whitney,
+    "q256_entity_resolution": _q256_entity_resolution,
 }
 
 
@@ -12361,6 +12426,48 @@ _ORACLES["q255_mann_whitney"] = """
                              / (CAST(na + nb AS DOUBLE)
                                 * CAST(na + nb - 1 AS DOUBLE)))), 6) AS z_score
     FROM a
+"""
+
+
+# q256: edges (cents equi-block + levenshtein verify) and the recursive
+# closure replayed in SQL; singleton records resolve to themselves.
+_ORACLES["q256_entity_resolution"] = """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 10 AS rec_id, lower(c_name) AS name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 10 + 1,
+             substr(lower(c_name), 1, 2) || substr(lower(c_name), 4),
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 0
+    ), prs AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM recs a JOIN recs b
+        ON a.cents = b.cents AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ), nodes AS (SELECT DISTINCT s AS n FROM edges),
+    walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    ), cl AS (
+      SELECT n AS rec_id, MIN(l) AS cluster_id FROM walk GROUP BY n
+    ), resolved AS (
+      SELECT r.rec_id, COALESCE(cl.cluster_id, r.rec_id) AS entity_id
+      FROM recs r LEFT JOIN cl USING (rec_id)
+    ), sizes AS (
+      SELECT entity_id, COUNT(*) AS sz FROM resolved GROUP BY entity_id
+    )
+    SELECT CAST(SUM(sz) AS BIGINT) AS n_records,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_merged,
+           CAST(MAX(sz) AS BIGINT) AS max_entity_size
+    FROM sizes
 """
 
 
