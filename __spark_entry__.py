@@ -7065,6 +7065,78 @@ def _q256_entity_resolution(spark, sf):
     )
 
 
+def _q257_sql_surface(spark, sf):
+    """The engine's PURE-SQL entry point — the surface the reference
+    lacks entirely (no SQL parser there; Spark gives ANSI SQL + Catalyst
+    for free): tables registered as temp views, a multi-CTE query with a
+    join, aggregate, and rank window submitted as SQL TEXT via
+    spark.sql(). Same optimizer, same plans as the DataFrame API —
+    demonstrated by this query being literally its own oracle (modulo
+    dialect casts)."""
+    _t(spark, sf, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT c.c_nationkey,
+                 SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents,
+                 COUNT(*) AS n_orders
+          FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey
+        )
+        SELECT n.n_name AS nation,
+               r.rev_cents,
+               r.n_orders,
+               CAST(RANK() OVER (ORDER BY r.rev_cents DESC, n.n_name ASC)
+                    AS BIGINT) AS rev_rank
+        FROM rev r JOIN v_nation n ON r.c_nationkey = n.n_nationkey
+        """
+    )
+
+
+def _q258_scalar_pandas_udf(spark, sf):
+    """The Arrow-vectorized SCALAR pandas_udf surface (the third UDF
+    flavor after mapInPandas kernels and applyInPandas grouped stats):
+    a numpy-vectorized score runs per Arrow batch — the sanctioned slow
+    path when an expression genuinely needs Python (here log1p, chosen
+    because the oracle can verify it EXACTLY: ln(1+x) on identical
+    doubles). The point under test is the UDF plumbing — batch transfer,
+    null passthrough, type fidelity — not the math."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf
+
+    def _log1p(v):
+        import numpy as np
+
+        return pd.Series(np.log1p(v.to_numpy(dtype="float64")))
+
+    # real-object annotations: this module uses `from __future__ import
+    # annotations`, which stringifies inline hints and breaks PySpark's
+    # signature inspection for pandas_udf
+    _log1p.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    log1p_score = pandas_udf(_log1p, "double")
+
+    ev = _t_par(spark, sf, "events")
+    # per-row round → decimal sum: float addition order across partitions
+    # is nondeterministic, so the aggregate goes through exact decimals
+    # (the q131 pattern) and only the per-row UDF value is floating
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(log1p_score(F.col("value")), 6).cast("decimal(18,6)")
+            ).cast("double").alias("sum_log1p"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "sum_log1p",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7326,6 +7398,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q254_phrase_search": _q254_phrase_search,
     "q255_mann_whitney": _q255_mann_whitney,
     "q256_entity_resolution": _q256_entity_resolution,
+    "q257_sql_surface": _q257_sql_surface,
+    "q258_scalar_pandas_udf": _q258_scalar_pandas_udf,
 }
 
 
@@ -12468,6 +12542,35 @@ _ORACLES["q256_entity_resolution"] = """
            CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_merged,
            CAST(MAX(sz) AS BIGINT) AS max_entity_size
     FROM sizes
+"""
+
+
+# q257: essentially its own oracle — the dialect-portable SQL text.
+_ORACLES["q257_sql_surface"] = """
+    WITH rev AS (
+      SELECT c.c_nationkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT n.n_name AS nation,
+           CAST(r.rev_cents AS BIGINT) AS rev_cents,
+           CAST(r.n_orders AS BIGINT) AS n_orders,
+           CAST(RANK() OVER (ORDER BY r.rev_cents DESC, n.n_name ASC)
+                AS BIGINT) AS rev_rank
+    FROM rev r JOIN nation n ON r.c_nationkey = n.n_nationkey
+"""
+
+
+# q258: ln(1+x) on identical doubles; per-row round-6 then exact decimal
+# sum mirrors the engine's aggregation.
+_ORACLES["q258_scalar_pandas_udf"] = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(ln(1.0 + value), 6) AS DECIMAL(18,6)))
+                AS DOUBLE) AS sum_log1p
+    FROM events GROUP BY event_type
 """
 
 

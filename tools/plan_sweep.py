@@ -62,6 +62,10 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "leftover-seat ranking runs on the one-row-per-SOURCE quota frame "
         "— bounded by domain count (the q157 shape)"
     ),
+    "q257_sql_surface": (
+        "RANK() runs on the one-row-per-NATION revenue aggregate (25 "
+        "rows, bounded by the nation dimension)"
+    ),
     "q255_mann_whitney": (
         "same hierarchical-prefix-sum shape as q239: the only global "
         "window is the one-row-per-500-cent-range offset level (~100 rows)"
