@@ -160,6 +160,11 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    # NOT persisted despite the guardrail adding a third read of the
+    # banding pipeline: measured at sf0.1 (best-of-3, same session),
+    # recompute beats the columnar-cache write for this frame —
+    # cap+persist 6.74s vs cap+recompute 6.41s vs no-cap 5.94s. The md5
+    # banding is cheap; serializing the band strings into cache is not.
     banded = _cap_band_buckets(banded, max_band_members)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -263,9 +268,11 @@ def minhash_near_dups(
     banded = sig_df.select(
         "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
     ).distinct()
-    banded = _cap_band_buckets(banded, max_band_members)
     if cache == "all":
         banded = banded.persist()
+    # guardrail after the (optional) persist; see minhash_lsh_candidates
+    # for the measured recompute-vs-persist trade (recompute wins)
+    banded = _cap_band_buckets(banded, max_band_members)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
