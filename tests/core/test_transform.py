@@ -237,3 +237,37 @@ class TestCustomTransforms:
     def test_unknown_custom_raises(self, employees):
         with pytest.raises(KeyError):
             tf.pipe_custom_transformations(employees, {}, {"nope": {}})
+
+
+class TestLineageGoldenValues:
+    """Exact xxhash64 golden pins (the q12 docstring's claim): a Spark
+    upgrade or a change to the canonical-key construction must trip
+    these, not silently re-hash the lake."""
+
+    def test_non_null_rows_pinned(self, spark):
+        df = spark.createDataFrame(
+            [("alice", 30, 1.5), ("bob", 25, 2.5)],
+            "name string, age long, bonus double",
+        )
+        got = {
+            r.name: r.sys_col_row_hash
+            for r in tf.add_hash_col(df).collect()
+        }
+        assert got == {
+            "alice": 6499047024113404441,
+            "bob": 4666556867740427835,
+        }
+
+    def test_null_propagation_parity(self, spark):
+        """Reference parity (SURVEY §1.3): the canonical key uses
+        null-PROPAGATING concat, so any row containing a null hashes to
+        the same sentinel (the reference's golden test pins the same
+        collapse — charlie's null-bonus row equals the all-defaults error
+        row). Deliberate fidelity, pinned so nobody 'fixes' it without
+        noticing it is a contract."""
+        df = spark.createDataFrame(
+            [("alice", 30, None), ("bob", None, 5.5)],
+            "name string, age long, bonus double",
+        )
+        vals = [r.sys_col_row_hash for r in tf.add_hash_col(df).collect()]
+        assert vals[0] == vals[1] == -7444071767201028348

@@ -335,3 +335,33 @@ class TestRealImageCodecs:
         gw, gh, _, luma = mm.decode_image(expect)
         assert (gw, gh) == (2, 2)
         assert luma == self.expected_luma(px[yi][:, yi])
+
+
+class TestBmpVariants:
+    def test_top_down_bmp_decodes(self):
+        """Negative DIB height = top-down row order (valid BMP variant no
+        encoder here produces — decoder must still honor it)."""
+        import struct
+
+        import numpy as np
+
+        px = np.arange(2 * 3 * 3, dtype="uint8").reshape(2, 3, 3)
+        normal = mm.encode_bmp(3, 2, px)
+        # rewrite the header height as -2 and reorder rows top-down
+        pixel_offset = struct.unpack_from("<I", normal, 10)[0]
+        stride = 3 * 3 + ((-3 * 3) % 4)
+        body = normal[pixel_offset:]
+        rows = [body[i * stride:(i + 1) * stride] for i in range(2)]
+        topdown_body = b"".join(reversed(rows))
+        header = bytearray(normal[:pixel_offset])
+        struct.pack_into("<i", header, 22, -2)  # negative height
+        topdown = bytes(header) + topdown_body
+        assert mm.decode_image(topdown) == mm.decode_image(normal)
+
+    def test_unsupported_bpp_raises(self):
+        import struct
+
+        payload = bytearray(mm.encode_bmp(2, 2, [[[0, 0, 0]] * 2] * 2))
+        struct.pack_into("<H", payload, 28, 8)  # 8-bit palette bmp
+        with pytest.raises(NotImplementedError, match="24-bit"):
+            mm.decode_image(bytes(payload))
