@@ -7137,6 +7137,95 @@ def _q258_scalar_pandas_udf(spark, sf):
     )
 
 
+def _q259_theil_sen(spark, sf):
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise day-slopes, the estimator that shrugs off the outlier days
+    that wreck q147's least squares (breakdown point 29%). Scale shape:
+    slopes are pairwise over the DAILY aggregate (bounded by the
+    calendar, ~31 rows/group → ≤ ~465 pairs/group), never over events;
+    the pair join and median rank are both keyed by event_type. Slopes
+    quantize to exact micros ((Δcents·1e4) DIV Δdays — sign-split so
+    DIV/ // agree), and the median is the lower-median by rank — every
+    value integer, fully oracle-checkable."""
+    ev = _t_par(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "x"
+            ),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y_cents"))
+        .persist()
+    )
+    b = daily.select(
+        F.col("event_type"),
+        F.col("x").alias("x2"),
+        F.col("y_cents").alias("y2"),
+    )
+    pairs = (
+        daily.join(b, "event_type")
+        .filter(F.col("x2") > F.col("x"))
+        .select(
+            "event_type",
+            (
+                F.signum((F.col("y2") - F.col("y_cents")).cast("double")).cast("long")
+                * F.expr("abs(y2 - y_cents) * 10000 DIV (x2 - x)")
+            ).alias("slope_micro"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    counts = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        ranked.join(counts, "event_type")
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope_micro").cast("long").alias("theilsen_slope_micro"),
+        )
+    )
+
+
+def _q260_longest_streak(spark, sf):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, by the classic rn-difference trick — day_index − row_number()
+    is constant within a consecutive run, so one grouped count per
+    (user, island) recovers every streak without self-joins or
+    recursion. All windows are user-partitioned (keyed); output is the
+    corpus-level streak histogram (streak_len → n_users), bounded by the
+    calendar span."""
+    ev = _t_par(spark, sf, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest")
+    )
+    return (
+        longest.groupBy("longest")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("longest").cast("long").alias("streak_len"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7400,6 +7489,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_entity_resolution": _q256_entity_resolution,
     "q257_sql_surface": _q257_sql_surface,
     "q258_scalar_pandas_udf": _q258_scalar_pandas_udf,
+    "q259_theil_sen": _q259_theil_sen,
+    "q260_longest_streak": _q260_longest_streak,
 }
 
 
@@ -12571,6 +12662,60 @@ _ORACLES["q258_scalar_pandas_udf"] = """
            CAST(SUM(CAST(ROUND(ln(1.0 + value), 6) AS DECIMAL(18,6)))
                 AS DOUBLE) AS sum_log1p
     FROM events GROUP BY event_type
+"""
+
+
+# q259: pairwise day-slopes in exact micros (sign-split DIV), lower
+# median by rank — the full estimator replayed.
+_ORACLES["q259_theil_sen"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y_cents
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.y_cents >= a.y_cents
+                  THEN (b.y_cents - a.y_cents) * 10000 // (b.x - a.x)
+                  ELSE -((a.y_cents - b.y_cents) * 10000 // (b.x - a.x))
+             END AS slope_micro
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.x > a.x
+    ), ranked AS (
+      SELECT event_type, slope_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_micro) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    )
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(slope_micro AS BIGINT) AS theilsen_slope_micro
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+# q260: identical rn-difference islands in SQL.
+_ORACLES["q260_longest_streak"] = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day
+      FROM events
+    ), islands AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, grp, COUNT(*) AS streak_len
+      FROM islands GROUP BY user_id, grp
+    ), longest AS (
+      SELECT user_id, MAX(streak_len) AS longest FROM streaks GROUP BY user_id
+    )
+    SELECT CAST(longest AS BIGINT) AS streak_len,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY longest
 """
 
 
