@@ -7226,6 +7226,54 @@ def _q260_longest_streak(spark, sf):
     )
 
 
+def _q261_wav_decode(spark, sf):
+    """REAL audio container decode end-to-end (no audio library): a
+    PCM-16 mono WAV is synthesized per document from an analytic integer
+    waveform (sample_i = ((doc_id·31 + i·7) mod 2001) − 1000, n = 50 +
+    doc_id mod 20, 8 kHz), written through the RIFF encoder, packed into
+    the media struct, and decoded back by
+    functions/multimodal.py::extract_wav_features — RIFF chunk walk,
+    fmt validation, int16 extraction, integer-exact RMS. The ORACLE
+    derives sample count, duration and RMS in closed form from the same
+    construction (ground truth, not a second decoder) — the audio twin
+    of q235."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_wav,
+        extract_wav_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 20
+                i = np.arange(n, dtype="int64")
+                samples = (did * 31 + i * 7) % 2001 - 1000
+                payloads.append(encode_wav(samples.tolist(), 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("audio/wav")
+        ).alias("media"),
+    )
+    return extract_wav_features(media).select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7491,6 +7539,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q258_scalar_pandas_udf": _q258_scalar_pandas_udf,
     "q259_theil_sen": _q259_theil_sen,
     "q260_longest_streak": _q260_longest_streak,
+    "q261_wav_decode": _q261_wav_decode,
 }
 
 
@@ -12716,6 +12765,25 @@ _ORACLES["q260_longest_streak"] = """
     SELECT CAST(longest AS BIGINT) AS streak_len,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM longest GROUP BY longest
+"""
+
+
+# q261: ground truth from the analytic waveform — integer Σs², one
+# sqrt; duration floor-divides sample count by the rate.
+_ORACLES["q261_wav_decode"] = """
+    WITH w AS (
+      SELECT doc_id, 50 + doc_id % 20 AS n,
+             list_transform(range(0, 50 + doc_id % 20), i ->
+               (doc_id * 31 + i * 7) % 2001 - 1000) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
+                           AS DOUBLE) / n), 6) AS rms
+    FROM w
 """
 
 

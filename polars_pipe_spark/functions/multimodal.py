@@ -16,11 +16,11 @@ Decode / feature-extraction runs as Arrow-batched Pandas UDFs over
 batch iterator, bounded memory, no driver involvement). Two decode tiers:
 
 - **Real, dependency-free codecs** for the uncompressed container formats
-  whose specs need only byte arithmetic: 24-bit BI_RGB **BMP** and binary
-  **PPM (P6)** (plus the byte-level audio featurizer below). These run the
-  full payload→pixels→features path with numpy only — no PIL/opencv.
-  ``use_fake_decoder=False`` dispatches on the payload's magic bytes.
-- **Stubbed compressed codecs**: JPEG/PNG/mp3 genuinely need codec
+  whose specs need only byte arithmetic: 24-bit BI_RGB **BMP**, binary
+  **PPM (P6)**, and RIFF/PCM-16 **WAV** (plus the byte-level audio
+  featurizer). These run the full payload→samples/pixels→features path
+  with numpy only — no PIL/opencv/soundfile.
+- **Stubbed compressed codecs**: JPEG/PNG/mp3/ogg genuinely need codec
   libraries (not in this container); those payloads raise a clear
   ``NotImplementedError`` naming the seam. The deterministic fake decoder
   (seeded from the content hash) remains for plumbing tests.
@@ -286,6 +286,75 @@ def sample_frames(
     return flat.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Dependency-free audio codec (WAV: RIFF / PCM 16-bit mono)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM, 16-bit signed little-endian, mono.
+    ``samples`` is an iterable of ints in [-32768, 32767]. Test/synthesis
+    helper — lets the real WAV decode path run without an audio library."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(list(samples), dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
+    """Decode a PCM-16 mono WAV to ``(sample_rate, n_samples,
+    duration_ms, rms)`` with stdlib struct + numpy — walks the RIFF
+    chunk list (tolerating extra chunks like LIST/fact), so any
+    spec-conforming uncompressed file parses, not just our encoder's.
+    rms = sqrt(Σ s² / n) from an exact integer sum of squares — one
+    double sqrt at the end, engine-reproducible. Compressed/float WAVs
+    raise ``NotImplementedError`` (the documented codec seam, like
+    PNG/JPEG on the image side)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            f"no dependency-free audio decoder for magic {payload[:4]!r}"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body_at = pos + 8
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, body_at)
+        elif cid == b"data":
+            data = payload[body_at : body_at + clen]
+        pos = body_at + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or n_channels != 1:
+        raise NotImplementedError(
+            "WAV decoder supports PCM 16-bit mono only "
+            f"(got format={audio_format}, bits={bits}, channels={n_channels})"
+        )
+    s = np.frombuffer(data, dtype="<i2").astype("int64")
+    n = len(s)
+    sumsq = int((s * s).sum())
+    # math.sqrt is correctly rounded (x**0.5 routes through pow and is
+    # not guaranteed to be) — keeps the double bit-identical to SQL sqrt
+    import math
+
+    rms = math.sqrt(sumsq / n) if n else 0.0
+    duration_ms = (n * 1000) // sample_rate
+    return sample_rate, n, int(duration_ms), rms
+
+
 AUDIO_FEATURES_SCHEMA = (
     "doc_id long, content_hash string, n_bytes long, "
     "n_windows int, rms_energy double, peak_byte int, zero_crossings long"
@@ -305,8 +374,10 @@ def extract_audio_features(
     arithmetic needs no codec library, so the full payload→features path
     runs for real (the pattern for any byte-level featurizer: checksum,
     entropy, magic-byte sniffing). A real container format (wav/mp3)
-    would need a decode step first — that seam is ``use_real_codec``,
-    which raises here like the image stub.
+    needs a decode step first — the REAL uncompressed-container path is
+    :func:`extract_wav_features` (dependency-free RIFF/PCM-16 parse);
+    ``use_real_codec=True`` here redirects there by raising with the
+    pointer (compressed formats — mp3/ogg — remain the codec seam).
 
     Scale: payload bytes DO flow through Arrow in this one (the features
     need them); keep upstream filters tight. All per-row work is numpy
@@ -325,8 +396,9 @@ def extract_audio_features(
         for pdf in it:
             if use_real_codec:
                 raise NotImplementedError(
-                    "container decode (wav/mp3) needs an audio library — "
-                    "not in this environment; raw-byte features run without it"
+                    "for real container decode use extract_wav_features "
+                    "(dependency-free RIFF/PCM-16); compressed formats "
+                    "(mp3/ogg) need an audio library — the codec seam"
                 )
             payloads = pdf["payload"]
             lens = payloads.str.len().fillna(0).astype("int64").to_numpy()
@@ -484,3 +556,48 @@ def resize_images(
             )
 
     return flat.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = (
+    "doc_id long, content_hash string, sample_rate int, "
+    "n_samples long, duration_ms long, rms double"
+)
+
+
+def extract_wav_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio container decode over ``mapInPandas``: every payload is
+    parsed as RIFF/PCM-16 WAV (:func:`decode_wav` — chunk walk, fmt
+    validation, int16 sample extraction) and reduced to sample-domain
+    features: sample rate, sample count, duration, integer-exact RMS.
+    The audio twin of the BMP/PPM image path — same contract: real bytes
+    in, real decode, NotImplementedError only at the compressed-codec
+    seam."""
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.content_hash").alias("content_hash"),
+        F.col(f"{media_col}.payload").alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content_hash": pdf["content_hash"],
+                    "sample_rate": pd.Series(
+                        [d[0] for d in decoded], dtype="int32"
+                    ),
+                    "n_samples": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        [d[2] for d in decoded], dtype="int64"
+                    ),
+                    "rms": pd.Series([d[3] for d in decoded], dtype="float64"),
+                }
+            )
+
+    return flat.mapInPandas(batches, schema=WAV_FEATURES_SCHEMA)

@@ -365,3 +365,54 @@ class TestBmpVariants:
         struct.pack_into("<H", payload, 28, 8)  # 8-bit palette bmp
         with pytest.raises(NotImplementedError, match="24-bit"):
             mm.decode_image(bytes(payload))
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        import math
+
+        samples = [0, 1000, -1000, 32767, -32768, 5]
+        payload = mm.encode_wav(samples, 16000)
+        rate, n, dur, rms = mm.decode_wav(payload)
+        assert (rate, n) == (16000, 6)
+        assert dur == 6 * 1000 // 16000
+        assert rms == math.sqrt(sum(s * s for s in samples) / 6)
+
+    def test_tolerates_extra_riff_chunks(self):
+        import struct
+
+        payload = mm.encode_wav([1, 2, 3], 8000)
+        # splice a LIST chunk between WAVE and fmt (spec-legal)
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        spliced = payload[:12] + extra + payload[12:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        assert mm.decode_wav(spliced) == mm.decode_wav(payload)
+
+    def test_non_wav_raises(self):
+        with pytest.raises(NotImplementedError, match="magic"):
+            mm.decode_wav(b"OggS----------------")
+
+    def test_stereo_raises(self):
+        import struct
+
+        payload = bytearray(mm.encode_wav([1, 2], 8000))
+        struct.pack_into("<H", payload, 22, 2)  # channels=2 in fmt chunk
+        with pytest.raises(NotImplementedError, match="mono"):
+            mm.decode_wav(bytes(payload))
+
+    def test_spark_end_to_end(self, spark):
+        from pyspark.sql import functions as SF
+
+        rows = [
+            (1, bytearray(mm.encode_wav([100] * 8, 8000))),
+            (2, bytearray(mm.encode_wav(list(range(-5, 5)), 4000))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+            "doc_id",
+            mm.pack_media(
+                SF.col("payload"), SF.lit(None).cast("string"), SF.lit("audio/wav")
+            ).alias("media"),
+        )
+        out = {r.doc_id: r for r in mm.extract_wav_features(df).collect()}
+        assert out[1].n_samples == 8 and out[1].rms == 100.0
+        assert out[2].sample_rate == 4000 and out[2].n_samples == 10
