@@ -576,7 +576,14 @@ def semantic_dedup_ledger(
     """
     from polars_pipe_spark.functions.similarity import cosine_expr, hyperplane_bucket
 
+    if not centroids:
+        raise ValueError("semantic_dedup_ledger: centroids must be non-empty")
     dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError(
+            "semantic_dedup_ledger: centroids must share one dimension "
+            f"(got lengths {sorted({len(c) for c in centroids})})"
+        )
     vm = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * quant).cast("long")
     )
@@ -1009,6 +1016,12 @@ def pagerank_exact(
 
     Returns ``(node, rank_micro)``.
     """
+    if not 0 <= damping_ppm <= 1_000_000:
+        raise ValueError(
+            f"pagerank_exact: damping_ppm={damping_ppm} must be in [0, 1e6]"
+        )
+    if iterations < 0:
+        raise ValueError(f"pagerank_exact: iterations={iterations} must be >= 0")
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionAll(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))

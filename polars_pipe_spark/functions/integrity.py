@@ -146,6 +146,10 @@ def count_min_sketch(
     depth·width, tiny) — this is exactly the mergeable-sketch property:
     sketches of two partitions/days sum cell-wise. No driver state; the
     grid itself is the output."""
+    if width < 1 or depth < 1:
+        raise ValueError(
+            f"count_min_sketch: width={width} and depth={depth} must be >= 1"
+        )
     cells = df.select(
         F.explode(
             F.array(
@@ -236,6 +240,8 @@ def hll_cardinality(
     ``n_exact`` is the exact distinct count the estimate is audited
     against.
     """
+    if m < 1:
+        raise ValueError(f"hll_cardinality: m={m} must be >= 1")
     key = F.col(key_col).cast("string")
     h = F.md5(key)
     reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
@@ -291,6 +297,8 @@ def hll_cardinality_by(
     Returns one row per group:
     ``(<group_col>, m, n_exact, n_zero_regs, s_scaled, est)``.
     """
+    if m < 1:
+        raise ValueError(f"hll_cardinality_by: m={m} must be >= 1")
     key = F.col(key_col).cast("string")
     h = F.md5(key)
     reg = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m

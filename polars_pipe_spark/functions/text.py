@@ -562,6 +562,11 @@ def cdc_chunks(col: str | Column, window: int = 3, mask: int = 16) -> Column:
     first 8 md5 hex chars (the shared md5-int convention), so any SQL
     engine reproduces identical boundaries.
     """
+    if window < 1 or mask < 1:
+        raise ValueError(
+            f"cdc_chunks: window={window} and mask={mask} must be >= 1 "
+            "(mask is the expected chunk length in tokens)"
+        )
     t = tokens(col)
     n = F.size(t)
     # boundary after position i (1-based) if i >= window and

@@ -607,3 +607,19 @@ class TestPagerankExact:
         }
         assert got[0] == max(got.values())
         assert all(got[0] > got[i] for i in range(1, 7))
+
+
+class TestRound5Guards:
+    def test_semantic_dedup_rejects_bad_centroids(self, spark):
+        df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="non-empty"):
+            dd.semantic_dedup_ledger(df, "embedding", "vec_id", [])
+        with pytest.raises(ValueError, match="dimension"):
+            dd.semantic_dedup_ledger(df, "embedding", "vec_id", [[1, 2], [3]])
+
+    def test_pagerank_rejects_bad_params(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="damping_ppm"):
+            dd.pagerank_exact(pairs, damping_ppm=2_000_000)
+        with pytest.raises(ValueError, match="iterations"):
+            dd.pagerank_exact(pairs, iterations=-1)

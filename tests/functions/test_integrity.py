@@ -9,6 +9,7 @@ without one; heavy hitters must be the exact threshold set.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from polars_pipe_spark.functions.integrity import (
@@ -162,3 +163,24 @@ class TestHllRegisters:
         r = hll_cardinality(df, "k", m=64).collect()[0]
         assert r.n_zero_regs >= 59  # most registers untouched
         assert 3 <= r.est <= 8  # linear counting keeps it near 5
+
+
+class TestSketchGuards:
+    def test_cms_rejects_degenerate_grid(self, spark):
+        from polars_pipe_spark.functions.integrity import count_min_sketch
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="width"):
+            count_min_sketch(df, "k", width=0, depth=2)
+
+    def test_hll_rejects_zero_registers(self, spark):
+        from polars_pipe_spark.functions.integrity import (
+            hll_cardinality,
+            hll_cardinality_by,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "k long, g string")
+        with pytest.raises(ValueError, match="m="):
+            hll_cardinality(df, "k", m=0)
+        with pytest.raises(ValueError, match="m="):
+            hll_cardinality_by(df, "g", "k", m=0)

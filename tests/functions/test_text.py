@@ -287,3 +287,12 @@ class TestCdcChunking:
 
     def test_empty_text(self, spark):
         assert self.chunks(spark, "") == []
+
+
+def test_cdc_chunks_rejects_degenerate_params(spark):
+    from polars_pipe_spark.functions.text import cdc_chunks
+
+    with pytest.raises(ValueError, match="window"):
+        cdc_chunks("text", window=0)
+    with pytest.raises(ValueError, match="mask"):
+        cdc_chunks("text", mask=0)
