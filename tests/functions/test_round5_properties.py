@@ -139,3 +139,63 @@ class TestBpeEncodeProperties:
         assert r.n_words == len(words)
         assert r.n_chars == sum(len(w) for w in words)
         assert r.n_words <= r.n_bpe_symbols <= r.n_chars
+
+
+class TestWavCodecProperties:
+    @given(
+        samples=st.lists(
+            st.integers(-32768, 32767), min_size=1, max_size=200
+        ),
+        rate=st.sampled_from([4000, 8000, 16000, 44100]),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_wav_roundtrip_any_samples(self, samples, rate):
+        import math
+
+        gr, n, dur, rms = mm.decode_wav(mm.encode_wav(samples, rate))
+        assert (gr, n) == (rate, len(samples))
+        assert dur == len(samples) * 1000 // rate
+        assert rms == math.sqrt(
+            sum(s * s for s in samples) / len(samples)
+        )
+
+
+class TestStreakProperties:
+    @given(
+        days=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    )
+    @settings(**SPARK_SETTINGS)
+    def test_islands_match_python_model(self, spark, days):
+        """The rn-difference islands recover exactly the runs a direct
+        scan of the sorted distinct day set finds."""
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        uniq = sorted(set(days))
+        runs, cur = [], 1
+        for a, b in zip(uniq, uniq[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        longest = max(runs)
+
+        df = spark.createDataFrame(
+            [(1, d) for d in days], "user_id long, day long"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("day")
+        got = (
+            df.distinct()
+            .withColumn("grp", F.col("day") - F.row_number().over(w))
+            .groupBy("user_id", "grp")
+            .count()
+            .groupBy("user_id")
+            .agg(F.max("count").alias("longest"))
+            .collect()[0]
+            .longest
+        )
+        assert got == longest
