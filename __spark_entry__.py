@@ -7274,6 +7274,55 @@ def _q261_wav_decode(spark, sf):
     )
 
 
+def _q262_seasonal_backtest(spark, sf):
+    """Forecast backtesting: score the seasonal-naive baseline
+    (forecast(t) = actual(t−7)) over every day that has a week-ago
+    anchor — the evaluation harness any forecasting pipeline needs
+    before trusting a fancier model. Errors stay in integer cents; the
+    two headline metrics are integer-exact ratios: WAPE (Σ|err| over
+    Σ actual, in ppm — the weighted MAPE that tolerates zero-actual
+    days) and signed bias (sign-split DIV). One daily aggregate + one
+    7-day-lag self-join per event type — both keyed, no windows."""
+    ev = _t_par(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+                "day"
+            ),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .persist()
+    )
+    fc = daily.select(
+        "event_type",
+        (F.col("day") + 7).alias("day"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    scored = daily.join(fc, ["event_type", "day"]).select(
+        "event_type",
+        (F.col("cents") - F.col("forecast_cents")).alias("err"),
+        "cents",
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("err"))).alias("abs_err"),
+        F.sum("err").alias("sum_err"),
+        F.sum("cents").alias("sum_actual"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr("CAST(abs_err * 1000000 AS BIGINT) DIV sum_actual").alias(
+            "wape_ppm"
+        ),
+        (
+            F.signum(F.col("sum_err").cast("double")).cast("long")
+            * F.expr("abs(sum_err) * 1000000 DIV sum_actual")
+        ).alias("bias_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7540,6 +7589,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q259_theil_sen": _q259_theil_sen,
     "q260_longest_streak": _q260_longest_streak,
     "q261_wav_decode": _q261_wav_decode,
+    "q262_seasonal_backtest": _q262_seasonal_backtest,
 }
 
 
@@ -12784,6 +12834,33 @@ _ORACLES["q261_wav_decode"] = """
            ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
                            AS DOUBLE) / n), 6) AS rms
     FROM w
+"""
+
+
+_ORACLES["q262_seasonal_backtest"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT a.event_type, a.cents - f.cents AS err, a.cents
+      FROM daily a JOIN daily f
+        ON a.event_type = f.event_type AND a.day = f.day + 7
+    ), agg AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             SUM(ABS(err)) AS abs_err, SUM(err) AS sum_err,
+             SUM(cents) AS sum_actual
+      FROM scored GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST((abs_err * 1000000) // sum_actual AS BIGINT) AS wape_ppm,
+           CAST(CASE WHEN sum_err >= 0
+                THEN (sum_err * 1000000) // sum_actual
+                ELSE -((-sum_err * 1000000) // sum_actual)
+           END AS BIGINT) AS bias_ppm
+    FROM agg
 """
 
 
