@@ -7323,6 +7323,52 @@ def _q262_seasonal_backtest(spark, sf):
     )
 
 
+def _q263_source_entropy(spark, sf):
+    """Corpus diversity: Shannon entropy (and its exponential, the
+    effective source count) of the documents-per-source distribution,
+    plus normalized evenness. Demonstrates the canonical pattern for
+    DETERMINISTIC floating-point reduction across engines: the per-source
+    −p·ln p terms are collected into a SORTED array (keyed by source) and
+    folded left-to-right with F.aggregate — aggregate SUM over doubles
+    has partition-order-dependent rounding, a sorted-array fold does not.
+    Bounded by the source dimension (~20 rows collected), exactly the
+    frame size where collect_list is legitimate."""
+    docs = _t_par(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    terms = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (
+                -(F.col("n").cast("double") / F.col("total"))
+                * F.log(F.col("n").cast("double") / F.col("total"))
+            ).alias("term"),
+            "total",
+        )
+    )
+    folded = terms.groupBy("total").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "term"))),
+                lambda st: st["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("entropy_nats"),
+    )
+    return folded.select(
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("total").cast("long").alias("n_docs"),
+        F.round("entropy_nats", 6).alias("entropy_nats"),
+        F.round(F.exp("entropy_nats"), 6).alias("effective_sources"),
+        F.round(
+            F.col("entropy_nats") / F.log(F.col("n_sources").cast("double")), 6
+        ).alias("evenness"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7590,6 +7636,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q260_longest_streak": _q260_longest_streak,
     "q261_wav_decode": _q261_wav_decode,
     "q262_seasonal_backtest": _q262_seasonal_backtest,
+    "q263_source_entropy": _q263_source_entropy,
 }
 
 
@@ -12861,6 +12908,37 @@ _ORACLES["q262_seasonal_backtest"] = """
                 ELSE -((-sum_err * 1000000) // sum_actual)
            END AS BIGINT) AS bias_ppm
     FROM agg
+"""
+
+
+# q263: identical source-sorted left fold in SQL (list_sort +
+# list_reduce seeded with 0.0 — 0.0 + x = x keeps the fold aligned).
+_ORACLES["q263_source_entropy"] = """
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ), t AS (SELECT SUM(n) AS total FROM c),
+    terms AS (
+      SELECT source,
+             -(CAST(n AS DOUBLE) / total) * ln(CAST(n AS DOUBLE) / total)
+               AS term,
+             total
+      FROM c, t
+    ), folded AS (
+      SELECT total, COUNT(*) AS n_sources,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(
+                   list_sort(list({'s': source, 't': term})), r -> r.t)),
+               (acc, x) -> acc + x) AS entropy_nats
+      FROM terms GROUP BY total
+    )
+    SELECT CAST(n_sources AS BIGINT) AS n_sources,
+           CAST(total AS BIGINT) AS n_docs,
+           ROUND(entropy_nats, 6) AS entropy_nats,
+           ROUND(exp(entropy_nats), 6) AS effective_sources,
+           ROUND(entropy_nats / ln(CAST(n_sources AS DOUBLE)), 6) AS evenness
+    FROM folded
 """
 
 
