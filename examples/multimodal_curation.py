@@ -32,7 +32,9 @@ from polars_pipe_spark.functions.dedup import semantic_dedup_ledger
 from polars_pipe_spark.functions.integrity import count_min_estimates
 from polars_pipe_spark.functions.multimodal import (
     encode_bmp,
+    encode_wav,
     extract_image_features,
+    extract_wav_features,
     pack_media,
     resize_images,
 )
@@ -73,6 +75,29 @@ def main() -> None:
     # 2) real resize path: decode → sample → BMP re-encode
     print("== real resize 8x8 ==")
     resize_images(media, 8, 8, use_fake_decoder=False).show(5)
+
+    # 2b) real WAV decode: RIFF/PCM-16 container parse to sample features
+    def make_wav(it):
+        for pdf in it:
+            payloads = [
+                encode_wav([(int(d) * 37 + i * 11) % 2001 - 1000 for i in range(40)])
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    audio = (
+        docs.select("doc_id")
+        .limit(50)
+        .mapInPandas(make_wav, "doc_id long, payload binary")
+        .select(
+            "doc_id",
+            pack_media(
+                F.col("payload"), F.lit(None).cast("string"), F.lit("audio/wav")
+            ).alias("media"),
+        )
+    )
+    print("== real WAV decode ==")
+    extract_wav_features(audio).show(5)
 
     # 3) SemDeDup ledger over embeddings (centroids = first 4 vectors,
     #    quantized in-engine)
