@@ -7369,6 +7369,80 @@ def _q263_source_entropy(spark, sf):
     )
 
 
+def _q264_sparse_cosine_topk(spark, sf):
+    """SPARSE document-to-document cosine top-k through the inverted
+    index — the lexical/sparse-retrieval counterpart of the dense ANN
+    family (q28/q29/q33/q168): pairs meet only through SHARED TOKENS
+    (token-keyed join), with the classic df-cap making the fanout
+    bounded — tokens appearing in more than 50 documents are dropped
+    from pairing (stopwords carry no similarity signal and would
+    contribute O(df²) pairs; this is Elasticsearch's
+    max_doc_freq idea). TF-IDF weights quantize to integer micros so the
+    per-pair dot is an exact BIGINT sum; the one double step is the
+    final norm division on identical operands. Top-3 per doc by keyed
+    rank window."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).persist()
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq.filter(F.col("df") <= 50), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_id",
+            F.round(
+                F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .persist()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_micro") * F.col("w_micro")).alias("norm2")
+    )
+    pairs = (
+        w.alias("a")
+        .join(
+            w.select(
+                F.col("token").alias("token_b"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("w_micro").alias("w_b"),
+            ),
+            (F.col("a.token") == F.col("token_b"))
+            & (F.col("a.doc_id") < F.col("doc_b")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("doc_b"))
+        .agg(F.sum(F.col("a.w_micro") * F.col("w_b")).alias("dot"))
+    )
+    scored = (
+        pairs.join(norms.withColumnsRenamed({"doc_id": "doc_a", "norm2": "na"}), "doc_a")
+        .join(norms.withColumnsRenamed({"doc_id": "doc_b", "norm2": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    rk = Window.partitionBy("doc_a").orderBy(
+        F.col("cosine").desc(), F.col("doc_b").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_a", "doc_b", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7637,6 +7711,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q261_wav_decode": _q261_wav_decode,
     "q262_seasonal_backtest": _q262_seasonal_backtest,
     "q263_source_entropy": _q263_source_entropy,
+    "q264_sparse_cosine_topk": _q264_sparse_cosine_topk,
 }
 
 
@@ -12939,6 +13014,46 @@ _ORACLES["q263_source_entropy"] = """
            ROUND(exp(entropy_nats), 6) AS effective_sources,
            ROUND(entropy_nats / ln(CAST(n_sources AS DOUBLE)), 6) AS evenness
     FROM folded
+"""
+
+
+# q264: same micro-quantized tf-idf weights (inner round-6 first, like
+# the Spark chain), df cap, integer dots, one double norm division.
+_ORACLES["q264_sparse_cosine_topk"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.token, tf.doc_id,
+             CAST(ROUND(ROUND(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df), 6)
+                        * 1000000) AS BIGINT) AS w_micro
+      FROM tf JOIN dfreq USING (token), nd
+      WHERE dfreq.df <= 50
+    ), norms AS (
+      SELECT doc_id, SUM(w_micro * w_micro) AS norm2 FROM w GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.w_micro * b.w_micro) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.doc_a, p.doc_b,
+             ROUND(CAST(p.dot AS DOUBLE)
+                   / sqrt(CAST(na.norm2 AS DOUBLE)
+                          * CAST(nb.norm2 AS DOUBLE)), 6) AS cosine
+      FROM pairs p
+      JOIN norms na ON na.doc_id = p.doc_a
+      JOIN norms nb ON nb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, cosine, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_a
+                                   ORDER BY cosine DESC, doc_b ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
 """
 
 
