@@ -7309,7 +7309,11 @@ def _q262_seasonal_backtest(spark, sf):
         F.sum(F.abs(F.col("err"))).alias("abs_err"),
         F.sum("err").alias("sum_err"),
         F.sum("cents").alias("sum_actual"),
-    )
+    # all-zero-actual groups are excluded on BOTH sides: Spark's DIV by
+    # zero nulls silently while DuckDB // errors — the engines would
+    # diverge exactly there (cannot happen on this data, value > 0, but
+    # the operator should not rely on that)
+    ).filter(F.col("sum_actual") > 0)
     return agg.select(
         "event_type",
         F.col("n_days").cast("long").alias("n_days"),
@@ -12975,6 +12979,7 @@ _ORACLES["q262_seasonal_backtest"] = """
              SUM(ABS(err)) AS abs_err, SUM(err) AS sum_err,
              SUM(cents) AS sum_actual
       FROM scored GROUP BY event_type
+      HAVING SUM(cents) > 0
     )
     SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
            CAST((abs_err * 1000000) // sum_actual AS BIGINT) AS wape_ppm,
