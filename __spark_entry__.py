@@ -7447,6 +7447,102 @@ def _q264_sparse_cosine_topk(spark, sf):
     )
 
 
+def _q265_front_coding(spark, sf):
+    """Dictionary front coding (the term-dictionary compression inside
+    Lucene/parquet dictionary pages): sort the vocabulary, store each
+    term as (shared-prefix length with predecessor, suffix). Reported
+    per first-character block: terms, raw chars, chars saved by prefix
+    sharing, and the ppm saving. The sort is PARTITIONED by first
+    character (≤ a few dozen blocks — never a global sort; the one
+    cross-block comparison forfeited per block is the documented
+    trade), and the shared-prefix length is a pure expression over
+    lag(term) — no UDF."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .withColumn("blk", F.substring("term", 1, 1))
+    )
+    w = Window.partitionBy("blk").orderBy("term")
+    lagged = vocab.withColumn("prev", F.lag("term").over(w))
+    # common prefix length via the first differing position: compare
+    # char-by-char over the shorter length with a filtered sequence
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(F.length("term"), F.length("prev")),
+                    ),
+                    lambda i: F.col("term").substr(i, F.lit(1))
+                    != F.col("prev").substr(i, F.lit(1)),
+                )
+            )
+            - 1,
+            F.least(F.length("term"), F.length("prev")),
+        )
+    )
+    coded = lagged.withColumn("lcp", lcp)
+    return (
+        coded.groupBy("blk")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.length("term")).alias("raw_chars"),
+            F.sum("lcp").alias("saved_chars"),
+        )
+        .select(
+            "blk",
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.col("raw_chars").cast("long").alias("raw_chars"),
+            F.col("saved_chars").cast("long").alias("saved_chars"),
+            F.expr("CAST(saved_chars * 1000000 AS BIGINT) DIV raw_chars").alias(
+                "saving_ppm"
+            ),
+        )
+    )
+
+
+def _q266_good_turing(spark, sf):
+    """Good–Turing unseen-mass estimate from the frequency-of-
+    frequencies table (the count-of-counts double aggregate every
+    language model smoother starts from): P(unseen) ≈ N₁/N where N₁ is
+    the hapax count. Output: vocabulary size, token mass, hapax/dis
+    legomena, and the unseen-mass estimate in exact ppm — plus the
+    Good–Turing r* for r=1 (2·N₂/N₁, milli-scaled integer), the
+    smoothed count a hapax should really get."""
+    from polars_pipe_spark.functions.text import tokens
+
+    docs = _t_par(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = counts.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    return fof.agg(
+        F.sum("n_r").alias("vocab"),
+        F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_r"))).alias("n1"),
+        F.sum(F.when(F.col("r") == 2, F.col("n_r"))).alias("n2"),
+    ).select(
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n1", F.lit(0)).cast("long").alias("n_hapax"),
+        F.coalesce("n2", F.lit(0)).cast("long").alias("n_dis"),
+        F.expr(
+            "CAST(COALESCE(n1, 0) * 1000000 AS BIGINT) DIV n_tokens"
+        ).alias("unseen_mass_ppm"),
+        F.expr(
+            "CASE WHEN COALESCE(n1, 0) > 0 THEN "
+            "CAST(2 * COALESCE(n2, 0) * 1000 AS BIGINT) DIV n1 "
+            "ELSE CAST(0 AS BIGINT) END"
+        ).alias("r_star_1_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7716,6 +7812,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q262_seasonal_backtest": _q262_seasonal_backtest,
     "q263_source_entropy": _q263_source_entropy,
     "q264_sparse_cosine_topk": _q264_sparse_cosine_topk,
+    "q265_front_coding": _q265_front_coding,
+    "q266_good_turing": _q266_good_turing,
 }
 
 
@@ -13059,6 +13157,60 @@ _ORACLES["q264_sparse_cosine_topk"] = f"""
                                    ORDER BY cosine DESC, doc_b ASC) AS rk
       FROM scored
     ) WHERE rk <= 3
+"""
+
+
+# q265: identical blocked sort + lag + first-mismatch LCP in SQL.
+_ORACLES["q265_front_coding"] = f"""
+    WITH vocab AS (
+      SELECT DISTINCT t AS term, substr(t, 1, 1) AS blk
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    ), lagged AS (
+      SELECT blk, term,
+             lag(term) OVER (PARTITION BY blk ORDER BY term) AS prev
+      FROM vocab
+    ), coded AS (
+      SELECT blk, term,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE COALESCE(
+                    list_min(list_filter(
+                      range(1, LEAST(length(term), length(prev)) + 1),
+                      i -> substr(term, CAST(i AS INT), 1)
+                           <> substr(prev, CAST(i AS INT), 1))) - 1,
+                    LEAST(length(term), length(prev)))
+             END AS lcp
+      FROM lagged
+    )
+    SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(length(term)) AS BIGINT) AS raw_chars,
+           CAST(SUM(lcp) AS BIGINT) AS saved_chars,
+           CAST((SUM(lcp) * 1000000) // SUM(length(term)) AS BIGINT)
+             AS saving_ppm
+    FROM coded GROUP BY blk
+"""
+
+
+# q266: the count-of-counts double aggregate and exact integer ratios.
+_ORACLES["q266_good_turing"] = f"""
+    WITH counts AS (
+      SELECT t AS term, COUNT(*) AS r
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t
+    ), fof AS (
+      SELECT r, COUNT(*) AS n_r FROM counts GROUP BY r
+    )
+    SELECT CAST(SUM(n_r) AS BIGINT) AS vocab,
+           CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT)
+             AS n_hapax,
+           CAST(COALESCE(SUM(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT)
+             AS n_dis,
+           CAST((COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) * 1000000)
+                // SUM(r * n_r) AS BIGINT) AS unseen_mass_ppm,
+           CAST(CASE WHEN COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) > 0
+                THEN (2 * COALESCE(SUM(CASE WHEN r = 2 THEN n_r END), 0)
+                      * 1000) // SUM(CASE WHEN r = 1 THEN n_r END)
+                ELSE 0 END AS BIGINT) AS r_star_1_milli
+    FROM fof
 """
 
 
