@@ -7543,6 +7543,151 @@ def _q266_good_turing(spark, sf):
     )
 
 
+def _q267_er_evaluation(spark, sf):
+    """Entity-resolution EVALUATION harness — q256 runs the flow, this
+    scores it against ground truth (the construction knows every true
+    match: clone 10k+1 ↔ original 10k): pairwise precision/recall/F1
+    over the predicted same-entity pairs, all exact-integer ppm. The
+    standard ER metric (pairwise P/R) computed distributively: predicted
+    pairs come from a per-entity size aggregate (Σ sz·(sz−1)/2 — never
+    enumerating pairs), true-positive pairs from joining each record's
+    predicted entity to its ground-truth partner's."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters
+
+    cust = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    clones = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+            F.concat(
+                F.substring(F.lower(F.col("c_name")), 1, 2),
+                F.substring(F.lower(F.col("c_name")), 4, 100),
+            ).alias("name"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    records = cust.unionByName(clones).persist()
+    b = records.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("name").alias("name_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    edges = (
+        records.alias("a")
+        .join(
+            b,
+            (F.col("a.cents") == F.col("cents_b"))
+            & (F.col("a.rec_id") < F.col("rec_b")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("name_b")) <= 2)
+        .select(F.col("a.rec_id").alias("id_a"), F.col("rec_b").alias("id_b"))
+    )
+    clusters = dedup_clusters(edges).select(
+        F.col("node").alias("rec_id"), "cluster_id"
+    )
+    resolved = records.join(clusters, "rec_id", "left").select(
+        "rec_id", F.coalesce("cluster_id", F.col("rec_id")).alias("entity_id")
+    ).persist()
+    # predicted pairs = Σ sz·(sz−1)/2 over entities
+    pred = resolved.groupBy("entity_id").agg(F.count(F.lit(1)).alias("sz")).agg(
+        F.sum(F.expr("(sz * (sz - 1)) DIV 2")).alias("n_pred_pairs")
+    )
+    # ground truth: one true pair per clone (orig 10k, clone 10k+1)
+    truth = clones.select(
+        (F.col("rec_id") - 1).alias("rec_orig"), F.col("rec_id").alias("rec_clone")
+    )
+    tp = (
+        truth.join(
+            resolved.withColumnsRenamed({"rec_id": "rec_orig", "entity_id": "ea"}),
+            "rec_orig",
+        )
+        .join(
+            resolved.withColumnsRenamed({"rec_id": "rec_clone", "entity_id": "eb"}),
+            "rec_clone",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.when(F.col("ea") == F.col("eb"), 1).otherwise(0)).alias("tp"),
+        )
+    )
+    return (
+        pred.crossJoin(F.broadcast(tp))
+        .select(
+            F.col("n_pred_pairs").cast("long").alias("n_pred_pairs"),
+            F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+            F.col("tp").cast("long").alias("tp"),
+            F.expr("CAST(tp * 1000000 AS BIGINT) DIV n_pred_pairs").alias(
+                "precision_ppm"
+            ),
+            F.expr("CAST(tp * 1000000 AS BIGINT) DIV n_true_pairs").alias(
+                "recall_ppm"
+            ),
+            F.expr(
+                "CAST((2 * tp) * 1000000 AS BIGINT) DIV (n_pred_pairs + n_true_pairs)"
+            ).alias("f1_ppm"),
+        )
+    )
+
+
+def _q268_secret_scan(spark, sf):
+    """Pre-training secret/credential screening — the redaction pass a
+    corpus runs before anything ships: flag tokens shaped like API keys
+    or credentials (long base64-ish or hex runs) and confirm with a
+    cheap INTEGER entropy proxy (distinct-character count ≥ 10 —
+    dictionary words fail it, random keys pass). Candidates are planted
+    deterministically in-query (every doc_id % 23 == 5 doc gets a
+    synthetic hex credential derived from its md5) so detection has
+    ground truth: the output's recall columns prove every plant is
+    found and nothing legitimate fires. Pure regexp + array exprs; the
+    patterns are RE2-safe so both engines match identically."""
+    docs = _t_par(spark, sf, "documents")
+    planted = docs.withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 23 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" api_key="),
+                F.md5(F.col("doc_id").cast("string")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cands = planted.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text2"), F.lit(r"[A-Fa-f0-9]{32,}|[A-Za-z0-9+/]{28,}={0,2}"), 0
+            )
+        ).alias("cand"),
+    )
+    confirmed = cands.withColumn(
+        "distinct_chars", F.size(F.array_distinct(F.split(F.col("cand"), "")))
+    ).filter(F.col("distinct_chars") >= 10)
+    summary = confirmed.agg(
+        F.count(F.lit(1)).alias("n_secrets"),
+        F.countDistinct("doc_id").alias("n_docs_with_secrets"),
+    )
+    expected = docs.agg(
+        F.sum(F.when(F.col("doc_id") % 23 == 5, 1).otherwise(0)).alias("n_planted")
+    )
+    return (
+        summary.crossJoin(F.broadcast(expected))
+        .select(
+            F.col("n_secrets").cast("long").alias("n_secrets"),
+            F.col("n_docs_with_secrets").cast("long").alias("n_docs_with_secrets"),
+            F.col("n_planted").cast("long").alias("n_planted"),
+            (F.col("n_docs_with_secrets") == F.col("n_planted")).alias(
+                "all_plants_found"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7814,6 +7959,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q264_sparse_cosine_topk": _q264_sparse_cosine_topk,
     "q265_front_coding": _q265_front_coding,
     "q266_good_turing": _q266_good_turing,
+    "q267_er_evaluation": _q267_er_evaluation,
+    "q268_secret_scan": _q268_secret_scan,
 }
 
 
@@ -13211,6 +13358,92 @@ _ORACLES["q266_good_turing"] = f"""
                       * 1000) // SUM(CASE WHEN r = 1 THEN n_r END)
                 ELSE 0 END AS BIGINT) AS r_star_1_milli
     FROM fof
+"""
+
+
+# q267: P/R/F1 replayed over the same recursive closure; predicted
+# pairs via Σ sz·(sz−1)/2, tp via entity-of-orig = entity-of-clone.
+_ORACLES["q267_er_evaluation"] = """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 10 AS rec_id, lower(c_name) AS name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 10 + 1,
+             substr(lower(c_name), 1, 2) || substr(lower(c_name), 4),
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 0
+    ), prs AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM recs a JOIN recs b
+        ON a.cents = b.cents AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM prs
+      UNION SELECT id_b, id_a FROM prs
+    ), nodes AS (SELECT DISTINCT s AS n FROM edges),
+    walk(n, l) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.d, walk.l FROM walk JOIN edges e ON walk.n = e.s
+    ), cl AS (SELECT n AS rec_id, MIN(l) AS cluster_id FROM walk GROUP BY n),
+    resolved AS (
+      SELECT r.rec_id, COALESCE(cl.cluster_id, r.rec_id) AS entity_id
+      FROM recs r LEFT JOIN cl USING (rec_id)
+    ), pred AS (
+      SELECT SUM((sz * (sz - 1)) // 2) AS n_pred_pairs FROM (
+        SELECT COUNT(*) AS sz FROM resolved GROUP BY entity_id)
+    ), truth AS (
+      SELECT c_custkey * 10 AS rec_orig, c_custkey * 10 + 1 AS rec_clone
+      FROM customer WHERE c_custkey % 7 = 0
+    ), tp AS (
+      SELECT COUNT(*) AS n_true_pairs,
+             SUM(CASE WHEN ra.entity_id = rb.entity_id THEN 1 ELSE 0 END) AS tp
+      FROM truth t
+      JOIN resolved ra ON ra.rec_id = t.rec_orig
+      JOIN resolved rb ON rb.rec_id = t.rec_clone
+    )
+    SELECT CAST(n_pred_pairs AS BIGINT) AS n_pred_pairs,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(tp AS BIGINT) AS tp,
+           CAST((tp * 1000000) // n_pred_pairs AS BIGINT) AS precision_ppm,
+           CAST((tp * 1000000) // n_true_pairs AS BIGINT) AS recall_ppm,
+           CAST(((2 * tp) * 1000000) // (n_pred_pairs + n_true_pairs)
+                AS BIGINT) AS f1_ppm
+    FROM pred, tp
+"""
+
+
+# q268: same plant rule, same RE2-safe patterns, same distinct-char
+# entropy proxy; the recall boolean is computed, not asserted.
+_ORACLES["q268_secret_scan"] = """
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 23 = 5
+                  THEN text || ' api_key=' || md5(CAST(doc_id AS VARCHAR))
+                  ELSE text END AS text2
+      FROM documents
+    ), cands AS (
+      SELECT doc_id, unnest(regexp_extract_all(text2,
+               '[A-Fa-f0-9]{32,}|[A-Za-z0-9+/]{28,}={0,2}')) AS cand
+      FROM planted
+    ), confirmed AS (
+      SELECT doc_id, cand
+      FROM cands
+      WHERE len(list_distinct(string_split(cand, ''))) >= 10
+    ), s AS (
+      SELECT COUNT(*) AS n_secrets,
+             COUNT(DISTINCT doc_id) AS n_docs_with_secrets
+      FROM confirmed
+    ), x AS (
+      SELECT SUM(CASE WHEN doc_id % 23 = 5 THEN 1 ELSE 0 END) AS n_planted
+      FROM documents
+    )
+    SELECT CAST(n_secrets AS BIGINT) AS n_secrets,
+           CAST(n_docs_with_secrets AS BIGINT) AS n_docs_with_secrets,
+           CAST(n_planted AS BIGINT) AS n_planted,
+           n_docs_with_secrets = n_planted AS all_plants_found
+    FROM s, x
 """
 
 
