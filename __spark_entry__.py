@@ -7688,6 +7688,83 @@ def _q268_secret_scan(spark, sf):
     )
 
 
+def _q269_bloom_fpr(spark, sf):
+    """Explicit Bloom filter with a MEASURED false-positive-rate audit —
+    the proof behind q204's join pruning: m=4096 bits, k=3 md5-derived
+    hash functions, built from the purchase-user set, probed with a
+    DISJOINT synthetic key set (user_id + 10⁶ — guaranteed non-members).
+    A probe is a false positive iff all k of its buckets are occupied.
+    Every bucket is deterministic (the shared md5-int convention), so
+    the measured FPR is exact and the oracle replays bit-for-bit; the
+    theoretical rate (1 − e^{−kn/m})^k rides along for comparison — the
+    audit a capacity-planning doc would cite. Filter state is the
+    distinct occupied-bucket set (≤ m rows, broadcast to the probe
+    side)."""
+    m_bits, k = 4096, 3
+    ev = _t_par(spark, sf, "events")
+    members = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+
+    def buckets(col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{r}:"), col.cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+                for r in range(k)
+            ]
+        )
+
+    bits = members.select(
+        F.explode(buckets(F.col("user_id"))).alias("bit")
+    ).distinct()
+    probes = members.select((F.col("user_id") + 1_000_000).alias("probe_id"))
+    probe_bits = probes.select(
+        "probe_id", F.explode(buckets(F.col("probe_id"))).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("probe_id")
+        .agg(F.sum(F.coalesce("__set", F.lit(0))).alias("n_set"))
+    )
+    stats = hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("n_set") == k, 1).otherwise(0)).alias("n_false_pos"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    n_mem = members.agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        stats.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_mem))
+        .select(
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("bits_set").cast("long").alias("bits_set"),
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_false_pos").cast("long").alias("n_false_pos"),
+            F.expr("CAST(n_false_pos * 1000000 AS BIGINT) DIV n_probes").alias(
+                "measured_fpr_ppm"
+            ),
+            F.round(
+                F.pow(
+                    1.0
+                    - F.exp(
+                        -(F.lit(float(k)) * F.col("n_members").cast("double"))
+                        / F.lit(float(m_bits))
+                    ),
+                    F.lit(float(k)),
+                ),
+                6,
+            ).alias("theoretical_fpr"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7961,6 +8038,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q266_good_turing": _q266_good_turing,
     "q267_er_evaluation": _q267_er_evaluation,
     "q268_secret_scan": _q268_secret_scan,
+    "q269_bloom_fpr": _q269_bloom_fpr,
 }
 
 
@@ -13444,6 +13522,53 @@ _ORACLES["q268_secret_scan"] = """
            CAST(n_planted AS BIGINT) AS n_planted,
            n_docs_with_secrets = n_planted AS all_plants_found
     FROM s, x
+"""
+
+
+# q269: bit set, probes, and both FPRs replayed — the theoretical rate
+# uses the identical operand order (1 − e^{−k·n/m})^k.
+_ORACLES["q269_bloom_fpr"] = f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), bits AS (
+      SELECT DISTINCT ({_cms_hash_sql("'0:' || CAST(user_id AS VARCHAR)")}) % 4096 AS bit,
+             0 AS r FROM members
+      UNION
+      SELECT DISTINCT ({_cms_hash_sql("'1:' || CAST(user_id AS VARCHAR)")}) % 4096, 1
+      FROM members
+      UNION
+      SELECT DISTINCT ({_cms_hash_sql("'2:' || CAST(user_id AS VARCHAR)")}) % 4096, 2
+      FROM members
+    ), bitset AS (SELECT DISTINCT bit FROM bits),
+    probes AS (SELECT user_id + 1000000 AS probe_id FROM members),
+    pb AS (
+      SELECT probe_id,
+             ({_cms_hash_sql("'0:' || CAST(probe_id AS VARCHAR)")}) % 4096 AS b0,
+             ({_cms_hash_sql("'1:' || CAST(probe_id AS VARCHAR)")}) % 4096 AS b1,
+             ({_cms_hash_sql("'2:' || CAST(probe_id AS VARCHAR)")}) % 4096 AS b2
+      FROM probes
+    ), hits AS (
+      SELECT probe_id,
+             (CASE WHEN b0 IN (SELECT bit FROM bitset) THEN 1 ELSE 0 END
+              + CASE WHEN b1 IN (SELECT bit FROM bitset) THEN 1 ELSE 0 END
+              + CASE WHEN b2 IN (SELECT bit FROM bitset) THEN 1 ELSE 0 END)
+               AS n_set
+      FROM pb
+    ), s AS (
+      SELECT COUNT(*) AS n_probes,
+             SUM(CASE WHEN n_set = 3 THEN 1 ELSE 0 END) AS n_false_pos
+      FROM hits
+    ), nb AS (SELECT COUNT(*) AS bits_set FROM bitset),
+    nm AS (SELECT COUNT(*) AS n_members FROM members)
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           CAST(n_probes AS BIGINT) AS n_probes,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CAST((n_false_pos * 1000000) // n_probes AS BIGINT)
+             AS measured_fpr_ppm,
+           ROUND(pow(1.0 - exp(-(3.0 * CAST(n_members AS DOUBLE)) / 4096.0),
+                     3.0), 6) AS theoretical_fpr
+    FROM s, nb, nm
 """
 
 
