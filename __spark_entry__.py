@@ -7765,6 +7765,65 @@ def _q269_bloom_fpr(spark, sf):
     )
 
 
+def _q270_ipf_raking(spark, sf):
+    """Iterative proportional fitting (raking — Deming & Stephan 1940,
+    the survey-calibration workhorse): reweight the (event_type ×
+    day-of-week) contingency table so both margins match uniform targets
+    (total DIV 5 per type, total DIV 7 per dow). Four full iterations of
+    alternating row/column scaling, every step in integer micro-weights
+    with the scale products routed through DECIMAL(38,0) DIV (the q147
+    overflow discipline) — a fully deterministic recurrence both engines
+    replay, the q169/q252 unrolled-oracle pattern. Each half-step is one
+    margin-keyed partial aggregate joined back; the 35-cell frame is
+    tiny but the shape is margin-keyed, never a global window."""
+    ev = _t_par(spark, sf, "events")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') % 7").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    total = cells.agg(F.sum("n").alias("t")).first()["t"]
+    t_row_micro = (int(total) // 5) * 1_000_000
+    t_col_micro = (int(total) // 7) * 1_000_000
+    w = cells.select(
+        "event_type", "dow", (F.col("n") * 1_000_000).cast("long").alias("w")
+    )
+    for _ in range(4):
+        rs = w.groupBy("event_type").agg(F.sum("w").alias("rs"))
+        w = (
+            w.join(rs, "event_type")
+            .select(
+                "event_type",
+                "dow",
+                F.expr(
+                    f"CAST(CAST(w AS DECIMAL(38,0)) * {t_row_micro}"
+                    " AS DECIMAL(38,0)) DIV rs"
+                ).cast("long").alias("w"),
+            )
+        )
+        cs = w.groupBy("dow").agg(F.sum("w").alias("cs"))
+        w = (
+            w.join(cs, "dow")
+            .select(
+                "event_type",
+                "dow",
+                F.expr(
+                    f"CAST(CAST(w AS DECIMAL(38,0)) * {t_col_micro}"
+                    " AS DECIMAL(38,0)) DIV cs"
+                ).cast("long").alias("w"),
+            )
+            .localCheckpoint()
+        )
+    return w.select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("w").alias("weight_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8039,6 +8098,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q267_er_evaluation": _q267_er_evaluation,
     "q268_secret_scan": _q268_secret_scan,
     "q269_bloom_fpr": _q269_bloom_fpr,
+    "q270_ipf_raking": _q270_ipf_raking,
 }
 
 
@@ -13570,6 +13630,52 @@ _ORACLES["q269_bloom_fpr"] = f"""
                      3.0), 6) AS theoretical_fpr
     FROM s, nb, nm
 """
+
+
+# q270: the eight IPF half-steps unrolled; HUGEINT keeps the scale
+# products exact; targets derived from the same total.
+def _ipf_oracle_sql(iterations: int = 4) -> str:
+    parts = [
+        """
+    WITH cells AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                  AS BIGINT) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT (SUM(n) // 5) * 1000000 AS t_row,
+             (SUM(n) // 7) * 1000000 AS t_col
+      FROM cells
+    ), w0 AS (
+      SELECT event_type, dow, CAST(n * 1000000 AS BIGINT) AS w FROM cells
+    )"""
+    ]
+    prev = "w0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT w.event_type, w.dow,
+             CAST((CAST(w.w AS HUGEINT) * t.t_row) // rs.rs AS BIGINT) AS w
+      FROM {prev} w
+      JOIN (SELECT event_type, SUM(w) AS rs FROM {prev} GROUP BY event_type) rs
+        USING (event_type), t
+    ), c{i} AS (
+      SELECT w.event_type, w.dow,
+             CAST((CAST(w.w AS HUGEINT) * t.t_col) // cs.cs AS BIGINT) AS w
+      FROM r{i} w
+      JOIN (SELECT dow, SUM(w) AS cs FROM r{i} GROUP BY dow) cs USING (dow), t
+    )"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+    SELECT event_type, dow, w AS weight_micro FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+_ORACLES["q270_ipf_raking"] = _ipf_oracle_sql(4)
 
 
 def oracle_sql() -> dict[str, str]:
