@@ -7824,6 +7824,48 @@ def _q270_ipf_raking(spark, sf):
     )
 
 
+def _q271_forward_asof(spark, sf):
+    """FORWARD as-of join with tolerance (pandas merge_asof's
+    direction='forward', the half q21's backward as-of leaves open): for
+    every click, the user's NEXT purchase within 7 days — the
+    time-to-conversion lookup as a JOIN, not an aggregate. Same
+    union-merge single-shuffle machinery (operators/joins.py::asof_join,
+    now direction-aware with tolerance nulling far matches). Output is
+    the per-day-lag conversion histogram plus the unmatched count, all
+    exact."""
+    from polars_pipe_spark.operators.joins import asof_join
+
+    ev = _t_par(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        "user_id",
+        "click_ts",
+        "p_ts",
+        ["p_ts"],
+        direction="forward",
+        tolerance=7 * 86400,
+    )
+    return (
+        joined.withColumn(
+            "lag_days",
+            F.when(
+                F.col("p_ts").isNotNull(),
+                F.datediff(F.col("p_ts").cast("date"), F.col("click_ts").cast("date")),
+            ).cast("long"),
+        )
+        .groupBy("lag_days")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select("lag_days", F.col("n_clicks").cast("long").alias("n_clicks"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8099,6 +8141,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q268_secret_scan": _q268_secret_scan,
     "q269_bloom_fpr": _q269_bloom_fpr,
     "q270_ipf_raking": _q270_ipf_raking,
+    "q271_forward_asof": _q271_forward_asof,
 }
 
 
@@ -13676,6 +13719,29 @@ def _ipf_oracle_sql(iterations: int = 4) -> str:
 
 
 _ORACLES["q270_ipf_raking"] = _ipf_oracle_sql(4)
+
+
+# q271: forward-asof = min purchase ts at/after the click within the
+# tolerance, per click — correlated min via join+group in SQL.
+_ORACLES["q271_forward_asof"] = """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT c.user_id, c.click_ts, MIN(p.p_ts) AS p_ts
+      FROM clicks c LEFT JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.click_ts
+       AND epoch(p.p_ts) - epoch(c.click_ts) <= 7 * 86400
+      GROUP BY c.user_id, c.click_ts
+    )
+    SELECT CAST(CASE WHEN p_ts IS NOT NULL
+                THEN date_diff('day', CAST(click_ts AS DATE), CAST(p_ts AS DATE))
+           END AS BIGINT) AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM matched GROUP BY 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:

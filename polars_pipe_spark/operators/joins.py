@@ -28,12 +28,25 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` (``< left_ts`` when ``strict``) within the same
-    ``on`` key — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics,
-    left-outer (unmatched left rows keep nulls).
+    """For each left row, attach the adjacent right row within the same
+    ``on`` key — pandas ``merge_asof`` semantics, left-outer (unmatched
+    left rows keep nulls), still ONE shuffle via the union-merge trick:
+
+    - ``direction="backward"`` (default): greatest ``right_ts <=
+      left_ts`` (``<`` when ``strict``) — DuckDB ``ASOF JOIN``.
+    - ``direction="forward"``: smallest ``right_ts >= left_ts`` (``>``
+      when ``strict``) — the "next event after" lookup.
+    - ``tolerance``: maximum allowed |left_ts − matched_ts|, in SECONDS
+      for timestamp columns and raw units for numeric columns; matches
+      farther away than the tolerance revert to null (merge_asof's
+      ``tolerance=``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction={direction!r} not in "
+                         "('backward', 'forward')")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns if c not in keys]
     left_cols = [c for c in left.columns]
@@ -42,28 +55,55 @@ def asof_join(
     r = right.select(
         *keys,
         F.col(right_ts).alias("__asof_ts"),
+        F.col(right_ts).alias("__asof_rts"),
         F.lit(0).alias("__asof_side"),
         payload,
     )
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__asof_ts"),
+        F.lit(None).cast(dict(r.dtypes)["__asof_rts"]).alias("__asof_rts"),
         F.lit(1).alias("__asof_side"),
         F.lit(None).cast(r.schema["__asof_payload"].dataType).alias("__asof_payload"),
     )
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    # At equal timestamps the right row sorts first (side 0) for <=
-    # semantics; sorts last for strict <.
-    side_order = F.col("__asof_side").asc() if not strict else F.col("__asof_side").desc()
+    if direction == "backward":
+        # at equal timestamps the right row sorts first (side 0) for <=
+        # semantics; sorts last for strict <
+        side_order = (
+            F.col("__asof_side").asc() if not strict else F.col("__asof_side").desc()
+        )
+        frame = (Window.unboundedPreceding, -1 if strict else 0)
+        pick = F.last
+    else:
+        # forward: right at equal ts must sort AT/AFTER the left row to
+        # land inside the following frame (non-strict); before it for >
+        side_order = (
+            F.col("__asof_side").desc() if not strict else F.col("__asof_side").asc()
+        )
+        frame = (1 if strict else 0, Window.unboundedFollowing)
+        pick = F.first
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__asof_ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else 0)
+        .rowsBetween(*frame)
     )
     carried = merged.withColumn(
-        "__asof_match", F.last("__asof_payload", ignorenulls=True).over(w)
-    )
+        "__asof_match", pick("__asof_payload", ignorenulls=True).over(w)
+    ).withColumn("__asof_mts", pick("__asof_rts", ignorenulls=True).over(w))
+    if tolerance is not None:
+        is_ts = dict(merged.dtypes)["__asof_ts"].startswith("timestamp")
+        if is_ts:
+            delta = F.abs(
+                F.unix_timestamp("__asof_ts") - F.unix_timestamp("__asof_mts")
+            )
+        else:
+            delta = F.abs(F.col("__asof_ts") - F.col("__asof_mts"))
+        carried = carried.withColumn(
+            "__asof_match",
+            F.when(delta <= tolerance, F.col("__asof_match")),
+        )
     out = carried.filter(F.col("__asof_side") == 1).select(
         *left_cols,
         *[F.col(f"__asof_match.{c}").alias(c) for c in right_cols],

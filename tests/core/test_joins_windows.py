@@ -295,3 +295,69 @@ def test_clamped_balance_identity_matches_recurrence(spark):
     for _, t, x in rows:
         b = max(0, b + x)
         assert got[t] == b, t
+
+
+class TestAsofDirectionTolerance:
+    """merge_asof parity for the r5 direction/tolerance extension."""
+
+    def frames(self, spark):
+        left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 12, "a"), (1, 30, "b"), (2, 4, "c")], "k long, rts long, v string"
+        )
+        return left, right
+
+    def test_forward(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        left, right = self.frames(spark)
+        got = sorted(
+            (r.k, r.ts, r.v)
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["v"], direction="forward"
+            ).collect()
+        )
+        assert got == [(1, 10, "a"), (1, 25, "b"), (2, 5, None)]
+
+    def test_forward_strict_skips_equal(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame([(1, 12)], "k long, ts long")
+        _, right = self.frames(spark)
+        got = asof_join(
+            left, right, "k", "ts", "rts", ["v"], direction="forward", strict=True
+        ).collect()[0]
+        assert got.v == "b"  # equal-ts 'a' excluded under >
+
+    def test_tolerance_nulls_far_matches(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        left, right = self.frames(spark)
+        got = {
+            (r.k, r.ts): r.v
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["v"],
+                direction="forward", tolerance=3,
+            ).collect()
+        }
+        assert got == {(1, 10): "a", (1, 25): None, (2, 5): None}
+
+    def test_backward_tolerance(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        left, right = self.frames(spark)
+        got = {
+            (r.k, r.ts): r.v
+            for r in asof_join(
+                left, right, "k", "ts", "rts", ["v"], tolerance=2
+            ).collect()
+        }
+        # (1,25): last <=25 is a@12, 13 away -> nulled; (2,5): c@4 within 2
+        assert got == {(1, 10): None, (1, 25): None, (2, 5): "c"}
+
+    def test_bad_direction_raises(self, spark):
+        from polars_pipe_spark.operators.joins import asof_join
+
+        left, right = self.frames(spark)
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(left, right, "k", "ts", "rts", ["v"], direction="sideways")
