@@ -7866,6 +7866,108 @@ def _q271_forward_asof(spark, sf):
     )
 
 
+def _q272_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    third candidate-generation family after equi-key (q256) and LSH
+    (q25): sort records by a key, compare each record only to its next
+    w neighbors in sort order. Distributed form: the sort is PARTITIONED
+    by the key's first character (the q265 blocked-sort pattern — never
+    a global sort; cross-block neighbors are the documented forfeit),
+    neighbors come from lead(1..3) over the keyed window, and
+    levenshtein ≤ 2 verifies. The audit compares this strategy's
+    verified pair set against q256's cents-equi-blocking on the same
+    corrupted-clone corpus: per strategy-overlap class (both /
+    sorted-only / cents-only) a pair count — the blocking-recall
+    comparison an ER engineer actually runs. On this corpus the sets
+    are DISJOINT, and that is the lesson: the mid-string corruption
+    ('cu' + 'tomer…') sorts clones far from their originals, so
+    name-sorted neighborhoods miss every true pair, while sequential
+    serial-number names are lev-1 apart, so the loose verifier floods
+    sorted-only with false matches — the textbook argument for
+    multi-pass SNM over independent keys and for strong-key blocking."""
+    w_size = 3
+    cust = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.lower(F.col("c_name")).alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    clones = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+            F.concat(
+                F.substring(F.lower(F.col("c_name")), 1, 2),
+                F.substring(F.lower(F.col("c_name")), 4, 100),
+            ).alias("name"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        )
+    )
+    records = cust.unionByName(clones).persist()
+    blk = records.withColumn("blk", F.substring("name", 1, 1))
+    w = Window.partitionBy("blk").orderBy("name", "rec_id")
+    with_leads = blk.select(
+        "rec_id",
+        "name",
+        *[
+            F.lead("rec_id", i).over(w).alias(f"nid{i}")
+            for i in range(1, w_size + 1)
+        ],
+        *[
+            F.lead("name", i).over(w).alias(f"nname{i}")
+            for i in range(1, w_size + 1)
+        ],
+    )
+    sn_parts = [
+        with_leads.select(
+            F.least(F.col("rec_id"), F.col(f"nid{i}")).alias("id_a"),
+            F.greatest(F.col("rec_id"), F.col(f"nid{i}")).alias("id_b"),
+            F.col("name").alias("na"),
+            F.col(f"nname{i}").alias("nb"),
+        ).filter(F.col("id_b").isNotNull())
+        for i in range(1, w_size + 1)
+    ]
+    sn_all = sn_parts[0]
+    for p in sn_parts[1:]:
+        sn_all = sn_all.unionByName(p)
+    sn = (
+        sn_all.filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    b = records.select(
+        F.col("rec_id").alias("rec_b"),
+        F.col("name").alias("name_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    eqb = (
+        records.alias("a")
+        .join(
+            b,
+            (F.col("a.cents") == F.col("cents_b"))
+            & (F.col("a.rec_id") < F.col("rec_b")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("name_b")) <= 2)
+        .select(F.col("a.rec_id").alias("id_a"), F.col("rec_b").alias("id_b"))
+        .distinct()
+    )
+    tagged = (
+        sn.withColumn("in_sn", F.lit(1))
+        .join(eqb.withColumn("in_eq", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .select(
+            F.when(
+                F.col("in_sn").isNotNull() & F.col("in_eq").isNotNull(), "both"
+            )
+            .when(F.col("in_sn").isNotNull(), "sorted_only")
+            .otherwise("cents_only")
+            .alias("found_by"),
+        )
+    )
+    return tagged.groupBy("found_by").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8142,6 +8244,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q269_bloom_fpr": _q269_bloom_fpr,
     "q270_ipf_raking": _q270_ipf_raking,
     "q271_forward_asof": _q271_forward_asof,
+    "q272_sorted_neighborhood": _q272_sorted_neighborhood,
 }
 
 
@@ -13741,6 +13844,55 @@ _ORACLES["q271_forward_asof"] = """
            END AS BIGINT) AS lag_days,
            CAST(COUNT(*) AS BIGINT) AS n_clicks
     FROM matched GROUP BY 1
+"""
+
+
+# q272: both blocking strategies and the overlap classes replayed —
+# sorted-neighborhood via the same blocked lead(1..3) windows.
+_ORACLES["q272_sorted_neighborhood"] = """
+    WITH recs AS (
+      SELECT c_custkey * 10 AS rec_id, lower(c_name) AS name,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 10 + 1,
+             substr(lower(c_name), 1, 2) || substr(lower(c_name), 4),
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+      FROM customer WHERE c_custkey % 7 = 0
+    ), blk AS (
+      SELECT rec_id, name, substr(name, 1, 1) AS blk FROM recs
+    ), leads AS (
+      SELECT rec_id, name,
+             lead(rec_id, 1) OVER w AS nid1, lead(name, 1) OVER w AS nname1,
+             lead(rec_id, 2) OVER w AS nid2, lead(name, 2) OVER w AS nname2,
+             lead(rec_id, 3) OVER w AS nid3, lead(name, 3) OVER w AS nname3
+      FROM blk
+      WINDOW w AS (PARTITION BY blk ORDER BY name, rec_id)
+    ), sn_raw AS (
+      SELECT LEAST(rec_id, nid1) AS id_a, GREATEST(rec_id, nid1) AS id_b,
+             name AS na, nname1 AS nb FROM leads WHERE nid1 IS NOT NULL
+      UNION ALL
+      SELECT LEAST(rec_id, nid2), GREATEST(rec_id, nid2), name, nname2
+      FROM leads WHERE nid2 IS NOT NULL
+      UNION ALL
+      SELECT LEAST(rec_id, nid3), GREATEST(rec_id, nid3), name, nname3
+      FROM leads WHERE nid3 IS NOT NULL
+    ), sn AS (
+      SELECT DISTINCT id_a, id_b FROM sn_raw WHERE levenshtein(na, nb) <= 2
+    ), eqb AS (
+      SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM recs a JOIN recs b
+        ON a.cents = b.cents AND a.rec_id < b.rec_id
+      WHERE levenshtein(a.name, b.name) <= 2
+    ), tagged AS (
+      SELECT CASE WHEN sn.id_a IS NOT NULL AND eqb.id_a IS NOT NULL
+                  THEN 'both'
+                  WHEN sn.id_a IS NOT NULL THEN 'sorted_only'
+                  ELSE 'cents_only' END AS found_by
+      FROM sn FULL OUTER JOIN eqb USING (id_a, id_b)
+    )
+    SELECT found_by, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY found_by
 """
 
 
