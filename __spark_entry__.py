@@ -7968,6 +7968,56 @@ def _q272_sorted_neighborhood(spark, sf):
     )
 
 
+def _q273_soft_dedup_weights(spark, sf):
+    """SOFT deduplication — keep every document but down-weight
+    duplicates so each near-dup cluster contributes one unit of training
+    mass (weight = 1e6 DIV cluster_size micro-units; singletons keep
+    1e6): the loss-weighting alternative to dropping (retains diversity
+    within clusters while killing the over-representation that makes
+    models memorize boilerplate). Clusters from the q63 connected
+    components; the audit columns prove the invariant: Σ weights is
+    within one floor-rounding unit per cluster of n_clusters·1e6. One
+    join against the cluster map; docs outside any cluster pass through
+    at full weight."""
+    from polars_pipe_spark.functions.dedup import dedup_clusters, minhash_near_dups
+
+    docs = _t_par(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4, threshold=0.2
+    ).select("id_a", "id_b").persist()
+    clusters = dedup_clusters(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sized = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    weighted = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(sized, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("csize", F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr(
+                "CAST(1000000 AS BIGINT) DIV CAST(COALESCE(csize, 1) AS BIGINT)"
+            ).alias("weight_micro"),
+        )
+    )
+    return weighted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias(
+            "n_in_clusters"
+        ),
+        F.sum("weight_micro").alias("total_weight_micro"),
+        F.countDistinct(
+            F.when(F.col("cluster_size") > 1, F.col("weight_micro"))
+        ).alias("n_weight_levels"),
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_in_clusters").cast("long").alias("n_in_clusters"),
+        F.col("total_weight_micro").cast("long").alias("total_weight_micro"),
+        F.col("n_weight_levels").cast("long").alias("n_weight_levels"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8245,6 +8295,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q270_ipf_raking": _q270_ipf_raking,
     "q271_forward_asof": _q271_forward_asof,
     "q272_sorted_neighborhood": _q272_sorted_neighborhood,
+    "q273_soft_dedup_weights": _q273_soft_dedup_weights,
 }
 
 
@@ -13893,6 +13944,29 @@ _ORACLES["q272_sorted_neighborhood"] = """
     )
     SELECT found_by, CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM tagged GROUP BY found_by
+"""
+
+
+# q273: weights over the same recursive-CTE clusters.
+_ORACLES["q273_soft_dedup_weights"] = f"""
+    WITH cl AS ({_ORACLES["q63_dedup_clusters"]}),
+    sized AS (
+      SELECT cluster_id, COUNT(*) AS csize FROM cl GROUP BY cluster_id
+    ), weighted AS (
+      SELECT d.doc_id,
+             COALESCE(s.csize, 1) AS cluster_size,
+             CAST(1000000 // COALESCE(s.csize, 1) AS BIGINT) AS weight_micro
+      FROM documents d
+      LEFT JOIN cl ON cl.doc_id = d.doc_id
+      LEFT JOIN sized s ON s.cluster_id = cl.cluster_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_clusters,
+           CAST(SUM(weight_micro) AS BIGINT) AS total_weight_micro,
+           CAST(COUNT(DISTINCT CASE WHEN cluster_size > 1
+                      THEN weight_micro END) AS BIGINT) AS n_weight_levels
+    FROM weighted
 """
 
 
