@@ -8018,6 +8018,83 @@ def _q273_soft_dedup_weights(spark, sf):
     )
 
 
+def _q274_survival_hazard(spark, sf):
+    """Discrete-time survival analysis (the Kaplan–Meier life table, by
+    tenure week): per user, tenure = weeks from first to last event;
+    a user is an observed CHURN if their last event precedes the
+    observation end by > 1 day (the tight threshold matching the
+    synthetic ~31-day window), otherwise right-CENSORED (the
+    distinction that separates survival analysis from a naive churn
+    rate). Per week w: at-risk = users with tenure ≥ w, events = churns
+    at exactly w, hazard = events/at-risk in exact ppm, and the KM
+    survival curve S(w) = Π(1 − h_j) folded over the week-sorted array
+    (the q263 deterministic-float-fold pattern; the week axis is ~5
+    rows, bounded by the observation span). At-risk counts come from a
+    reverse cumulative over the bounded week histogram — no per-user
+    window anywhere."""
+    ev = _t_par(spark, sf, "events")
+    span = ev.agg(F.max("ts").alias("end_ts"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(datediff(CAST(last_ts AS DATE), CAST(first_ts AS DATE))"
+                " AS BIGINT) DIV 7"
+            ).alias("week"),
+            (
+                F.unix_timestamp("end_ts") - F.unix_timestamp("last_ts")
+                > 86400
+            ).alias("churned"),
+        )
+    )
+    hist = users.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_churned"),
+    )
+    w_rev = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("week").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = hist.withColumn("n_at_risk", F.sum("n_ending").over(w_rev)).withColumn(
+        "hazard_ppm",
+        F.expr("CAST(n_churned * 1000000 AS BIGINT) DIV n_at_risk"),
+    )
+    # KM survival: product of (1 - hazard) over weeks <= w, computed as a
+    # week-sorted array fold per row (bounded axis)
+    folded = staged.withColumn(
+        "survival",
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("week", "hazard_ppm")
+                            ).over(Window.partitionBy(F.lit(1)))
+                        ),
+                        lambda st: st["week"] <= F.col("week"),
+                    ),
+                    lambda st: 1.0 - st["hazard_ppm"].cast("double") / 1_000_000.0,
+                ),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+            6,
+        ),
+    )
+    return folded.select(
+        F.col("week").cast("long").alias("week"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        "hazard_ppm",
+        "survival",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8296,6 +8373,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q271_forward_asof": _q271_forward_asof,
     "q272_sorted_neighborhood": _q272_sorted_neighborhood,
     "q273_soft_dedup_weights": _q273_soft_dedup_weights,
+    "q274_survival_hazard": _q274_survival_hazard,
 }
 
 
@@ -13967,6 +14045,45 @@ _ORACLES["q273_soft_dedup_weights"] = f"""
            CAST(COUNT(DISTINCT CASE WHEN cluster_size > 1
                       THEN weight_micro END) AS BIGINT) AS n_weight_levels
     FROM weighted
+"""
+
+
+# q274: life table + KM product replayed; the survival fold runs over
+# the same week-sorted (1−h) list.
+_ORACLES["q274_survival_hazard"] = """
+    WITH span AS (SELECT MAX(ts) AS end_ts FROM events),
+    users AS (
+      SELECT user_id,
+             CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+                            CAST(MAX(ts) AS DATE)) // 7 AS BIGINT) AS week,
+             (epoch(span.end_ts) - epoch(MAX(ts))) > 86400 AS churned
+      FROM events, span GROUP BY user_id, span.end_ts
+    ), hist AS (
+      SELECT week, COUNT(*) AS n_ending,
+             SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS n_churned
+      FROM users GROUP BY week
+    ), staged AS (
+      SELECT week, n_ending, n_churned,
+             SUM(n_ending) OVER (ORDER BY week DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_at_risk
+      FROM hist
+    ), hz AS (
+      SELECT week, n_at_risk, n_churned,
+             CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
+      FROM staged
+    )
+    SELECT h.week, CAST(h.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(h.n_churned AS BIGINT) AS n_churned, h.hazard_ppm,
+           ROUND(list_reduce(
+             list_prepend(1.0,
+               list_transform(
+                 list_sort(list({'w': h2.week, 'p': 1.0 - h2.hazard_ppm / 1000000.0})),
+                 r -> r.p)),
+             (acc, x) -> acc * x), 6) AS survival
+    FROM hz h
+    JOIN hz h2 ON h2.week <= h.week
+    GROUP BY h.week, h.n_at_risk, h.n_churned, h.hazard_ppm
 """
 
 

@@ -62,6 +62,11 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
         "leftover-seat ranking runs on the one-row-per-SOURCE quota frame "
         "— bounded by domain count (the q157 shape)"
     ),
+    "q274_survival_hazard": (
+        "reverse cumulative + the KM fold's collect both run on the "
+        "one-row-per-TENURE-WEEK life table — bounded by the observation "
+        "span in weeks (~5 rows)"
+    ),
     "q257_sql_surface": (
         "RANK() runs on the one-row-per-NATION revenue aggregate (25 "
         "rows, bounded by the nation dimension)"
