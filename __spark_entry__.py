@@ -8095,6 +8095,40 @@ def _q274_survival_hazard(spark, sf):
     )
 
 
+def _q275_burstiness(spark, sf):
+    """Arrival burstiness per event type: the Fano factor (variance-to-
+    mean ratio of daily counts — VMR 1 = Poisson, > 1 = overdispersed /
+    bursty, < 1 = regular), the diagnostic that says whether a stream's
+    spikes are real structure or Poisson noise. Exact integer moments
+    over the bounded daily-count table; VMR leaves as milli-scaled
+    integer division of exact numerators (population variance·n² =
+    nΣx²−(Σx)², the q240 identity), so no float accumulation anywhere;
+    the over/under-dispersed verdict is an integer cross-multiply."""
+    ev = _t_par(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr("CAST(sx * 1000 AS BIGINT) DIV n").alias("mean_milli"),
+        # VMR = var/mean = (n·Σx²−(Σx)²) / (n·Σx): both exact integers
+        F.expr(
+            "CAST((n * sxx - sx * sx) * 1000 AS BIGINT) DIV (n * sx)"
+        ).alias("vmr_milli"),
+        # bursty iff var > mean ⟺ n·Σx²−(Σx)² > n·Σx (integer compare)
+        F.expr("(n * sxx - sx * sx) > (n * sx)").alias("overdispersed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8374,6 +8408,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q272_sorted_neighborhood": _q272_sorted_neighborhood,
     "q273_soft_dedup_weights": _q273_soft_dedup_weights,
     "q274_survival_hazard": _q274_survival_hazard,
+    "q275_burstiness": _q275_burstiness,
 }
 
 
@@ -14084,6 +14119,26 @@ _ORACLES["q274_survival_hazard"] = """
     FROM hz h
     JOIN hz h2 ON h2.week <= h.week
     GROUP BY h.week, h.n_at_risk, h.n_churned, h.hazard_ppm
+"""
+
+
+_ORACLES["q275_burstiness"] = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS day,
+             COUNT(*) AS x
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST((sx * 1000) // n AS BIGINT) AS mean_milli,
+           CAST(((n * sxx - sx * sx) * 1000) // (n * sx) AS BIGINT)
+             AS vmr_milli,
+           (n * sxx - sx * sx) > (n * sx) AS overdispersed
+    FROM m
 """
 
 
