@@ -37,7 +37,12 @@ from polars_pipe_spark.functions.text import doc_fingerprint, shingles, tokens
 logger = logging.getLogger(__name__)
 
 
-def _cap_band_buckets(banded: DataFrame, max_band_members: int | None) -> DataFrame:
+def _cap_band_buckets(
+    banded: DataFrame,
+    max_band_members: int | None,
+    *,
+    check_collapse: bool = False,
+) -> DataFrame:
     """Guardrail against degenerate LSH buckets: a band shared by B docs
     emits B·(B−1)/2 candidate pairs, so one pathological bucket (e.g.
     thousands of empty/boilerplate documents with identical signatures)
@@ -52,16 +57,53 @@ def _cap_band_buckets(banded: DataFrame, max_band_members: int | None) -> DataFr
     anti-join side is broadcastable by construction. Dropped-band
     logging is gated on the logger level so the default path adds no
     extra Spark action.
+
+    ``check_collapse=True`` (r5 ADVICE fix) pays one extra small
+    aggregate over the band counts to detect the SILENT-RECALL-COLLAPSE
+    failure mode: when the band-value space is tiny relative to the
+    corpus (e.g. 16-bit simhash / 4 bands = 16 values per band beyond
+    ~16k docs), EVERY bucket exceeds the cap, the anti-join removes all
+    rows, and the function returns zero candidates while its caller
+    advertises pigeonhole recall. That case now raises ``ValueError``
+    with re-parameterisation guidance instead of silently returning an
+    empty result; a partial drop under ``check_collapse`` logs a
+    WARNING (it voids any lossless-recall guarantee for the dropped
+    members). Callers with an unbounded band-value space (minhash —
+    hash-valued bands can't uniformly saturate) keep the action-free
+    path.
     """
     if max_band_members is None:
         return banded
-    over = (
-        banded.groupBy("band")
-        .agg(F.count(F.lit(1)).alias("__n_members"))
-        .filter(F.col("__n_members") > max_band_members)
-    )
-    if logger.isEnabledFor(logging.INFO):
-        stats = over.agg(
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("__n_members"))
+    if check_collapse:
+        over_flag = F.col("__n_members") > max_band_members
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum(over_flag.cast("long")).alias("n_over"),
+            F.sum(F.when(over_flag, F.col("__n_members")).otherwise(0)).alias(
+                "rows_over"
+            ),
+        ).first()
+        if stats["n_bands"] and stats["n_over"] == stats["n_bands"]:
+            raise ValueError(
+                "LSH band cap collapse: every one of the "
+                f"{stats['n_bands']} occupied band bucket(s) exceeds "
+                f"max_band_members={max_band_members}, so candidate "
+                "generation would silently return ZERO pairs. The band-value "
+                "space is too small for this corpus — increase the signature "
+                "bits (more values per band), raise max_band_members, or run "
+                "exact dedup first to shrink identical-content mass."
+            )
+        if stats["n_over"]:
+            logger.warning(
+                "LSH band cap: dropping %d/%d oversized band bucket(s) "
+                "covering %d (id, band) rows (cap=%d members/band) — "
+                "lossless-recall guarantees do not apply to their members",
+                stats["n_over"], stats["n_bands"], stats["rows_over"],
+                max_band_members,
+            )
+    elif logger.isEnabledFor(logging.INFO):
+        stats = counts.filter(F.col("__n_members") > max_band_members).agg(
             F.count(F.lit(1)).alias("n_bands"), F.sum("__n_members").alias("n_rows")
         ).first()
         if stats["n_bands"]:
@@ -70,6 +112,7 @@ def _cap_band_buckets(banded: DataFrame, max_band_members: int | None) -> DataFr
                 "(id, band) rows (cap=%d members/band)",
                 stats["n_bands"], stats["n_rows"], max_band_members,
             )
+    over = counts.filter(F.col("__n_members") > max_band_members)
     return banded.join(F.broadcast(over.select("band")), "band", "left_anti")
 
 
@@ -368,19 +411,26 @@ def simhash_near_dups(
     signature into ``n_bands`` equal bit-bands, self-join on exact band
     equality, verify candidates with ``bit_count(xor) <= max_hamming``.
 
-    By pigeonhole the blocking is LOSSLESS whenever
-    ``max_hamming < n_bands``: k differing bits can damage at most k
+    By pigeonhole the blocking is lossless whenever
+    ``max_hamming < n_bands`` AND no band bucket hits the
+    ``max_band_members`` cap: k differing bits can damage at most k
     bands, so at least one band is bit-identical and the pair IS a
-    candidate — recall 1.0, unlike minhash banding's probabilistic
-    recall. Same scale shape as :func:`minhash_lsh_candidates`: shuffle
-    on band key only, oversized band buckets dropped via
-    :func:`_cap_band_buckets`.
+    candidate. The recall-1.0 claim is therefore CONDITIONAL — a pair
+    whose only surviving shared band sits in a capped (dropped) bucket
+    is missed, so any cap drop voids the guarantee for the dropped
+    members (a drop logs a WARNING). Same scale shape as
+    :func:`minhash_lsh_candidates`: shuffle on band key only, oversized
+    band buckets dropped via :func:`_cap_band_buckets`.
 
     SIZE THE SIGNATURE TO THE CORPUS: the band-value space is
     2^(bits/n_bands) buckets, so 16-bit/4-band (the test default) has
-    only 16 values per band — fine for thousands of docs, quadratic at
-    web scale. Production: ``bits=64, n_bands=4`` (Manku's setting,
-    65536 values per band) keeps buckets sparse at billions of docs.
+    only 16 values per band — fine for thousands of docs, saturated
+    past ~16k docs (cap × 16 values), where EVERY bucket exceeds the
+    cap and candidate generation would silently return zero pairs.
+    That collapse now raises ``ValueError`` instead (r5 ADVICE fix —
+    the check is one small aggregate over band counts). Production:
+    ``bits=64, n_bands=4`` (Manku's setting, 65536 values per band)
+    keeps buckets sparse at billions of docs.
 
     Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
     """
@@ -408,7 +458,10 @@ def simhash_near_dups(
             )
         ).alias("band"),
     ).distinct()
-    banded = _cap_band_buckets(banded, max_band_members)
+    # finite band-value space (2^band_bits values) CAN uniformly
+    # saturate the cap — run the collapse check (raise, don't silently
+    # return nothing)
+    banded = _cap_band_buckets(banded, max_band_members, check_collapse=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -606,7 +659,16 @@ def semantic_dedup_ledger(
         f"array_min(zip_with(array({', '.join(dists)}), "
         f"sequence(0, {len(centroids) - 1}), (d, i) -> struct(d, i))).i"
     )
-    assigned = base.withColumn("cluster_id", F.expr(argmin).cast("long")).persist()
+    # eager localCheckpoint, NOT persist (r5 ADVICE fix): the assigned
+    # frame is read twice (self-join sides) so it must be materialised
+    # once, but a .persist() here had no matching unpersist — the cache
+    # manager pins cached plans until explicit unpersist, so repeated
+    # calls in a long session accumulated cached blocks forever.
+    # localCheckpoint blocks skip the cache manager and are released by
+    # the ContextCleaner when the caller drops the returned frame.
+    assigned = base.withColumn(
+        "cluster_id", F.expr(argmin).cast("long")
+    ).localCheckpoint(eager=True)
 
     dropped = (
         assigned.alias("a")
@@ -1058,4 +1120,8 @@ def pagerank_exact(
             )
             .localCheckpoint()
         )
+    # the final ranks frame is already materialised (localCheckpoint is
+    # eager, lineage truncated), so the edge cache can be released HERE
+    # instead of leaking for the session (r5 ADVICE fix)
+    edges.unpersist()
     return ranks

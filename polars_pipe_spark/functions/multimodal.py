@@ -15,13 +15,16 @@ Decode / feature-extraction runs as Arrow-batched Pandas UDFs over
 ``mapInPandas`` — the real shape of a media pipeline stage (per-partition
 batch iterator, bounded memory, no driver involvement). Two decode tiers:
 
-- **Real, dependency-free codecs** for the uncompressed container formats
-  whose specs need only byte arithmetic: 24-bit BI_RGB **BMP**, binary
-  **PPM (P6)**, and RIFF/PCM-16 **WAV** (plus the byte-level audio
+- **Real, dependency-free codecs** for the container formats whose specs
+  need only byte arithmetic + stdlib zlib: 24-bit BI_RGB **BMP**, binary
+  **PPM (P6)**, non-interlaced 8-bit RGB/RGBA **PNG** (real inflate +
+  all five scanline un-filters, chunk CRCs verified — r6 VERDICT
+  task 3), and RIFF/PCM-16 **WAV** (plus the byte-level audio
   featurizer). These run the full payload→samples/pixels→features path
   with numpy only — no PIL/opencv/soundfile.
-- **Stubbed compressed codecs**: JPEG/PNG/mp3/ogg genuinely need codec
-  libraries (not in this container); those payloads raise a clear
+- **Stubbed compressed codecs**: JPEG/mp3/ogg (and PNG variants outside
+  the supported subset: palette/gray/16-bit/interlaced) genuinely need
+  codec libraries (not in this container); those payloads raise a clear
   ``NotImplementedError`` naming the seam. The deterministic fake decoder
   (seeded from the content hash) remains for plumbing tests.
 """
@@ -109,18 +112,178 @@ def encode_ppm(width: int, height: int, pixels) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, pixels, filter_type: int = 0) -> bytes:
+    """Minimal non-interlaced 8-bit PNG writer (color type 2 = RGB or
+    6 = RGBA, inferred from the pixel array's last axis) — stdlib
+    ``zlib`` + ``struct`` only. ``filter_type`` applies one scanline
+    filter (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to EVERY row so the
+    decoder's un-filtering paths are each independently exercisable.
+    Test/synthesis helper, mirror of :func:`encode_bmp`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype="uint8")
+    channels = px.shape[2]
+    if channels not in (3, 4):
+        raise ValueError(f"encode_png: pixels must be RGB or RGBA, got {channels} channels")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"encode_png: filter_type={filter_type} not in 0..4")
+    bpp = channels
+    raw = px.astype("int16")
+    body = bytearray()
+    prev = np.zeros((width, channels), dtype="int16")
+    for r in range(height):
+        row = raw[r]
+        left = np.vstack([np.zeros((1, channels), "int16"), row[:-1]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            ul = np.vstack([np.zeros((1, channels), "int16"), prev[:-1]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        body.append(filter_type)
+        body.extend((filt % 256).astype("uint8").tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color_type = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL PNG decode for the non-interlaced 8-bit RGB/RGBA subset
+    (r6 VERDICT task 3) — stdlib ``zlib`` inflate + the five PNG
+    scanline un-filters (None/Sub/Up/Average/Paeth per the PNG spec
+    §4.5.4), chunk CRCs verified. Anything outside that subset
+    (palette/grayscale/16-bit/interlaced) raises ``NotImplementedError``
+    naming the remaining seam. Returns the :func:`decode_image`
+    contract tuple ``(width, height, n_channels, mean_luma)``;
+    mean_luma uses the RGB channels only (alpha ignored), same
+    integer-sum-then-one-division form as BMP/PPM."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("decode_png: bad PNG signature")
+    off = 8
+    ihdr = None
+    idat = bytearray()
+    while off + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, off)
+        ctype = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        if len(data) != length:
+            raise ValueError(f"decode_png: truncated {ctype!r} chunk")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"decode_png: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        off += 12 + length
+    if ihdr is None:
+        raise ValueError("decode_png: missing IHDR chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "PNG decoder supports non-interlaced 8-bit RGB/RGBA only (got "
+            f"depth={depth}, color_type={color_type}, interlace={interlace}) "
+            "— palette/gray/16-bit/interlaced PNG and JPEG remain the codec "
+            "seam"
+        )
+    channels = 3 if color_type == 2 else 4
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype="uint8")
+    if raw.size != height * (stride + 1):
+        raise ValueError(
+            f"decode_png: IDAT inflates to {raw.size} bytes, expected "
+            f"{height * (stride + 1)}"
+        )
+    rows = raw.reshape(height, stride + 1)
+    out = np.zeros((height, width, channels), dtype="uint8")
+    prev = np.zeros((width, channels), dtype="int32")
+    for r in range(height):
+        ft = int(rows[r, 0])
+        line = rows[r, 1:].reshape(width, channels).astype("int32")
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-1] → per-channel cumsum
+            recon = np.cumsum(line, axis=0, dtype="int64") % 256
+        elif ft == 2:  # Up
+            recon = (line + prev) % 256
+        elif ft in (3, 4):  # Average / Paeth: sequential left-dependency
+            recon = np.zeros((width, channels), dtype="int32")
+            left = np.zeros(channels, dtype="int32")
+            ul = np.zeros(channels, dtype="int32")
+            for x in range(width):
+                up = prev[x]
+                if ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                recon[x] = (line[x] + pred) % 256
+                left = recon[x]
+                ul = up
+        else:
+            raise ValueError(f"decode_png: bad filter byte {ft} on row {r}")
+        out[r] = recon.astype("uint8")
+        prev = recon.astype("int32")
+    lum = out[:, :, :3].astype("int64") @ np.array([299, 587, 114], dtype="int64")
+    mean_luma = float(int(lum.sum()) / (_LUMA_SCALE * width * height))
+    return width, height, channels, mean_luma
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode a BMP (24-bit BI_RGB) or PPM (P6) payload to
-    ``(width, height, n_channels, mean_luma)`` with numpy only.
+    """Decode a BMP (24-bit BI_RGB), PPM (P6), or PNG (non-interlaced
+    8-bit RGB/RGBA, real zlib inflate + un-filtering — see
+    :func:`decode_png`) payload to
+    ``(width, height, n_channels, mean_luma)`` with numpy + stdlib only.
 
     mean_luma = (Σ_pixels 299·R+587·G+114·B) / (255000 · n_pixels) — the
     integer-sum-then-one-division form, so the double is deterministic.
-    Compressed formats (PNG/JPEG/…) raise ``NotImplementedError``: those
-    need a codec library; this is the documented seam."""
+    Formats still needing a codec library (JPEG, exotic PNG variants)
+    raise ``NotImplementedError``: that is the documented seam."""
     import struct
 
     import numpy as np
 
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if payload[:2] == b"BM":
         pixel_offset = struct.unpack_from("<I", payload, 10)[0]
         dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
@@ -141,19 +304,53 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
         if bottom_up:
             px = px[::-1]
     elif payload[:2] == b"P6":
-        # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
-        parts = payload.split(maxsplit=4)
-        width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # FORWARD header parse per the Netpbm P6 spec (r5 ADVICE fix —
+        # the old form located pixel data from the payload TAIL, so any
+        # trailing bytes silently shifted every pixel, and '#' comments
+        # crashed with a bare int-parse ValueError): after the magic,
+        # three whitespace-separated decimal tokens (width height
+        # maxval), '#'-to-end-of-line comments allowed anywhere
+        # whitespace is, then EXACTLY ONE whitespace byte before the raw
+        # RGB data.
+        off = 2
+        fields = []
+        while len(fields) < 3:
+            while off < len(payload):
+                if payload[off : off + 1].isspace():
+                    off += 1
+                elif payload[off : off + 1] == b"#":
+                    nl = payload.find(b"\n", off)
+                    off = len(payload) if nl < 0 else nl + 1
+                else:
+                    break
+            start = off
+            while off < len(payload) and payload[off : off + 1].isdigit():
+                off += 1
+            if off == start:
+                raise ValueError(
+                    f"PPM P6: malformed header — expected decimal field "
+                    f"{len(fields) + 1}/3 at byte {start}"
+                )
+            fields.append(int(payload[start:off]))
+        width, height, maxval = fields
         if maxval != 255:
             raise NotImplementedError("PPM decoder supports maxval=255 only")
-        data_off = len(payload) - width * height * 3
+        if off >= len(payload) or not payload[off : off + 1].isspace():
+            raise ValueError("PPM P6: missing single whitespace after maxval")
+        off += 1  # the single whitespace byte that terminates the header
+        n_bytes = width * height * 3
+        if len(payload) - off < n_bytes:
+            raise ValueError(
+                f"PPM P6: truncated pixel data — need {n_bytes} bytes, "
+                f"have {len(payload) - off}"
+            )
         px = np.frombuffer(
-            payload, dtype="uint8", count=width * height * 3, offset=data_off
+            payload, dtype="uint8", count=n_bytes, offset=off
         ).reshape(height, width, 3)
     else:
         raise NotImplementedError(
             f"no dependency-free decoder for payload magic {payload[:2]!r} — "
-            "compressed formats (PNG/JPEG) need a codec library"
+            "JPEG (and non-RGB/interlaced PNG variants) need a codec library"
         )
     lum = px.astype("int64") @ np.array([299, 587, 114], dtype="int64")
     mean_luma = float(int(lum.sum()) / (_LUMA_SCALE * width * height))

@@ -40,9 +40,14 @@ def asof_join(
     - ``direction="forward"``: smallest ``right_ts >= left_ts`` (``>``
       when ``strict``) — the "next event after" lookup.
     - ``tolerance``: maximum allowed |left_ts − matched_ts|, in SECONDS
-      for timestamp columns and raw units for numeric columns; matches
-      farther away than the tolerance revert to null (merge_asof's
-      ``tolerance=``).
+      (fractional allowed) for timestamp columns and raw units for
+      numeric columns; matches farther away than the tolerance revert to
+      null (merge_asof's ``tolerance=``). Timestamp deltas compare at
+      FULL microsecond precision — Spark's native timestamp resolution,
+      matching pandas ``merge_asof`` / DuckDB ``epoch()`` — not
+      whole-second ``unix_timestamp`` truncation, which admitted matches
+      up to ~1 s past the tolerance and made sub-second tolerances
+      inexpressible (r5 ADVICE).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: direction={direction!r} not in "
@@ -95,14 +100,19 @@ def asof_join(
     if tolerance is not None:
         is_ts = dict(merged.dtypes)["__asof_ts"].startswith("timestamp")
         if is_ts:
+            # integer microseconds since epoch: exact at Spark's native
+            # timestamp resolution, no double rounding, no second
+            # truncation (r5 ADVICE)
             delta = F.abs(
-                F.unix_timestamp("__asof_ts") - F.unix_timestamp("__asof_mts")
+                F.unix_micros("__asof_ts") - F.unix_micros("__asof_mts")
             )
+            bound = F.lit(int(round(tolerance * 1_000_000))).cast("long")
         else:
             delta = F.abs(F.col("__asof_ts") - F.col("__asof_mts"))
+            bound = F.lit(tolerance)
         carried = carried.withColumn(
             "__asof_match",
-            F.when(delta <= tolerance, F.col("__asof_match")),
+            F.when(delta <= bound, F.col("__asof_match")),
         )
     out = carried.filter(F.col("__asof_side") == 1).select(
         *left_cols,

@@ -1,0 +1,315 @@
+#!/usr/bin/env python
+"""Deterministic testdata generator for CI — r5 ADVICE fix #1.
+
+The driver generates the canonical parquet fixtures under
+``/root/testdata/sf*`` (TESTDATA.md); CI runners don't have them, and
+until round 7 every test that read them was silently SKIPPED, so the CI
+"plan sweep" job and much of the coverage-gated suite went green having
+run nothing. This script regenerates schema-identical fixtures (same
+tables, column names, physical arrow types, categorical domains, and
+row-count scaling as the driver's seed=42 data at a given scale factor)
+so the full suite actually RUNS on CI.
+
+Values are NOT bit-identical to the driver's: tests and the oracle gate
+compare Spark vs DuckDB on the *same* files, so self-consistency is what
+matters. The distributions below were read off the driver data
+(tools/gen_testdata.py docstring is the provenance record):
+
+- events.event_type ∈ {view, click, purchase, signup, error};
+  props is a one-key JSON object '{"k": <int>}'; ts spans 2024-01.
+- documents.text is a bag of ~30 query-ish vocabulary words;
+  lang ∈ {en,es,de,fr,zh}; source ∈ src0..src19.
+- embeddings.embedding is a 64-dim float32 list; label ∈ 0..9.
+- TPC-H-ish tables follow the standard categorical domains
+  (returnflag/linestatus/orderstatus/orderpriority).
+
+Usage: python tools/gen_testdata.py --sf 0.001 --out /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "the a spark table scan merge sort order key fast slow small big "
+    "hash join filter group agg window batch stream row column vector "
+    "data value query line part customer dup"
+).split()
+
+LANGS = ["en", "es", "de", "fr", "zh"]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _counts(sf: float) -> dict[str, int]:
+    return {
+        "region": 5,
+        "nation": 25,
+        "supplier": max(10, int(10_000 * sf)),
+        "customer": max(50, int(150_000 * sf)),
+        "part": max(50, int(200_000 * sf)),
+        "orders": max(100, int(1_500_000 * sf)),
+        "lineitem": max(200, int(6_000_000 * sf)),
+        "events": max(100, int(1_000_000 * sf)),
+        "documents": max(500, int(50_000 * sf)),
+        "embeddings": max(500, int(50_000 * sf)),
+    }
+
+
+def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+    rng = np.random.RandomState(seed)
+    n = _counts(sf)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(name: str, schema: pa.Schema, cols: dict) -> None:
+        tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+
+    write(
+        "region",
+        pa.schema([("r_regionkey", pa.int32()), ("r_name", pa.string())]),
+        {"r_regionkey": np.arange(5, dtype="int32"), "r_name": REGIONS},
+    )
+    write(
+        "nation",
+        pa.schema(
+            [
+                ("n_nationkey", pa.int32()),
+                ("n_name", pa.string()),
+                ("n_regionkey", pa.int32()),
+            ]
+        ),
+        {
+            "n_nationkey": np.arange(25, dtype="int32"),
+            "n_name": [f"NATION{i:02d}" for i in range(25)],
+            "n_regionkey": (np.arange(25) % 5).astype("int32"),
+        },
+    )
+    k = n["supplier"]
+    write(
+        "supplier",
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()),
+                ("s_acctbal", pa.float64()),
+            ]
+        ),
+        {
+            "s_suppkey": np.arange(1, k + 1, dtype="int64"),
+            "s_name": [f"Supplier#{i:09d}" for i in range(1, k + 1)],
+            "s_nationkey": rng.randint(0, 25, k).astype("int32"),
+            "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, k), 2),
+        },
+    )
+    k = n["customer"]
+    write(
+        "customer",
+        pa.schema(
+            [
+                ("c_custkey", pa.int64()),
+                ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()),
+                ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string()),
+            ]
+        ),
+        {
+            "c_custkey": np.arange(1, k + 1, dtype="int64"),
+            "c_name": [f"Customer#{i:09d}" for i in range(1, k + 1)],
+            "c_nationkey": rng.randint(0, 25, k).astype("int32"),
+            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, k), 2),
+            "c_mktsegment": [
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"][j]
+                for j in rng.randint(0, 5, k)
+            ],
+        },
+    )
+    k = n["part"]
+    write(
+        "part",
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int32()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+        {
+            "p_partkey": np.arange(1, k + 1, dtype="int64"),
+            "p_name": [
+                " ".join(rng.choice(VOCAB, 3)) for _ in range(k)
+            ],
+            "p_brand": [f"Brand#{j}" for j in rng.randint(11, 56, k)],
+            "p_type": [
+                f"{a} {b} {c}"
+                for a, b, c in zip(
+                    rng.choice(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"], k),
+                    rng.choice(["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"], k),
+                    rng.choice(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"], k),
+                )
+            ],
+            "p_size": rng.randint(1, 51, k).astype("int32"),
+            "p_retailprice": np.round(rng.uniform(900.0, 2100.0, k), 2),
+        },
+    )
+    k = n["orders"]
+    base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+    month_us = 30 * 86_400 * 1_000_000
+    o_dates = base_us + rng.randint(0, month_us, k)
+    write(
+        "orders",
+        pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        ),
+        {
+            "o_orderkey": np.arange(1, k + 1, dtype="int64"),
+            "o_custkey": rng.randint(1, n["customer"] + 1, k).astype("int64"),
+            "o_orderstatus": [["O", "F", "P"][j] for j in rng.randint(0, 3, k)],
+            "o_totalprice": np.round(rng.uniform(1000.0, 400_000.0, k), 2),
+            "o_orderdate": o_dates.astype("datetime64[us]"),
+            "o_orderpriority": [PRIORITIES[j] for j in rng.randint(0, 5, k)],
+        },
+    )
+    k = n["lineitem"]
+    write(
+        "lineitem",
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        {
+            "l_orderkey": np.sort(rng.randint(1, n["orders"] + 1, k)).astype("int64"),
+            "l_partkey": rng.randint(1, n["part"] + 1, k).astype("int64"),
+            "l_suppkey": rng.randint(1, n["supplier"] + 1, k).astype("int64"),
+            "l_linenumber": (rng.randint(1, 8, k)).astype("int32"),
+            "l_quantity": rng.randint(1, 51, k).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900.0, 105_000.0, k), 2),
+            "l_discount": np.round(rng.randint(0, 11, k) / 100.0, 2),
+            "l_tax": np.round(rng.randint(0, 9, k) / 100.0, 2),
+            "l_returnflag": [["R", "A", "N"][j] for j in rng.randint(0, 3, k)],
+            "l_linestatus": [["O", "F"][j] for j in rng.randint(0, 2, k)],
+            "l_shipdate": (base_us + rng.randint(0, month_us, k)).astype(
+                "datetime64[us]"
+            ),
+        },
+    )
+    k = n["events"]
+    write(
+        "events",
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        ),
+        {
+            "event_id": np.arange(1, k + 1, dtype="int64"),
+            "ts": (base_us + rng.randint(0, month_us, k)).astype("datetime64[us]"),
+            "user_id": rng.randint(1, max(2, k // 10), k).astype("int64"),
+            "event_type": [EVENT_TYPES[j] for j in rng.randint(0, 5, k)],
+            "value": np.round(rng.uniform(0.0, 500.0, k), 4),
+            "props": [json.dumps({"k": int(j)}) for j in rng.randint(0, 100, k)],
+        },
+    )
+    k = n["documents"]
+    lengths = rng.randint(10, 120, k)
+    write(
+        "documents",
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+        {
+            "doc_id": np.arange(k, dtype="int64"),
+            "text": [" ".join(rng.choice(VOCAB, ln)) for ln in lengths],
+            "lang": [LANGS[j] for j in rng.randint(0, 5, k)],
+            "source": [f"src{j}" for j in rng.randint(0, 20, k)],
+            "n_chars": np.zeros(k, dtype="int64"),  # fixed up below
+        },
+    )
+    # n_chars must be consistent with text (some quality queries use it)
+    tbl = pq.read_table(os.path.join(out_dir, "documents.parquet"))
+    texts = tbl.column("text").to_pylist()
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(t) for t in texts], pa.int64()),
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+    k = n["embeddings"]
+    lab = rng.randint(0, 10, k).astype("int32")
+    # label-correlated clusters so ANN / clustering queries see structure
+    centers = rng.uniform(-1.0, 1.0, (10, 64))
+    vecs = (centers[lab] + rng.normal(0.0, 0.15, (k, 64))).astype("float32")
+    write(
+        "embeddings",
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+        {
+            "vec_id": np.arange(k, dtype="int64"),
+            "embedding": pa.array(
+                [v for v in vecs.tolist()], pa.list_(pa.float32())
+            ),
+            "label": lab,
+        },
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=0.001)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    generate(args.sf, args.out, args.seed)
+    print(f"wrote fixtures for sf={args.sf} to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
