@@ -199,9 +199,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     while off + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, off)
         ctype = payload[off + 4 : off + 8]
-        data = payload[off + 8 : off + 8 + length]
-        if len(data) != length:
+        # Bound the WHOLE chunk (len + type + data + CRC) before any
+        # unpack (r7 ADVICE: a payload truncated between chunk data and
+        # CRC previously escaped as struct.error, breaking the
+        # documented ValueError contract).
+        if off + 12 + length > len(payload):
             raise ValueError(f"decode_png: truncated {ctype!r} chunk")
+        data = payload[off + 8 : off + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, off + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"decode_png: CRC mismatch in {ctype!r} chunk")
@@ -215,6 +219,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     if ihdr is None:
         raise ValueError("decode_png: missing IHDR chunk")
     width, height, depth, color_type, comp, filt, interlace = ihdr
+    if width <= 0 or height <= 0:
+        # r7 ADVICE: width=0/height=0 previously reached the mean_luma
+        # division as ZeroDivisionError instead of the ValueError contract.
+        raise ValueError(f"decode_png: invalid dimensions {width}x{height}")
     if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
         raise NotImplementedError(
             "PNG decoder supports non-interlaced 8-bit RGB/RGBA only (got "

@@ -955,7 +955,14 @@ def kmeans_train_exact(
         base.filter(F.col("__vm").isNotNull()).orderBy("__id").limit(k).collect()
     )
     if len(seed) < k:
-        raise ValueError(f"kmeans_train_exact: need ≥ {k} rows")
+        # r7 ADVICE: with iterations >= 1, bad-vector detection is
+        # deferred to iteration 1, so a seed shortfall may really be a
+        # data problem — say so instead of masking it.
+        raise ValueError(
+            f"kmeans_train_exact: need ≥ {k} valid rows to seed, got "
+            f"{len(seed)} (rows with null or non-{dim}-dim vectors are "
+            "excluded from seeding)"
+        )
     centroids = [list(r["__vm"]) for r in seed]
 
     def assign_expr(cents: list[list[int]]) -> str:

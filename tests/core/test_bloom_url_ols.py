@@ -258,3 +258,16 @@ class TestKmeansExact:
         )
         with pytest.raises(ValueError):
             kmeans_train_exact(df, "embedding", "vec_id", k=4)
+
+    def test_seed_shortfall_names_bad_vector_possibility(self, spark):
+        # r7 ADVICE: with iterations >= 1, bad rows are excluded from
+        # seeding, so the shortfall message must point at null /
+        # wrong-length vectors rather than masking the data problem.
+        from polars_pipe_spark.functions.similarity import kmeans_train_exact
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [3.0])],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="valid rows.*null or non-"):
+            kmeans_train_exact(df, "embedding", "vec_id", k=3)

@@ -289,8 +289,99 @@ class TestRealImageCodecs:
         assert luma == self.expected_luma(px)
 
     def test_unknown_magic_raises(self):
+        # r7 ADVICE: a PNG signature now routes to decode_png, so the
+        # unknown-magic case must use a magic no codec claims.
         with pytest.raises(NotImplementedError, match="magic"):
+            mm.decode_image(b"XXunknown-magic-")
+
+    def test_png_signature_garbage_payload_raises_valueerror(self):
+        # A PNG signature followed by garbage reaches decode_png and
+        # fails its own contract: ValueError, not NotImplementedError.
+        with pytest.raises(ValueError, match="IHDR|truncated"):
             mm.decode_image(b"\x89PNG\r\n\x1a\n----")
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("channels", [3, 4])
+    def test_png_roundtrip_all_filters(self, filter_type, channels):
+        # r7 ADVICE: per-filter coverage of the five PNG scanline
+        # un-filters (None/Sub/Up/Average/Paeth) for both RGB and RGBA.
+        import numpy as np
+
+        w, h = 5, 4
+        px = self.checker(w, h)
+        if channels == 4:
+            alpha = (np.arange(w * h, dtype="uint8") * 37 % 256).reshape(h, w, 1)
+            px = np.concatenate([px, alpha], axis=-1)
+        payload = mm.encode_png(w, h, px, filter_type=filter_type)
+        gw, gh, ch, luma = mm.decode_image(payload)
+        assert (gw, gh, ch) == (w, h, channels)
+        # luma ignores alpha by contract
+        assert luma == self.expected_luma(px[:, :, :3])
+
+    def test_png_out_of_subset_ihdr_raises_notimplemented(self):
+        # Grayscale (color_type=0) is outside the RGB/RGBA subset: the
+        # seam must raise NotImplementedError, not decode garbage.
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # gray 8-bit
+        body = b"\x00\x01\x02" + b"\x00\x03\x04"
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="RGB/RGBA"):
+            mm.decode_image(payload)
+
+    def test_png_truncated_between_data_and_crc_raises_valueerror(self):
+        # r7 ADVICE: truncation between chunk data and CRC must be
+        # ValueError (was struct.error).
+        px = self.checker(3, 3)
+        payload = mm.encode_png(3, 3, px)
+        # drop the 12-byte IEND chunk entirely plus 2 bytes of IDAT CRC
+        with pytest.raises(ValueError, match="truncated"):
+            mm.decode_png(payload[:-14])
+
+    def test_png_zero_dimension_raises_valueerror(self):
+        # r7 ADVICE: width=0/height=0 must be ValueError (was
+        # ZeroDivisionError at the mean_luma division).
+        import struct
+        import zlib
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b""))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="dimensions"):
+            mm.decode_png(payload)
+
+    def test_png_crc_mismatch_raises_valueerror(self):
+        px = self.checker(3, 3)
+        payload = bytearray(mm.encode_png(3, 3, px))
+        payload[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(ValueError, match="CRC"):
+            mm.decode_png(bytes(payload))
 
     def test_real_extract_over_spark(self, spark):
         rows = [
