@@ -1856,7 +1856,10 @@ def _q87_gram_matrix(spark, sf):
     output rows."""
     from polars_pipe_spark.functions.similarity import gram_matrix
 
-    emb = _t(spark, sf, "embeddings")
+    # _t_par (r5/r6 verdict): embeddings is one parquet file at testdata
+    # scale, so the mapInPandas partial-aggregate kernel would otherwise
+    # run as ONE task; the gate makes this a no-op at real scale.
+    emb = _t_par(spark, sf, "embeddings")
     return gram_matrix(emb, "embedding", dims=16)
 
 

@@ -28,6 +28,40 @@ def test_oracle_keys_subset_of_queries():
     assert q - o == set()
 
 
+def test_registry_matches_committed_correctness_artifact():
+    """r6 VERDICT task 1 close-out: the LATEST committed
+    CORRECTNESS_LOCAL_r*.json must cover EXACTLY the registered queries,
+    and every row must be green.  This is the test that fails when a new
+    query is registered without regenerating the artifact (the q275 gap
+    that persisted across rounds 5–7)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(root, "CORRECTNESS_LOCAL_r*.json"))
+    assert arts, "no CORRECTNESS_LOCAL artifact committed"
+    latest = max(arts, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    with open(latest) as f:
+        rows = json.load(f)
+    registry = set(entry_mod.queries())
+    assert set(rows) == registry, (
+        f"{os.path.basename(latest)} covers {len(rows)} queries but the "
+        f"registry has {len(registry)}; regenerate with "
+        f"`python tools/check_oracle.py --json {os.path.basename(latest)}` "
+        f"(missing: {sorted(registry - set(rows))[:5]}, "
+        f"stale: {sorted(set(rows) - registry)[:5]})"
+    )
+    red = {
+        k: v
+        for k, v in rows.items()
+        if v.get("err") is not None
+        or not (v.get("rows_match") and v.get("hash_match", True))
+    }
+    assert not red, f"non-green rows in {os.path.basename(latest)}: {sorted(red)[:10]}"
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_runs_and_is_stable(spark, name):
     fn = entry_mod.queries()[name]
