@@ -755,7 +755,9 @@ def _q33_ivf_topk(spark, sf):
     from polars_pipe_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
-    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    # persist: bf feeds the overlap join AND the per-query denominator
+    # (r8 plan-sweep multi-scan rule) — tiny frame, brute-force lineage
+    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id").persist()
     ivf = ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), "embedding", "vec_id", "vec_id",
         k=5, n_centroids=8, n_probe=2,
@@ -2869,7 +2871,9 @@ def _q133_ann_recall(spark, sf):
     the exact brute-force ranking (q28), per query — the measurement any
     production ANN deployment runs before trusting the approximate path.
     Scaled-integer recall via positive integer division (engine-safe)."""
-    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    # persist: bf is consumed twice (overlap join + denominator) and its
+    # lineage is the full brute-force scan (r8 plan-sweep multi-scan rule)
+    bf = _q28_cosine_topk(spark, sf).select("query_id", "neighbor_id").persist()
     lsh = _q29_lsh_topk(spark, sf).select("query_id", "neighbor_id")
     overlap = (
         bf.join(lsh, ["query_id", "neighbor_id"])
@@ -4029,6 +4033,10 @@ def _q173_retrieval_eval(spark, sf):
         .join(F.broadcast(nterms), "query_id")
         .filter(F.col("n_hit") == F.col("n_terms"))
         .select("query_id", "doc_id")
+        # persist: rel feeds the per-query totals AND the top-k hit join;
+        # without it the tokenizing explode runs twice (r8 plan-sweep
+        # multi-scan rule). Small frame: only all-terms-matching docs.
+        .persist()
     )
     rel_total = rel.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_relevant")
@@ -4330,7 +4338,12 @@ def _q181_ann_dashboard(spark, sf):
             & (F.col("neighbor_id") != F.col("query_id"))
         ).select("query_id", "neighbor_id")
 
-    exact = prep(_q28_cosine_topk(spark, sf))
+    # persist: the exact frame's lineage is the full brute-force top-k;
+    # it is consumed 4x below (once per method join + the denominator),
+    # so without a persist the dashboard re-runs brute force 4 times
+    # (r8 plan-sweep multi-scan rule). Tiny frame (k rows per query id),
+    # huge lineage — the canonical persist case.
+    exact = prep(_q28_cosine_topk(spark, sf)).persist()
     en = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     methods = [
         ("ivf", _q137_ivf_pretrained),
@@ -5430,7 +5443,11 @@ def _q216_association_rules(spark, sf):
         .orderBy(F.col("n_t").desc(), F.col("token").asc())
         .limit(30)
     )
-    vt = tok.join(F.broadcast(vocab), "token")
+    # persist: vt feeds both sides of the pair self-join, so without it
+    # the full-corpus explode + vocab groupBy re-run once per side (r8
+    # plan-sweep multi-scan rule). Bounded frame: only tokens in the
+    # 30-term vocab survive the broadcast join.
+    vt = tok.join(F.broadcast(vocab), "token").persist()
     a = vt.select("doc_id", F.col("token").alias("t_a"), F.col("n_t").alias("n_a"))
     b = vt.select("doc_id", F.col("token").alias("t_b"), F.col("n_t").alias("n_b"))
     pair_counts = (
@@ -5866,7 +5883,11 @@ def _q228_session_basket_lift(spark, sf):
 
     ev = _t_par(spark, sf, "events")
     s = sessionize(ev, "user_id", "ts", 30.0, tiebreak_cols=["event_id"])
-    et = s.select("user_id", "session_id", "event_type").distinct()
+    # persist: et is consumed 4x (session total, singles, both pair
+    # sides) and its lineage is the sessionize window shuffle — without
+    # the pin that shuffle runs four times (r8 plan-sweep multi-scan
+    # rule). Bounded: <= n_sessions x n_event_types rows, 3 narrow cols.
+    et = s.select("user_id", "session_id", "event_type").distinct().persist()
     tot = (
         et.select("user_id", "session_id")
         .distinct()
@@ -6817,7 +6838,11 @@ def _q253_kmv_theta(spark, sf):
             .orderBy("h")
             .limit(k)
         )
-    a, b = side("purchase"), side("click")
+    # persist: each sketch is <= k rows but its lineage is a full
+    # distinct-over-events + bounded selection, and each is consumed 3x
+    # (theta agg, intersection join, final assembly) — without persist
+    # the distinct re-runs six times (r8 plan-sweep multi-scan rule)
+    a, b = side("purchase").persist(), side("click").persist()
     theta_a = a.agg(F.max("h").alias("ta"), F.count(F.lit(1)).alias("ka"))
     theta_b = b.agg(F.max("h").alias("tb"), F.count(F.lit(1)).alias("kb"))
     # shared hashes below min(theta): intersection sample

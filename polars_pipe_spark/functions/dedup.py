@@ -880,7 +880,11 @@ def incremental_dedup(
     from polars_pipe_spark.functions.text import normalize_text
 
     fp = F.md5(normalize_text(text_col)).alias("fingerprint")
-    b = batch.select(F.col(id_col), fp)
+    # persist: b feeds the within-batch min AND the classify join — the
+    # batch is small by construction, and without the pin its whole
+    # lineage (possibly a union of ingest slices) runs twice (r8
+    # plan-sweep multi-scan rule)
+    b = batch.select(F.col(id_col), fp).persist()
     idx = index.select("fingerprint").distinct()
     first = b.groupBy("fingerprint").agg(F.min(id_col).alias("__first_id"))
     return (
@@ -999,6 +1003,13 @@ def incremental_near_dups(
 
     b_sets, b_bands = _prep(batch, "batch")
     i_sets, i_bands = _prep(index, "index")
+    # persist the BATCH side only (r8 plan-sweep multi-scan rule):
+    # b_bands feeds both the candidate probe and union_bands, b_sets
+    # both the verify join and all_sets — without persist the batch's
+    # shingle+signature pass runs twice per frame. The batch is small
+    # by construction (one ingest slice), so pinning it is safe at any
+    # corpus size; the INDEX side stays single-use and unpinned.
+    b_sets, b_bands = b_sets.persist(), b_bands.persist()
     union_bands = b_bands.unionByName(i_bands)
     cands = (
         b_bands.select(F.col("id").alias("bid"), "band")

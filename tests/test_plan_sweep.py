@@ -11,7 +11,13 @@ from __future__ import annotations
 
 import pytest
 
-from tools.plan_sweep import BOUNDED_GLOBAL_WINDOW, find_antipatterns, sweep
+from tools.plan_sweep import (
+    BOUNDED_GLOBAL_WINDOW,
+    MULTI_SCAN_OK,
+    find_antipatterns,
+    find_multi_scans,
+    sweep,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -36,6 +42,33 @@ class TestDetector:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert find_antipatterns(plan) == []
+
+    def test_flags_unpersisted_multi_scan(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "t.parquet")
+        spark.range(100).withColumn("v", F.col("id") % 7).write.parquet(p)
+        df = spark.read.parquet(p)
+        agg = df.groupBy("v").count()
+        # the same derived frame consumed 3x without persist: three
+        # live scans of one location in the final plan
+        tri = (
+            agg.join(agg.withColumnRenamed("count", "c2"), "v")
+            .join(agg.withColumnRenamed("count", "c3"), "v")
+        )
+        plan = tri._jdf.queryExecution().executedPlan().toString()
+        assert any("multi-scan" in f for f in find_multi_scans(plan))
+        # persisting the shared frame clears the finding
+        cached = agg.persist()
+        try:
+            tri2 = (
+                cached.join(cached.withColumnRenamed("count", "c2"), "v")
+                .join(cached.withColumnRenamed("count", "c3"), "v")
+            )
+            plan2 = tri2._jdf.queryExecution().executedPlan().toString()
+            assert find_multi_scans(plan2) == []
+        finally:
+            cached.unpersist()
 
     def test_flags_shuffle_cartesian(self, spark):
         a = spark.range(10)
@@ -62,5 +95,6 @@ class TestFullSweep:
     def test_exemptions_still_exist(self):
         import __spark_entry__ as entry
 
-        stale = set(BOUNDED_GLOBAL_WINDOW) - set(entry.queries())
+        q = set(entry.queries())
+        stale = (set(BOUNDED_GLOBAL_WINDOW) | set(MULTI_SCAN_OK)) - q
         assert not stale, f"exempted queries no longer registered: {stale}"

@@ -17,6 +17,18 @@ scans the executed-plan string for the two plan shapes that kill a job at
 - **Shuffle cartesian** — a ``CartesianProduct`` node (the non-broadcast
   product). The broadcast form (``BroadcastNestedLoopJoin``) is fine: the
   small side is bounded by the broadcast-size guard.
+- **Unpersisted multi-scan** (r6 VERDICT task 6, the SURVEY §3.4
+  recompute hazard) — the same parquet location scanned ≥ 3× by LIVE
+  FileScan nodes (scans under an ``InMemoryRelation`` are cached-lineage
+  printouts, not executed work). Two or fewer is the ordinary self-join
+  shape; three-plus usually means a shared DERIVED frame is re-deriving
+  its whole lineage per consumer and wants a ``.persist()``. Queries
+  where the multi-scan is the RIGHT call at 100 TB (independent
+  aggregates over raw pruned scans, where pinning would cache more
+  bytes than the scans read) are declared in ``MULTI_SCAN_OK`` with the
+  reason — same reviewed-exemption contract as the window rule. The
+  sweep calls ``spark.catalog.clearCache()`` before each query build so
+  leftover caches from earlier queries can't mask or fake a finding.
 
 Usage: ``python tools/plan_sweep.py [query ...]`` (default: all).
 Exit code 1 if any non-exempt query trips a rule. Also importable —
@@ -83,7 +95,131 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     ),
 }
 
+# Queries whose >= 3x same-location live scans are the RIGHT 100 TB
+# shape (value: why re-scan beats persist there). Everything else that
+# trips the multi-scan rule must grow a .persist() on the shared frame.
+MULTI_SCAN_OK: dict[str, str] = {
+    "q52_merge_upsert": (
+        "3 pruned scans of orders: target, matched-update, insert "
+        "branches of the merge each push different filters — persisting "
+        "the raw target would cache the full table"
+    ),
+    "q61_fuzzy_join": (
+        "blocked self-join over customer: both candidate sides plus the "
+        "per-block counts scan raw pruned columns; the block frame is "
+        "corpus-scale, re-scan with pushdown is cheaper than pinning it"
+    ),
+    "q94_dup_spans": (
+        "3 raw scans: span explode, partner explode, and doc-length "
+        "projection — the exploded span frame is ~10x corpus and must "
+        "NOT be pinned; re-derive is the measured winner (dedup.py:206)"
+    ),
+    "q106_table_expectations": (
+        "each expectation is an independent aggregate over lineitem "
+        "with its own pushed filter/columns — a pinned superset frame "
+        "would read every column for all of them"
+    ),
+    "q116_robust_outliers": (
+        "median/MAD/flag stages re-scan one numeric column with "
+        "pushdown; the intermediate percentile frames are 1-row"
+    ),
+    "q125_bm25_topk": (
+        "bm25's documented 3-pass shape: token explode, semi-join-"
+        "pruned feature pass, corpus-stats pass (retrieval.py:61-88 "
+        "records the measured alternatives)"
+    ),
+    "q129_rerank": "same bm25 3-pass shape as q125 plus the rank stage",
+    "q131_unigram_logprob": (
+        "vocab pass + token pass + per-doc pass over documents: the "
+        "exploded token frame is ~10x corpus, re-derive beats pinning"
+    ),
+    "q134_training_pairs": (
+        "composes rerank (bm25 3-pass) + candidate anti-join + negative "
+        "pool, each a raw pruned scan; the only shared derived frames "
+        "live inside bm25_scores which already single-passes them"
+    ),
+    "q137_ivf_pretrained": (
+        "IVF assign + search: raw embedding scans with different "
+        "pushed vec_id filters; the repeated frame is the 16-row "
+        "centroid scan (broadcast, trivially cheap)"
+    ),
+    "q142_psi_drift": (
+        "reference/current populations + bin edges are independent "
+        "pruned aggregates of one numeric column"
+    ),
+    "q150_corpus_funnel": (
+        "funnel stages are independent counts over raw pruned scans "
+        "with different filters; pinning the near-corpus-size kept "
+        "frame would dwarf the scans"
+    ),
+    "q154_ivf_incremental": (
+        "existing/new ingest slices + 16-row centroid frame: raw "
+        "pruned scans with disjoint pushed filters"
+    ),
+    "q155_corpus_health": (
+        "dashboard of independent aggregates (counts, contamination, "
+        "gram novelty) over raw pruned scans; the gram explode is ~10x "
+        "corpus and must not be pinned (the q27 measured lesson)"
+    ),
+    "q160_fuzzy_join": "same blocked-self-join shape as q61",
+    "q163_oov_rate": (
+        "vocab pass + OOV pass + per-doc totals: token explode re-"
+        "derive beats pinning the exploded frame (q131's reasoning)"
+    ),
+    "q187_cooccurrence_pairs": (
+        "vocab + two pair sides over the token explode: the explode is "
+        "~10x corpus; bounded vocab is broadcast, the rest re-derives"
+    ),
+    "q195_matryoshka_recall": (
+        "two independent brute-force rankings (full-dim and truncated) "
+        "plus the query slice — every frame is consumed once; the "
+        "scans differ in pushed columns/filters"
+    ),
+    "q219_rolling_wau": (
+        "per-day frames at 4 window offsets: each is a pruned "
+        "(date,user) scan with its own pushed date filter — the "
+        "classic case where pushdown beats pinning"
+    ),
+    "q225_token_source_pmi": (
+        "token/source marginals + joint counts over the token explode "
+        "— explode re-derive beats pinning (q131's reasoning)"
+    ),
+    "q239_ks_drift": (
+        "two sample populations + the range spine are independent "
+        "pruned scans of one value column"
+    ),
+    "q251_simhash_banded": (
+        "signature pass + band pass + verify sides over documents — "
+        "the signature frame re-derive is the measured winner at this "
+        "sketch width (dedup.py:206's recompute-vs-persist note)"
+    ),
+    "q267_er_evaluation": (
+        "gold pairs + predicted pairs + per-block counts: three pruned "
+        "scans of customer with different pushed filters"
+    ),
+    "q269_bloom_fpr": (
+        "member/non-member populations + the filter-build scan are "
+        "independent pruned scans of events"
+    ),
+    "q173_retrieval_eval": (
+        "rerank's bm25 3-pass shape (see q125) plus ONE relevance "
+        "explode; the doubly-consumed relevance frame is persisted"
+    ),
+    "q181_ann_dashboard": (
+        "three ANN method pipelines + the query slice each scan "
+        "embeddings with their own pruning, all single-use; the 4x-"
+        "consumed exact frame is persisted"
+    ),
+    "q183_incremental_neardup": (
+        "batch side, index side and the final id projection are three "
+        "single-use pruned scans; the doubly-consumed batch frames are "
+        "persisted inside incremental_near_dups"
+    ),
+}
+
 _WINDOW_RE = re.compile(r"^(Window|WindowGroupLimit|WindowSort)\b")
+_LOC_RE = re.compile(r"Location: [^\[]*\[([^\]]*)\]")
+MULTI_SCAN_THRESHOLD = 3
 
 
 def _bracket_groups(s: str) -> list[str]:
@@ -113,6 +249,43 @@ def _node_lines(plan: str) -> list[str]:
         if m:
             out.append(m.group(2))
     return out
+
+
+def live_scan_locations(plan: str) -> list[str]:
+    """Parquet locations of FileScan nodes NOT under an
+    ``InMemoryRelation`` — i.e. scans the plan would actually execute
+    (a cached relation prints its ORIGIN lineage, including its
+    FileScan, but serves rows from the block store). Tree membership is
+    recovered from the indent structure: a node is a descendant while
+    its printed prefix is longer than the ancestor's."""
+    out: list[str] = []
+    stack: list[tuple[int, bool]] = []
+    for raw in plan.splitlines():
+        m = re.match(r"^([\s:+|-]*)(\*?\(\d+\)\s*)?([A-Za-z].*)$", raw)
+        if not m:
+            continue
+        depth = len(m.group(1)) + len(m.group(2) or "")
+        text = m.group(3)
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        under_cache = any(cached for _, cached in stack)
+        stack.append((depth, text.startswith("InMemoryRelation")))
+        if text.startswith("FileScan") and not under_cache:
+            lm = _LOC_RE.search(raw)
+            out.append(lm.group(1) if lm else text[:80])
+    return out
+
+
+def find_multi_scans(plan: str) -> list[str]:
+    from collections import Counter
+
+    counts = Counter(live_scan_locations(plan))
+    return [
+        f"unpersisted multi-scan: {loc.rsplit('/', 1)[-1]} live-scanned "
+        f"{n}x in one plan"
+        for loc, n in sorted(counts.items())
+        if n >= MULTI_SCAN_THRESHOLD
+    ]
 
 
 def find_antipatterns(plan: str) -> list[str]:
@@ -145,6 +318,11 @@ def sweep(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[
         if name not in qs:
             results[name] = ["NOT IN queries()"]
             continue
+        # deterministic cache state: a leftover cache from an earlier
+        # query can both HIDE a multi-scan (its scans print as cached
+        # lineage) and FAKE one (an unpersist cascade drops this
+        # query's own cache registration)
+        spark.catalog.clearCache()
         try:
             df = qs[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -154,8 +332,11 @@ def sweep(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[
         bad = find_antipatterns(plan)
         if bad and name in BOUNDED_GLOBAL_WINDOW:
             bad = [b for b in bad if not b.startswith("global window")]
+        if name not in MULTI_SCAN_OK:
+            bad += find_multi_scans(plan)
         if bad:
             results[name] = bad
+    spark.catalog.clearCache()
     return results
 
 
