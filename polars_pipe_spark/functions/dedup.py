@@ -855,6 +855,8 @@ def incremental_dedup(
     index: DataFrame,
     text_col: str,
     id_col: str,
+    *,
+    cache: bool = True,
 ) -> DataFrame:
     """Incremental-ingest dedup: classify every row of a NEW batch
     against an EXISTING corpus fingerprint index without rescanning the
@@ -883,8 +885,13 @@ def incremental_dedup(
     # persist: b feeds the within-batch min AND the classify join — the
     # batch is small by construction, and without the pin its whole
     # lineage (possibly a union of ingest slices) runs twice (r8
-    # plan-sweep multi-scan rule)
-    b = batch.select(F.col(id_col), fp).persist()
+    # plan-sweep multi-scan rule). ``cache=False`` is for callers whose
+    # batch is already materialized and who can't unpersist the handle —
+    # the streaming foreachBatch gate, where a per-micro-batch persist
+    # would leak cached blocks batch after batch.
+    b = batch.select(F.col(id_col), fp)
+    if cache:
+        b = b.persist()
     idx = index.select("fingerprint").distinct()
     first = b.groupBy("fingerprint").agg(F.min(id_col).alias("__first_id"))
     return (

@@ -257,6 +257,84 @@ def streaming_upsert_sink(
     return writer.start()
 
 
+def streaming_incremental_dedup(
+    source_dir: str,
+    schema,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """The incremental-ingest dedup GATE as a real stream (r6 VERDICT
+    task 7 — the streaming twin of ``functions.dedup.incremental_dedup``,
+    alongside q130's exact-dedup twin): each micro-batch classifies its
+    documents against the fingerprint index accumulated from EVERY
+    earlier batch, then appends its own ``new_unique`` fingerprints to
+    that index. Cross-batch state is the index parquet directory itself
+    — exactly the production shape, where the corpus text is never
+    rescanned on ingest and the index is the only thing a batch touches.
+
+    Per micro-batch (``foreachBatch``):
+
+    1. read the accumulated index (empty on the first batch),
+    2. ``incremental_dedup(batch, index)`` → per-doc ``dedup_status``
+       (``new_unique`` / ``dup_of_index`` / ``dup_within_batch``),
+    3. append the classified rows to ``out_dir`` (audit log),
+    4. append the batch's ``new_unique`` fingerprints to ``index_dir``.
+
+    Delivery: checkpointed foreachBatch is at-least-once; a replayed
+    batch re-classifies its docs as ``dup_of_index`` (their fingerprints
+    are now indexed) and appends no new fingerprints, so the INDEX
+    converges exactly-once while the audit log may hold the replayed
+    batch twice — callers dedupe the log on (id, fingerprint) if they
+    need exact audit rows.
+
+    Scale: state never holds text — one 32-hex fingerprint per distinct
+    document ever seen; the per-batch join is fingerprint-keyed and the
+    index side is bucketable on fingerprint to make ingest shuffle-free
+    batch after batch. ``maxFilesPerTrigger=1`` keeps each source file
+    its own batch so arrival order is the file order.
+    """
+    from pathlib import Path
+
+    from polars_pipe_spark.functions.dedup import incremental_dedup
+    from polars_pipe_spark.session import get_spark
+
+    spark = get_spark()
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if Path(index_dir).exists():
+            index = spark.read.parquet(index_dir)
+        else:
+            index = spark.createDataFrame([], "fingerprint string")
+        # cache=False: the micro-batch is already source-materialized
+        # and a per-batch persist would leak cached blocks (no handle
+        # to unpersist once the batch closes)
+        tagged = incremental_dedup(batch_df, index, text_col, id_col, cache=False)
+        tagged.write.mode("append").parquet(out_dir)
+        (
+            tagged.filter(F.col("dedup_status") == "new_unique")
+            .select("fingerprint")
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_static_enrich(
     stream: DataFrame,
     dim: DataFrame,
