@@ -8157,6 +8157,100 @@ def _q275_burstiness(spark, sf):
     )
 
 
+def _q276_png_decode(spark, sf):
+    """REAL PNG decode end-to-end (zlib inflate + all five scanline
+    un-filters): per document a small RGB image is synthesized from a
+    closed-form pixel rule (r=(did·7+3i)%256, g=(did·11+5i)%256,
+    b=(did·13+2i)%256 at row-major index i; w=4+did%3, h=3+did%2),
+    written through the PNG encoder with filter_type = did%5 — so the
+    corpus exercises None/Sub/Up/Average/Paeth un-filtering — packed
+    into the media struct, and decoded back by
+    functions/multimodal.py::extract_image_features. PNG is lossless,
+    so the ORACLE derives width/height/channels and the exact
+    integer-sum mean_luma from the same construction (ground truth,
+    not a second decoder) — the image twin of q261."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_png,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 3 + did % 2
+                i = np.arange(w * h, dtype="int64")
+                px = np.stack(
+                    [
+                        (did * 7 + i * 3) % 256,
+                        (did * 11 + i * 5) % 256,
+                        (did * 13 + i * 2) % 256,
+                    ],
+                    axis=-1,
+                ).reshape(h, w, 3).astype("uint8")
+                payloads.append(encode_png(w, h, px, filter_type=did % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("image/png")
+        ).alias("media"),
+    )
+    return extract_image_features(media, use_fake_decoder=False).select(
+        "doc_id", "width", "height", "n_channels", "mean_luma"
+    )
+
+
+def _q277_jpeg_decode(spark, sf):
+    """REAL baseline JPEG decode end-to-end (marker walk, payload-
+    embedded DQT/DHT, Huffman + dequant + IDCT): per document an 8x8
+    solid-gray image with EVEN value v = 2·(did%128) is encoded at
+    quality 50 — the Annex-K tables unscaled, DC quant 16, so
+    8·(v−128)/16 is an integer and the lossy pipeline round-trips the
+    gray level BIT-EXACTLY (decoded mean_luma = 64000·v / (255000·64)
+    in closed form). Varying v across the corpus walks the Huffman DC
+    magnitude categories; AC/subsampling paths are covered by the
+    pytest round-trip matrix. The ORACLE computes the same closed form
+    — ground truth, not a second decoder."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_jpeg,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v = 2 * (int(did) % 128)
+                px = np.full((8, 8, 3), v, dtype="uint8")
+                payloads.append(encode_jpeg(8, 8, px, quality=50))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("image/jpeg")
+        ).alias("media"),
+    )
+    return extract_image_features(media, use_fake_decoder=False).select(
+        "doc_id", "width", "height", "n_channels", "mean_luma"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8437,6 +8531,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q273_soft_dedup_weights": _q273_soft_dedup_weights,
     "q274_survival_hazard": _q274_survival_hazard,
     "q275_burstiness": _q275_burstiness,
+    "q276_png_decode": _q276_png_decode,
+    "q277_jpeg_decode": _q277_jpeg_decode,
 }
 
 
@@ -14167,6 +14263,44 @@ _ORACLES["q275_burstiness"] = """
              AS vmr_milli,
            (n * sxx - sx * sx) > (n * sx) AS overdispersed
     FROM m
+"""
+
+# q276: PNG is lossless, so the oracle is the closed-form construction —
+# same pixel rule, integer luma sum, ONE double division (the decoder's
+# exact arithmetic), never a second decoder.
+_ORACLES["q276_png_decode"] = """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             list_sum(list_transform(range(0, w * h), i ->
+               299 * ((doc_id * 7 + i * 3) % 256)
+             + 587 * ((doc_id * 11 + i * 5) % 256)
+             + 114 * ((doc_id * 13 + i * 2) % 256))) AS lum_sum
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(lum_sum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
+    FROM px
+"""
+
+# q277: solid gray, even v, quality 50 → DC quant 16 divides 8·(v−128)
+# exactly, so the decoded block is uniformly v and
+# mean_luma = (299+587+114)·v·64 / (255000·64) in closed form.
+_ORACLES["q277_jpeg_decode"] = """
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(64000 * (2 * (doc_id % 128)) AS DOUBLE) / (255000.0 * 64)
+             AS mean_luma
+    FROM documents
 """
 
 

@@ -276,6 +276,518 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, channels, mean_luma
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT) — stdlib + numpy only.
+# The tables below are the T.81 Annex K examples; they are EMBEDDED in
+# every stream (DQT/DHT segments), and the decoder builds its dequant and
+# Huffman state from the payload's own segments — so decode correctness
+# never depends on these constants matching any external default.
+
+_JPEG_QL = [  # Annex K.1 luminance quantization (zigzag applied at use)
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # Annex K.2 chrominance quantization
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# (bits[1..16], values) Huffman specs — Annex K.3-K.6
+_JPEG_HDC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_HDC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_HAC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HAC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c  # orthonormal: F = C @ f @ C.T
+
+
+def _jpeg_huff_codes(bits, vals):
+    """(value -> (code, length)) per T.81 C.2: codes assigned in value
+    order, lengths from the bits table."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_scale_q(table, quality):
+    """libjpeg-style quality scaling of a base quantization table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (t * scale + 50) // 100)) for t in table]
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-pad per spec
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, mantissa bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
+                subsample: str = "444") -> bytes:
+    """Minimal baseline JPEG writer (SOF0, Huffman, Annex-K tables
+    scaled by ``quality``) — stdlib ``struct`` + numpy only. ``pixels``
+    is (height, width, 3) RGB uint8; ``subsample`` is ``"444"`` (no
+    chroma subsampling) or ``"420"`` (2x2 box-averaged chroma, 16x16
+    MCUs). Test/synthesis helper, mirror of :func:`encode_png`."""
+    import struct
+
+    import numpy as np
+
+    if subsample not in ("444", "420"):
+        raise ValueError(f"encode_jpeg: subsample={subsample!r} not in 444/420")
+    px = np.asarray(pixels, dtype="uint8")
+    if px.shape != (height, width, 3):
+        raise ValueError(f"encode_jpeg: pixels shape {px.shape} != ({height},{width},3)")
+    rgb = px.astype("float64")
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128
+    cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128
+
+    hs = vs = 2 if subsample == "420" else 1
+    if subsample == "420":
+        # pad to even, 2x2 box average
+        ph, pw = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+        def box(ch):
+            p = np.pad(ch, ((0, ph - height), (0, pw - width)), mode="edge")
+            return p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cb, cr = box(cb), box(cr)
+
+    ql = _jpeg_scale_q(_JPEG_QL, quality)
+    qc = _jpeg_scale_q(_JPEG_QC, quality)
+    qlm = np.array(ql, dtype="float64")[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    qcm = np.array(qc, dtype="float64")[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    # NOTE: table lists are in ZIGZAG order (as written to DQT); the
+    # natural-order matrix inverts the zigzag permutation.
+    C = _jpeg_dct_matrix()
+
+    def blocks(ch, qm):
+        """Yield quantized zigzag blocks of one component plane."""
+        h, w = ch.shape
+        bh, bw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        p = np.pad(ch, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
+        out = np.zeros((bh // 8, bw // 8, 64), dtype="int64")
+        for by in range(bh // 8):
+            for bx in range(bw // 8):
+                f = C @ p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ C.T
+                q = np.rint(f / qm).astype("int64")
+                out[by, bx] = q.reshape(64)[_JPEG_ZIGZAG]
+        return out
+
+    yb = blocks(y, qlm)
+    cbb, crb = blocks(cb, qcm), blocks(cr, qcm)
+
+    dc_l = _jpeg_huff_codes(*_JPEG_HDC_L)
+    dc_c = _jpeg_huff_codes(*_JPEG_HDC_C)
+    ac_l = _jpeg_huff_codes(*_JPEG_HAC_L)
+    ac_c = _jpeg_huff_codes(*_JPEG_HAC_C)
+
+    bw_ = _JpegBitWriter()
+    pred = [0, 0, 0]  # DC predictors per component
+
+    def emit(block, comp):
+        dc_t, ac_t = (dc_l, ac_l) if comp == 0 else (dc_c, ac_c)
+        diff = int(block[0]) - pred[comp]
+        pred[comp] = int(block[0])
+        cat, bits = _jpeg_magnitude(diff)
+        code, ln = dc_t[cat]
+        bw_.write(code, ln)
+        if cat:
+            bw_.write(bits, cat)
+        run = 0
+        last_nz = 0
+        for i in range(63, 0, -1):
+            if block[i]:
+                last_nz = i
+                break
+        for i in range(1, last_nz + 1):
+            v = int(block[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[0xF0]  # ZRL
+                bw_.write(code, ln)
+                run -= 16
+            cat, bits = _jpeg_magnitude(v)
+            code, ln = ac_t[(run << 4) | cat]
+            bw_.write(code, ln)
+            bw_.write(bits, cat)
+            run = 0
+        if last_nz != 63:
+            code, ln = ac_t[0x00]  # EOB
+            bw_.write(code, ln)
+
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+    ypad_y, ypad_x = mcuy * vs, mcux * hs  # Y blocks needed per axis
+    # re-pad Y block grid to the MCU grid (edge blocks replicate)
+    def grid_pad(b, ny, nx):
+        gy, gx = b.shape[0], b.shape[1]
+        if gy < ny:
+            b = np.concatenate([b, np.repeat(b[-1:], ny - gy, axis=0)], axis=0)
+        if gx < nx:
+            b = np.concatenate([b, np.repeat(b[:, -1:], nx - gx, axis=1)], axis=1)
+        return b
+
+    yb = grid_pad(yb, ypad_y, ypad_x)
+    cbb = grid_pad(cbb, mcuy, mcux)
+    crb = grid_pad(crb, mcuy, mcux)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for v in range(vs):
+                for h in range(hs):
+                    emit(yb[my * vs + v, mx * hs + h], 0)
+            emit(cbb[my, mx], 1)
+            emit(crb[my, mx], 2)
+    scan = bw_.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tclass, tid, spec):
+        bits, vals = spec
+        return seg(0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals))
+
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, hs << 4 | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFDB, bytes([0]) + bytes(ql))
+        + seg(0xFFDB, bytes([1]) + bytes(qc))
+        + seg(0xFFC0, sof)
+        + dht(0, 0, _JPEG_HDC_L)
+        + dht(1, 0, _JPEG_HAC_L)
+        + dht(0, 1, _JPEG_HDC_C)
+        + dht(1, 1, _JPEG_HAC_C)
+        + seg(0xFFDA, sos)
+        + scan
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("decode_jpeg: entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"decode_jpeg: unexpected marker 0xFF{nxt:02X} in scan"
+                        if nxt is not None
+                        else "decode_jpeg: entropy stream exhausted"
+                    )
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_huff_decoder(bits, vals):
+    """(code, length) -> value lookup dict keyed by (length, code)."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_huff(reader, table):
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("decode_jpeg: invalid Huffman code in scan")
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
+    """REAL baseline JPEG decode (r6 VERDICT: the last compressed-codec
+    seam) — marker walk, DQT/DHT state built FROM THE PAYLOAD, Huffman +
+    dequant + orthonormal IDCT, nearest-neighbor chroma upsampling,
+    JFIF YCbCr→RGB. Subset: sequential DCT (SOF0), 8-bit, 1 or 3
+    components, sampling factors ≤ 2, no restart intervals; progressive
+    (SOF2), arithmetic coding, 12-bit, and DRI raise
+    ``NotImplementedError`` — that is the remaining seam. Returns the
+    :func:`decode_image` tuple ``(width, height, n_channels,
+    mean_luma)``; mean_luma integer-sums 299R+587G+114B over the
+    reconstructed pixels, one division (the BMP/PPM/PNG contract)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("decode_jpeg: bad SOI marker")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    hdc: dict[int, dict] = {}
+    hac: dict[int, dict] = {}
+    sof = None
+    scan_comps = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"decode_jpeg: expected marker at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > len(payload):
+            raise ValueError(f"decode_jpeg: truncated segment 0xFF{marker:02X}")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "JPEG decoder supports 8-bit quantization tables only"
+                    )
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                (hdc if tc == 0 else hac)[th] = _jpeg_huff_decoder(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG decoder supports 8-bit precision only")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG decoder supports 1 or 3 components, got {nc}"
+                )
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                ch, cv = samp >> 4, samp & 0xF
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise NotImplementedError(
+                        f"JPEG decoder supports sampling factors <= 2, got {ch}x{cv}"
+                    )
+                comps.append((cid, ch, cv, tq))
+            if w == 0 or h == 0:
+                raise ValueError(f"decode_jpeg: invalid dimensions {w}x{h}")
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG decoder supports baseline sequential (SOF0) only, got "
+                f"SOF marker 0xFF{marker:02X} — progressive/arithmetic/"
+                "hierarchical JPEG remains the codec seam"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "JPEG decoder does not support restart intervals (DRI)"
+            )
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            scan_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if sof is None or scan_comps is None:
+        raise ValueError("decode_jpeg: missing SOF0/SOS segment")
+    w, h, comps = sof
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            "JPEG decoder supports single-scan interleaved streams only"
+        )
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    C = _jpeg_dct_matrix()
+    unzig = np.argsort(np.array(_JPEG_ZIGZAG))
+    planes = []
+    qms = []
+    tabs = []
+    for (cid, ch, cv, tq) in comps:
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype="float64"))
+        if tq not in qtables:
+            raise ValueError(f"decode_jpeg: missing quantization table {tq}")
+        qms.append(np.array(qtables[tq], dtype="float64")[unzig].reshape(8, 8))
+        sid = dict(scan_comps).get(cid)
+        if sid is None:
+            raise ValueError(f"decode_jpeg: component {cid} missing from scan")
+        td, ta = sid >> 4, sid & 0xF
+        if td not in hdc or ta not in hac:
+            raise ValueError("decode_jpeg: scan references undefined Huffman table")
+        tabs.append((hdc[td], hac[ta]))
+
+    reader = _JpegBitReader(payload[scan_start:])
+    pred = [0] * len(comps)
+    zz = np.zeros(64, dtype="float64")
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, chf, cvf, tq) in enumerate(comps):
+                dct_t, ac_t = tabs[ci]
+                for v in range(cvf):
+                    for hh in range(chf):
+                        zz[:] = 0.0
+                        cat = _jpeg_read_huff(reader, dct_t)
+                        pred[ci] += _jpeg_extend(reader.read(cat), cat)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_read_huff(reader, ac_t)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "decode_jpeg: AC run past block end"
+                                )
+                            cat = rs & 0xF
+                            zz[k] = _jpeg_extend(reader.read(cat), cat)
+                            k += 1
+                        blk = (zz[unzig].reshape(8, 8)) * qms[ci]
+                        rec = C.T @ blk @ C + 128.0
+                        py = (my * cvf + v) * 8
+                        px_ = (mx * chf + hh) * 8
+                        planes[ci][py:py + 8, px_:px_ + 8] = rec
+
+    # upsample each plane to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for ci, (cid, chf, cvf, tq) in enumerate(comps):
+        p = planes[ci]
+        if chf < max_h or cvf < max_v:
+            p = np.repeat(np.repeat(p, max_v // cvf, axis=0), max_h // chf, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        yv = np.clip(np.rint(full[0]), 0, 255).astype("int64")
+        lum_sum = int((yv * 1000).sum())
+        return w, h, 1, float(lum_sum / (_LUMA_SCALE * w * h))
+    yv, cbv, crv = full[0], full[1] - 128.0, full[2] - 128.0
+    r = np.clip(np.rint(yv + 1.402 * crv), 0, 255).astype("int64")
+    g = np.clip(np.rint(yv - 0.344136 * cbv - 0.714136 * crv), 0, 255).astype("int64")
+    b = np.clip(np.rint(yv + 1.772 * cbv), 0, 255).astype("int64")
+    lum_sum = int((299 * r + 587 * g + 114 * b).sum())
+    return w, h, 3, float(lum_sum / (_LUMA_SCALE * w * h))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, int, float]:
     """Decode a BMP (24-bit BI_RGB), PPM (P6), or PNG (non-interlaced
     8-bit RGB/RGBA, real zlib inflate + un-filtering — see
@@ -292,6 +804,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
 
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     if payload[:2] == b"BM":
         pixel_offset = struct.unpack_from("<I", payload, 10)[0]
         dib_size, width, height = struct.unpack_from("<Iii", payload, 14)
@@ -358,7 +872,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, float]:
     else:
         raise NotImplementedError(
             f"no dependency-free decoder for payload magic {payload[:2]!r} — "
-            "JPEG (and non-RGB/interlaced PNG variants) need a codec library"
+            "progressive JPEG and non-RGB/interlaced PNG variants remain "
+            "the codec-library seam"
         )
     lum = px.astype("int64") @ np.array([299, 587, 114], dtype="int64")
     mean_luma = float(int(lum.sum()) / (_LUMA_SCALE * width * height))

@@ -461,6 +461,119 @@ class TestRealImageCodecs:
         with pytest.raises(ValueError, match="CRC"):
             mm.decode_png(bytes(payload))
 
+    @pytest.mark.parametrize("v", [0, 2, 100, 128, 254])
+    def test_jpeg_solid_gray_exact_at_q50(self, v):
+        # quality 50 leaves the Annex-K tables unscaled (DC quant 16);
+        # for solid gray with even v, 8*(v-128)/16 = (v-128)/2 is an
+        # integer, so the DC round-trips bit-exact and mean_luma is
+        # exactly v/255 — the closed form the q277 oracle uses.
+        import numpy as np
+
+        px = np.full((8, 8, 3), v, dtype="uint8")
+        payload = mm.encode_jpeg(8, 8, px, quality=50)
+        gw, gh, ch, luma = mm.decode_image(payload)
+        assert (gw, gh, ch) == (8, 8, 3)
+        assert luma == v / 255.0
+
+    @pytest.mark.parametrize("subsample", ["444", "420"])
+    @pytest.mark.parametrize("quality", [50, 90])
+    def test_jpeg_roundtrip_tolerance(self, subsample, quality):
+        # lossy codec: mean luma within 2/255 on a non-8-multiple image
+        import numpy as np
+
+        px = self.checker(17, 12)
+        payload = mm.encode_jpeg(17, 12, px, quality=quality, subsample=subsample)
+        gw, gh, ch, luma = mm.decode_jpeg(payload)
+        assert (gw, gh, ch) == (17, 12, 3)
+        assert abs(luma - self.expected_luma(px)) < 2 / 255.0
+
+    def test_jpeg_smooth_gradient_near_exact(self):
+        import numpy as np
+
+        y, x = np.mgrid[0:16, 0:16]
+        px = np.stack(
+            [(x * 8).clip(0, 255), (y * 8).clip(0, 255), ((x + y) * 4).clip(0, 255)],
+            axis=-1,
+        ).astype("uint8")
+        payload = mm.encode_jpeg(16, 16, px, quality=95)
+        _, _, _, luma = mm.decode_jpeg(payload)
+        assert abs(luma - self.expected_luma(px)) < 0.5 / 255.0
+
+    def test_jpeg_progressive_raises_notimplemented(self):
+        px = self.checker(8, 8)
+        payload = bytearray(mm.encode_jpeg(8, 8, px))
+        # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="SOF0"):
+            mm.decode_jpeg(bytes(payload))
+
+    def test_jpeg_truncation_raises_valueerror(self):
+        px = self.checker(8, 8)
+        payload = mm.encode_jpeg(8, 8, px)
+        with pytest.raises(ValueError, match="truncated|exhausted|missing"):
+            mm.decode_jpeg(payload[:40])
+
+    def test_jpeg_dri_raises_notimplemented(self):
+        import struct
+
+        px = self.checker(8, 8)
+        payload = mm.encode_jpeg(8, 8, px)
+        i = payload.index(b"\xff\xc0")  # inject DRI before SOF
+        dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+        with pytest.raises(NotImplementedError, match="restart"):
+            mm.decode_jpeg(payload[:i] + dri + payload[i:])
+
+    def test_jpeg_grayscale_single_component(self):
+        # decode path for 1-component streams, assembled from the same
+        # building blocks the encoder uses (the encoder itself always
+        # writes 3-component color)
+        import struct
+
+        import numpy as np
+
+        v = 100  # even → exact DC round-trip at q50
+        ql = mm._jpeg_scale_q(mm._JPEG_QL, 50)
+        dc = mm._jpeg_huff_codes(*mm._JPEG_HDC_L)
+        ac = mm._jpeg_huff_codes(*mm._JPEG_HAC_L)
+        bw = mm._JpegBitWriter()
+        diff = (v - 128) * 8 // ql[0]
+        cat, bits = mm._jpeg_magnitude(diff)
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        code, ln = ac[0x00]  # EOB
+        bw.write(code, ln)
+        scan = bw.flush()
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        payload = (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0]) + bytes(ql))
+            + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + seg(
+                0xFFC4,
+                bytes([0x00])
+                + bytes(mm._JPEG_HDC_L[0])
+                + bytes(mm._JPEG_HDC_L[1]),
+            )
+            + seg(
+                0xFFC4,
+                bytes([0x10])
+                + bytes(mm._JPEG_HAC_L[0])
+                + bytes(mm._JPEG_HAC_L[1]),
+            )
+            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + scan
+            + b"\xff\xd9"
+        )
+        gw, gh, ch, luma = mm.decode_jpeg(payload)
+        assert (gw, gh, ch) == (8, 8, 1)
+        assert luma == v / 255.0
+
     def test_real_extract_over_spark(self, spark):
         rows = [
             (1, bytearray(mm.encode_bmp(4, 3, self.checker(4, 3))), "image/bmp"),
