@@ -780,12 +780,21 @@ def _q33_ivf_topk(spark, sf):
 
 
 def _q34_embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs within hyperplane-LSH buckets."""
+    """Embedding-cosine near-dup pairs within hyperplane-LSH buckets.
+
+    n_planes=None (r8): auto-scaled planes — max(4, ceil(log2(n/256)))
+    — keep expected bucket occupancy ~256 at ANY corpus size, so the
+    candidate pair volume grows linearly in n (the sf1 ladder caught
+    both a fixed-8-plane recall collapse at sandbox scale — collision
+    probability (1−θ/π)^8 ≈ 2.5% per cosine-0.4 pair — and a fixed-4-
+    plane quadratic blowup at sf1). At the driver's sf0.01 (500
+    vectors) the auto rule resolves to 4 planes, which is what the
+    oracle's bucket SQL mirrors."""
     from polars_pipe_spark.functions.dedup import embedding_near_dups
 
     return embedding_near_dups(
         _t_par(spark, sf, "embeddings"), "embedding", "vec_id",
-        threshold=0.4, n_planes=8,
+        threshold=0.4, n_planes=None,
     )
 
 
@@ -9548,7 +9557,7 @@ def _bucket_sql(v: str, n_planes: int) -> str:
     for j in range(n_planes):
         proj = (
             f"list_reduce(list_transform(range(1, len({v}) + 1), "
-            f"i -> CAST({v}[i] AS DOUBLE) * sin({j} * 7919.0 + (i - 1) * 104729.0)), "
+            f"i -> CAST({v}[i] AS DOUBLE) * sin({j + 1} * 2.399963229728653 * i + {j})), "
             f"(x, y) -> x + y)"
         )
         bits.append(f"(CASE WHEN {proj} >= 0 THEN {1 << (n_planes - 1 - j)} ELSE 0 END)")
@@ -9605,7 +9614,7 @@ _ORACLES["q32_streaming_windowed"] = _WINDOWED_SQL
 _ORACLES["q34_embedding_neardup"] = f"""
     WITH b AS (
       SELECT vec_id AS id, embedding AS v,
-             {_bucket_sql("embedding", 8)} AS bucket
+             {_bucket_sql("embedding", 4)} AS bucket
       FROM embeddings
     )
     SELECT a.id AS id_a, bb.id AS id_b, {_cosine_sql("a.v", "bb.v")} AS cosine

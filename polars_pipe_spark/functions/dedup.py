@@ -28,6 +28,7 @@ skew-join splitting; pair outputs are deduplicated with an id<id guard
 from __future__ import annotations
 
 import logging
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -558,31 +559,60 @@ def embedding_near_dups(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     cache_intermediates: bool = True,
+    target_occupancy: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity, LSH-bucketed (random
     hyperplanes) so the pair join stays within buckets.
 
+    ``n_planes=None`` auto-scales the plane count to the corpus:
+    ``max(4, ceil(log2(n / target_occupancy)))``, so expected bucket
+    occupancy stays ~``target_occupancy`` and the candidate pair volume
+    grows LINEARLY in n (n·occupancy/2) instead of quadratically
+    (n²/2^planes with any fixed plane count) — the r8 sf1 ladder
+    finding: 50k vectors through 4 fixed planes meant 16 buckets and
+    ~78M verify pairs. Costs one column-pruned ``count()`` pre-pass.
+    More planes = lower per-pair recall (single-probe collision
+    probability (1−θ/π)^planes); callers pinning recall pass an
+    explicit ``n_planes`` and own the occupancy math.
+
     The bucketed frame is self-joined, so the n_planes dot products per
     row would run twice; ``cache_intermediates`` persists it once
     (columnar cache, spills gracefully)."""
-    from polars_pipe_spark.functions.similarity import cosine_expr, hyperplane_bucket
+    from polars_pipe_spark.functions.similarity import cosine_kernel, hyperplane_bucket
+
+    if n_planes is None:
+        n_rows = df.select(F.col(id_col)).count()
+        n_planes = max(4, math.ceil(math.log2(max(1, n_rows) / target_occupancy)))
 
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, n_planes).alias("bucket"),
     )
+    # Explicit bucket partitioning at the FULL shuffle width (r8 sf1
+    # ladder finding): the bucketed frame is only ~rows x vec bytes, so
+    # AQE coalesces the pre-join exchange to 1-2 partitions — and then
+    # the self-join FAN-OUT (quadratic in bucket occupancy) plus the
+    # per-pair verify kernel run nearly serially. A user-specified
+    # partition count is exempt from AQE coalescing, and the cached
+    # co-partitioning serves BOTH sides of the self-join with no extra
+    # exchange, so the pair stage runs at full parallelism.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    b = b.repartition(n_shuffle, "bucket")
     if cache_intermediates:
         b = b.persist()
+    # cosine_kernel, not cosine_expr: the verify runs once per candidate
+    # PAIR, and the interpreted higher-order form was the sf1 ladder's
+    # 15-minute stage (r8 finding) — the Arrow kernel is bit-identical
     pairs = (
         b.alias("a")
         .join(
             b.withColumnsRenamed({"id": "id_b", "v": "v_b"}).alias("bb"),
             (F.col("a.bucket") == F.col("bb.bucket")) & (F.col("a.id") < F.col("id_b")),
         )
-        .withColumn("cosine", F.round(cosine_expr(F.col("a.v"), F.col("v_b")), 6))
+        .withColumn("cosine", F.round(cosine_kernel(F.col("a.v"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("id_b"), "cosine")
     )
@@ -627,7 +657,7 @@ def semantic_dedup_ledger(
     Returns one row per cluster:
     ``(cluster_id, n_members, n_dropped, n_survivors)``.
     """
-    from polars_pipe_spark.functions.similarity import cosine_expr, hyperplane_bucket
+    from polars_pipe_spark.functions.similarity import cosine_kernel, hyperplane_bucket
 
     if not centroids:
         raise ValueError("semantic_dedup_ledger: centroids must be non-empty")
@@ -666,9 +696,17 @@ def semantic_dedup_ledger(
     # calls in a long session accumulated cached blocks forever.
     # localCheckpoint blocks skip the cache manager and are released by
     # the ContextCleaner when the caller drops the returned frame.
-    assigned = base.withColumn(
-        "cluster_id", F.expr(argmin).cast("long")
-    ).localCheckpoint(eager=True)
+    # explicit (cluster, bucket) partitioning at full shuffle width
+    # BEFORE the checkpoint, same r8 ladder reasoning as
+    # embedding_near_dups: the assigned frame is small in bytes, AQE
+    # would coalesce the self-join exchange to ~1 partition, and the
+    # quadratic pair fan-out + verify kernel would run serially.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    assigned = (
+        base.withColumn("cluster_id", F.expr(argmin).cast("long"))
+        .repartition(n_shuffle, "cluster_id", "bucket")
+        .localCheckpoint(eager=True)
+    )
 
     dropped = (
         assigned.alias("a")
@@ -683,7 +721,9 @@ def semantic_dedup_ledger(
             & (F.col("a.bucket") == F.col("bucket_b"))
             & (F.col("a.id") < F.col("id_b")),
         )
-        .filter(F.round(cosine_expr(F.col("a.v"), F.col("v_b")), 6) >= threshold)
+        # cosine_kernel: per-pair verify — same r8 ladder reasoning as
+        # embedding_near_dups (interpreted HOF eval was the bottleneck)
+        .filter(F.round(cosine_kernel(F.col("a.v"), F.col("v_b")), 6) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -52,13 +53,72 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def cosine_kernel(a: Column, b: Column) -> Column:
+    """Arrow-batched cosine — bit-identical to :func:`cosine_expr`, ~two
+    orders of magnitude faster per pair (r8 sf1 ladder finding).
+
+    Spark's higher-order functions (``zip_with``/``aggregate``) have NO
+    codegen: each evaluation walks the expression tree interpreted, and
+    a candidate-verify join evaluates it once per PAIR. At the sf1
+    ladder point q34's bucket self-join spent 15+ minutes in
+    ``ZipWith.eval``/``ArrayAggregate.eval`` stack frames (jstack
+    capture) — the per-pair interpreter, not the pair count, was the
+    wall. This kernel moves the same arithmetic into one numpy pass per
+    Arrow batch.
+
+    Bit-parity contract (so every oracle that mirrors
+    ``cosine_expr``'s value keeps matching): ``aggregate`` folds left
+    to right from 0.0, which is exactly ``np.cumsum`` along the vector
+    axis; float32 inputs are widened to float64 BEFORE multiply (the
+    ``x.cast(double) * y.cast(double)`` order); the final expression is
+    the same ``dot / (sqrt(ssq_a) * sqrt(ssq_b))``. Verified bit-exact
+    against cosine_expr on 45k random float32 pairs.
+
+    Declared pandas-UDF seam (the no-row-UDF policy allows Arrow
+    batches at named seams; this is the per-pair similarity kernel).
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def _cos(pa_: pd.Series, pb: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        if len(pa_) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(pa_.to_numpy()).astype("float64")
+        B = np.stack(pb.to_numpy()).astype("float64")
+        dots = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    return _cos(a, b)
+
+
 # -- deterministic pseudo-random hyperplanes --------------------------------
-# plane j, dim i weight = sin(j * 7919 + i * 104729) — fixed primes, unit-
-# free sign pattern, exactly reproducible in any engine with sin().
+# plane j, dim i weight = sin((j+1)·γ·(i+1) + j) with γ = the golden angle
+# 2.399963229728653 — per-plane FREQUENCY, exactly reproducible in any
+# engine with sin().
+#
+# r8 fix: the original sin(j·7919 + i·104729) gave every plane the SAME
+# frequency in i and only a per-plane PHASE — and two equal-frequency
+# sinusoids with phase gap φ correlate as cos(φ). With 7919·3 ≈ 0.275
+# (mod 2π), planes 3 apart correlated at 0.96: 8 nominal planes were ~4
+# effective ones, every corpus collapsed into ~16 of 256 buckets, and
+# the bucket self-join blew up quadratically (sf1 ladder: 143M verify
+# pairs from 50k vectors; the driver's own sf0.1 embeddings used 16
+# buckets too). Golden-angle FREQUENCIES keep pairwise |corr| ≤ 0.1 up
+# to 16 planes: the same data spreads over all 256 buckets (max
+# occupancy 19 vs 10,694, pairs 7.7k vs 150k at sf0.1).
+
+_PLANE_STRIDE = 2.399963229728653  # golden angle, 2π(1 − 1/φ)
 
 
 def hyperplane_weight(j: int, i: Column) -> Column:
-    return F.sin(F.lit(float(j)) * 7919.0 + i.cast("double") * 104729.0)
+    return F.sin(
+        F.lit(float(j + 1) * _PLANE_STRIDE) * (i.cast("double") + 1.0)
+        + F.lit(float(j))
+    )
 
 
 def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
@@ -102,7 +162,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel(F.col("cv"), F.col("qv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -183,7 +243,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel(F.col("cv"), F.col("qv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -320,7 +380,7 @@ def ivf_topk(
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel(F.col("cv"), F.col("qv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -382,7 +442,7 @@ def quantized_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6))
+        .withColumn("cosine", F.round(cosine_kernel(F.col("cv"), F.col("qv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

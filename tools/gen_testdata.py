@@ -278,9 +278,14 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
 
     k = n["embeddings"]
     lab = rng.randint(0, 10, k).astype("int32")
-    # label-correlated clusters so ANN / clustering queries see structure
+    # label-correlated clusters so ANN / clustering queries see structure.
+    # sigma=2.0 (r8 fix, was 0.15): with near-zero noise ~10% of ALL
+    # pairs had cosine >= 0.9, so any near-dup query's TRUE output was
+    # quadratic in corpus size and the sf1 ladder measured output
+    # volume, not operator scaling. sigma=2.0 matches the driver data's
+    # regime (max pair cosine ~0.5, ~0.05-0.08% of pairs >= 0.4).
     centers = rng.uniform(-1.0, 1.0, (10, 64))
-    vecs = (centers[lab] + rng.normal(0.0, 0.15, (k, 64))).astype("float32")
+    vecs = (centers[lab] + rng.normal(0.0, 2.0, (k, 64))).astype("float32")
     write(
         "embeddings",
         pa.schema(
