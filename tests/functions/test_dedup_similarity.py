@@ -126,6 +126,66 @@ class TestSimilarity:
         b = [r.b for r in df.select(sim.hyperplane_bucket("embedding", 6).alias("b")).collect()]
         assert b[0] == b[1]
 
+    def test_cosine_kernel_bit_identical_to_expr(self, spark):
+        # r8: the Arrow cosine kernel must match the interpreted
+        # higher-order expression BIT-exactly (oracles mirror the expr's
+        # fold order), including float32 widening.
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [
+            (i, [float(np.float32(x)) for x in rng.randn(17)]) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<float>")
+        p = df.alias("a").join(
+            df.withColumnsRenamed({"id": "id_b", "v": "v_b"}),
+            F.col("a.id") < F.col("id_b"),
+        )
+        out = p.select(
+            sim.cosine_expr(F.col("a.v"), F.col("v_b")).alias("c1"),
+            sim.cosine_kernel(F.col("a.v"), F.col("v_b")).alias("c2"),
+        )
+        assert out.filter(F.col("c1") != F.col("c2")).count() == 0
+
+    def test_hyperplanes_decorrelated(self):
+        # r8: the old sin(j*7919 + i*104729) planes were phase-shifted
+        # copies of ONE frequency (pairwise correlation up to 0.96 —
+        # 16 effective buckets out of 256). The golden-angle planes
+        # must stay below 0.15 pairwise up to 16 planes.
+        import numpy as np
+
+        ga = 2.399963229728653
+        W = np.array(
+            [[np.sin((j + 1) * ga * (i + 1.0) + j) for i in range(64)]
+             for j in range(16)]
+        )
+        Wn = W / np.linalg.norm(W, axis=1, keepdims=True)
+        C = np.abs(Wn @ Wn.T - np.eye(16))
+        assert C.max() < 0.15, f"max plane correlation {C.max():.3f}"
+
+    def test_embedding_near_dups_auto_planes(self, spark):
+        # r8: n_planes=None keeps expected bucket occupancy ~target, so
+        # candidate volume is linear in n. 500 rows / target 256 -> the
+        # 4-plane floor; 50k rows -> 8 planes.
+        import math
+
+        from polars_pipe_spark.functions.dedup import embedding_near_dups
+
+        for n, want in [(500, 4), (50_000, 8), (256_000_000, 20)]:
+            got = max(4, math.ceil(math.log2(max(1, n) / 256)))
+            assert got == want, (n, got, want)
+        # end-to-end: auto mode runs and returns the pair schema
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = embedding_near_dups(
+            df, "embedding", "vec_id", threshold=0.5, n_planes=None
+        )
+        assert out.columns == ["id_a", "id_b", "cosine"]
+        assert out.count() >= 0
+
     def test_ivf_topk_shape(self, vectors):
         out = sim.ivf_topk(
             vectors, vectors.filter(F.col("vec_id") == 1), "embedding", "vec_id", "vec_id",
