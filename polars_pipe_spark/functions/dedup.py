@@ -577,10 +577,13 @@ def embedding_near_dups(
     probability (1−θ/π)^planes); callers pinning recall pass an
     explicit ``n_planes`` and own the occupancy math.
 
-    The bucketed frame is self-joined, so the n_planes dot products per
-    row would run twice; ``cache_intermediates`` persists it once
-    (columnar cache, spills gracefully)."""
-    from polars_pipe_spark.functions.similarity import cosine_kernel, hyperplane_bucket
+    ``cache_intermediates`` is accepted for API compatibility but is a
+    no-op since the grouped verify (below) consumes the bucketed frame
+    exactly once."""
+    from polars_pipe_spark.functions.similarity import (
+        bucket_pairs_cosine,
+        hyperplane_bucket,
+    )
 
     if n_planes is None:
         n_rows = df.select(F.col(id_col)).count()
@@ -593,30 +596,24 @@ def embedding_near_dups(
     )
     # Explicit bucket partitioning at the FULL shuffle width (r8 sf1
     # ladder finding): the bucketed frame is only ~rows x vec bytes, so
-    # AQE coalesces the pre-join exchange to 1-2 partitions — and then
-    # the self-join FAN-OUT (quadratic in bucket occupancy) plus the
-    # per-pair verify kernel run nearly serially. A user-specified
-    # partition count is exempt from AQE coalescing, and the cached
-    # co-partitioning serves BOTH sides of the self-join with no extra
-    # exchange, so the pair stage runs at full parallelism.
+    # AQE would coalesce the grouped-verify exchange to 1-2 partitions
+    # and the per-bucket pair work would run nearly serially. A
+    # user-specified partition count is exempt from AQE coalescing and
+    # already satisfies the groupBy(bucket) distribution, so the verify
+    # runs at full parallelism with no extra exchange.
     n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     b = b.repartition(n_shuffle, "bucket")
-    if cache_intermediates:
-        b = b.persist()
-    # cosine_kernel, not cosine_expr: the verify runs once per candidate
-    # PAIR, and the interpreted higher-order form was the sf1 ladder's
-    # 15-minute stage (r8 finding) — the Arrow kernel is bit-identical
-    pairs = (
-        b.alias("a")
-        .join(
-            b.withColumnsRenamed({"id": "id_b", "v": "v_b"}).alias("bb"),
-            (F.col("a.bucket") == F.col("bb.bucket")) & (F.col("a.id") < F.col("id_b")),
-        )
-        .withColumn("cosine", F.round(cosine_kernel(F.col("a.v"), F.col("v_b")), 6))
+    # Grouped pair-verify (r8 sf1 ladder, second q34 finding): the old
+    # bucket SELF-JOIN + per-pair cosine kernel shipped both vectors to
+    # Python once per PAIR (~3.3 GB Arrow traffic at sf1); the grouped
+    # kernel ships each vector once and verifies in-numpy, bit-identical
+    # cosine on survivors. round(6)-then-compare is unchanged.
+    return (
+        bucket_pairs_cosine(b, ["bucket"], threshold)
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("a.id").alias("id_a"), F.col("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )
-    return pairs
 
 
 def semantic_dedup_ledger(
@@ -657,7 +654,10 @@ def semantic_dedup_ledger(
     Returns one row per cluster:
     ``(cluster_id, n_members, n_dropped, n_survivors)``.
     """
-    from polars_pipe_spark.functions.similarity import cosine_kernel, hyperplane_bucket
+    from polars_pipe_spark.functions.similarity import (
+        bucket_pairs_cosine,
+        hyperplane_bucket,
+    )
 
     if not centroids:
         raise ValueError("semantic_dedup_ledger: centroids must be non-empty")
@@ -708,22 +708,14 @@ def semantic_dedup_ledger(
         .localCheckpoint(eager=True)
     )
 
+    # grouped pair-verify on (cluster, bucket) — same r8 ladder
+    # reasoning as embedding_near_dups: the old self-join shipped both
+    # vectors to Python per candidate PAIR; bucket_pairs_cosine ships
+    # each member once and verifies in-numpy with the identical
+    # round(6)-then-compare contract
     dropped = (
-        assigned.alias("a")
-        .join(
-            assigned.select(
-                F.col("id").alias("id_b"),
-                F.col("v").alias("v_b"),
-                F.col("bucket").alias("bucket_b"),
-                F.col("cluster_id").alias("cluster_b"),
-            ),
-            (F.col("a.cluster_id") == F.col("cluster_b"))
-            & (F.col("a.bucket") == F.col("bucket_b"))
-            & (F.col("a.id") < F.col("id_b")),
-        )
-        # cosine_kernel: per-pair verify — same r8 ladder reasoning as
-        # embedding_near_dups (interpreted HOF eval was the bottleneck)
-        .filter(F.round(cosine_kernel(F.col("a.v"), F.col("v_b")), 6) >= threshold)
+        bucket_pairs_cosine(assigned, ["cluster_id", "bucket"], threshold)
+        .filter(F.round(F.col("cosine"), 6) >= threshold)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

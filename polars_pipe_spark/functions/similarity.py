@@ -121,8 +121,10 @@ def hyperplane_weight(j: int, i: Column) -> Column:
     )
 
 
-def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
-    """Sign-signature bucket id in [0, 2^n_planes)."""
+def hyperplane_bucket_expr(vec_col: str | Column, n_planes: int = 8) -> Column:
+    """Sign-signature bucket id in [0, 2^n_planes) — pure-expression
+    form (the formula the SQL oracles mirror). Interpreted per element
+    (HOFs have no codegen); hot paths use :func:`hyperplane_bucket`."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for j in range(n_planes):
@@ -137,6 +139,155 @@ def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
         )
         bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
     return bucket
+
+
+def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
+    """Sign-signature bucket id in [0, 2^n_planes) — Arrow-batched
+    kernel, same value as :func:`hyperplane_bucket_expr`.
+
+    r8 sf1 ladder finding (same class as :func:`cosine_kernel`): the
+    expression form walks sin/multiply/fold per ELEMENT in the HOF
+    interpreter — O(n_planes · d) interpreted evals per row, several
+    seconds of pure interpreter at 50k × 64-dim before any join work.
+    The kernel computes the identical weights (``sin`` is libm here vs
+    JVM ``Math.sin`` there — both correctly-rounded to ~1 ulp; a sign
+    flip needs |projection| ≲ 1e-14, the same cross-engine tolerance the
+    DuckDB oracles already carry) and folds products left-to-right via
+    ``np.cumsum``, matching ``aggregate``'s fold order bit-exactly.
+    Null and EMPTY vectors both give bucket 0, exactly like the
+    expression: a null vector nulls the projection, and an empty one
+    null-pads through ``zip_with`` (``sequence(0, -1)`` descends) and
+    poisons the fold — either way ``when(proj >= 0, 1)`` sees not-true
+    and takes ``otherwise(0)`` for every plane.
+
+    Declared pandas-UDF seam (no-row-UDF policy: Arrow batches at named
+    seams; this is the per-row LSH bucketing kernel).
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        import numpy as np  # noqa: PLC0415
+
+        n = len(vs)
+        out = np.zeros(n, dtype=np.int64)  # null/empty vectors: bucket 0
+        arrs = vs.to_numpy()
+        lens = np.empty(n, dtype=np.int64)
+        for i, a in enumerate(arrs):
+            lens[i] = -1 if a is None else len(a)
+        for length in np.unique(lens[lens > 0]):
+            idx = np.nonzero(lens == length)[0]
+            mat = np.stack([arrs[i] for i in idx]).astype(np.float64)
+            pos = np.arange(1, length + 1, dtype=np.float64)
+            b = np.zeros(len(idx), dtype=np.int64)
+            for j in range(n_planes):
+                w = np.sin((j + 1) * _PLANE_STRIDE * pos + float(j))
+                proj = np.cumsum(mat * w, axis=1)[:, -1]
+                b = b * 2 + (proj >= 0).astype(np.int64)
+            out[idx] = b
+        return pd.Series(out)
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _bucket(v)
+
+
+def bucket_pairs_cosine(
+    b: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "v",
+    chunk: int = 4096,
+) -> DataFrame:
+    """All within-group pairs (id_a < id_b) whose cosine can round to
+    ``threshold`` or above — the verify stage of LSH-bucketed near-dup,
+    emitted by ONE ``applyInPandas`` pass per group.
+
+    Why (r8 sf1 ladder, second finding on q34): the previous verify was
+    a bucket self-join feeding a per-pair cosine kernel, which ships BOTH
+    full vectors to Python once per PAIR — ~6.4M candidate pairs × 2 ×
+    64 float64 ≈ 3.3 GB of Arrow traffic at sf1, ~10 s of the query's
+    12 s. Grouping by bucket ships each vector ONCE (~13 MB), a blocked
+    in-numpy matmul prefilters candidates, and only survivors get the
+    exact fold-order cosine.
+
+    Exactness contract: the returned ``cosine`` is bit-identical to
+    :func:`cosine_kernel` (float64 widen → product → left-to-right
+    ``np.cumsum`` fold → ``dot/(na·nb)``). The matmul is only a
+    PREFILTER with margin: |matmul − fold| ≲ 1e-13 for unit-scale
+    64-dim data, and the margin below is 0.5e-6 (the round-to-6
+    half-step the callers compare at) + 1e-9 — no pair that could pass
+    the callers' ``round(cos, 6) >= threshold`` check is dropped.
+    Callers apply that round+filter themselves, exactly as before.
+
+    The matmul is BLOCKED at ``chunk`` rows, so a degenerate giant
+    bucket costs O(m²) time (inherent — those pairs exist) but bounded
+    memory. Declared pandas-UDF seam (grouped pair-verify kernel).
+
+    Output: (group_cols..., id_a, id_b, cosine) — raw, un-rounded.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    id_type = dict(b.dtypes)[id_col]
+    out_schema = (
+        ", ".join(f"{c} {dict(b.dtypes)[c]}" for c in group_cols)
+        + f", id_a {id_type}, id_b {id_type}, cosine double"
+    )
+    margin = 0.5e-6 + 1e-9
+
+    def verify(key, pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    **{c: [] for c in group_cols},
+                    "id_a": [],
+                    "id_b": [],
+                    "cosine": [],
+                }
+            )
+        # sort by id so i<j in matrix order == id_a < id_b in output
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        # exact per-vector norms, same fold order as cosine_kernel
+        na = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        ii, jj = [], []
+        for i0 in range(0, m, chunk):
+            blk = V[i0 : i0 + chunk]
+            g = blk @ V.T
+            approx = g / (na[i0 : i0 + chunk, None] * na[None, :])
+            bi, bj = np.nonzero(approx >= threshold - margin)
+            keep = (bi + i0) < bj
+            ii.append(bi[keep] + i0)
+            jj.append(bj[keep])
+        ii = np.concatenate(ii) if ii else np.empty(0, dtype=np.int64)
+        jj = np.concatenate(jj) if jj else np.empty(0, dtype=np.int64)
+        if len(ii) == 0:
+            return pd.DataFrame(
+                {
+                    **{c: [] for c in group_cols},
+                    "id_a": [],
+                    "id_b": [],
+                    "cosine": [],
+                }
+            )
+        dots = np.cumsum(V[ii] * V[jj], axis=1)[:, -1]
+        cos = dots / (na[ii] * na[jj])
+        return pd.DataFrame(
+            {
+                **{c: pdf[c].iloc[0] for c in group_cols},
+                "id_a": ids[ii],
+                "id_b": ids[jj],
+                "cosine": cos,
+            }
+        )
+
+    return (
+        b.select(*group_cols, F.col(id_col), F.col(vec_col))
+        .groupBy(*group_cols)
+        .applyInPandas(verify, out_schema)
+    )
 
 
 def brute_force_topk(
@@ -419,6 +570,58 @@ def dequantize_vec(q: Column) -> Column:
     )
 
 
+def quantize_codes_kernel(vecs, dims: int):
+    """Numpy twin of ``quantize_vec(...)["codes"]`` sliced to the first
+    ``dims`` positions — for use INSIDE Arrow-batched kernels
+    (mapInPandas / pandas_udf), bit-identical to the expression form.
+
+    Why it exists (r8 sf1 ladder finding, same class as
+    :func:`cosine_kernel`): ``F.transform`` has no codegen, and the
+    ``array_min(v)`` / ``array_max(v)`` subtrees inside its lambda are
+    re-evaluated per ELEMENT by the interpreter — O(d²) interpreted work
+    per row, paid again by any filter that references the same
+    expression. At 50k × 64-dim vectors that was ~20 s of pure
+    expression interpreter in ``gram_matrix``; this kernel is one
+    vectorized numpy pass.
+
+    Bit-parity contract: min/max are computed in the INPUT dtype and
+    then widened (Spark's ``array_min`` returns the element type, the
+    expression casts it to double afterwards); elements widen to float64
+    BEFORE the subtract (the ``x.cast("double")`` order); the arithmetic
+    is the same ``floor((x - mn) / rng * 255.0 + 0.5)`` chain in IEEE
+    float64. Null elements are NOT handled (callers filter null/short
+    vectors first — same contract as the previous JVM-side path, whose
+    kernel crashed on null elements too).
+
+    ``vecs``: iterable of length-``L`` numeric arrays with L >= dims
+    (mixed lengths allowed — quantization params come from each FULL
+    vector, then codes are sliced). Returns an ``(n, dims)`` int64
+    matrix.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    arrs = list(vecs)
+    n = len(arrs)
+    out = np.empty((n, dims), dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    if lens.min() < dims:
+        raise ValueError(
+            f"quantize_codes_kernel: vector shorter than dims={dims}"
+        )
+    for length in np.unique(lens):
+        idx = np.nonzero(lens == length)[0]
+        mat = np.stack([arrs[i] for i in idx])
+        mn = mat.min(axis=1).astype(np.float64)[:, None]
+        mx = mat.max(axis=1).astype(np.float64)[:, None]
+        rng = np.where(mx > mn, mx - mn, 1.0)
+        x = mat.astype(np.float64)
+        codes = np.floor((x - mn) / rng * 255.0 + 0.5).astype(np.int64)
+        out[idx] = codes[:, :dims]
+    return out
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -494,30 +697,30 @@ def gram_matrix(
     single-source-of-truth expression.
     """
     v = F.col(vec_col)
-    codes = F.slice(quantize_vec(v)["codes"], 1, dims)
     pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
-
-    # Null / shorter-than-dims vectors are dropped up front so BOTH impls
-    # see the same well-formed rows (`n` counts only valid vectors).
-    # Previously the pandas kernel crashed in np.vstack on ragged input
-    # while the expr path silently treated them as nulls — two different
-    # answers for the same frame (r3 ADVICE).
-    valid = df.select(codes.alias("__c")).filter(
-        F.col("__c").isNotNull() & (F.size("__c") == dims)
-    )
 
     if impl == "pandas":
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        c_df = valid
+        # r8 sf1 ladder: validity is checked on the RAW vector (O(1)
+        # null/size tests — `size(v) >= dims` is exactly the old
+        # `size(slice(codes,1,dims)) == dims`) and quantization happens
+        # INSIDE the Arrow kernel via quantize_codes_kernel. The old
+        # JVM-side `F.transform` quantizer re-evaluated array_min/max
+        # per element (no HOF codegen): O(d²) interpreted work per row,
+        # paid twice (filter + project) — ~20 s at 50k×64 where the
+        # numpy pass is milliseconds.
+        c_df = df.select(v.alias("__v")).filter(
+            v.isNotNull() & (F.size(v) >= dims)
+        )
 
         def part(batches):
             n, s, p = 0, None, None
             for pdf in batches:
                 if not len(pdf):
                     continue
-                mat = np.vstack(pdf["__c"].to_numpy()).astype(np.int64)
+                mat = quantize_codes_kernel(pdf["__v"].to_numpy(), dims)
                 n += mat.shape[0]
                 s = mat.sum(0) if s is None else s + mat.sum(0)
                 g = mat.T @ mat
@@ -551,10 +754,16 @@ def gram_matrix(
                 (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias("cov_num"),
             )
         )
-    # explode(array(x)) materialises the quantized array exactly once per
-    # row (Generate blocks projection collapse) — the 150+ aggregate
-    # expressions below then reference a cheap column, never a copy of
-    # the quantizer.
+    # Null / shorter-than-dims vectors are dropped up front so BOTH impls
+    # see the same well-formed rows (`n` counts only valid vectors) —
+    # r3 ADVICE. explode(array(x)) materialises the quantized array
+    # exactly once per row (Generate blocks projection collapse) — the
+    # 150+ aggregate expressions below then reference a cheap column,
+    # never a copy of the quantizer.
+    codes = F.slice(quantize_vec(v)["codes"], 1, dims)
+    valid = df.select(codes.alias("__c")).filter(
+        F.col("__c").isNotNull() & (F.size("__c") == dims)
+    )
     c_df = valid.select(F.explode(F.array(F.col("__c"))).alias("__c"))
     c = F.col("__c")
     # ONE aggregation computes every moment (count + d linear + d(d+1)/2
@@ -636,11 +845,13 @@ def pca_whiten(
     w, v = np.linalg.eigh(cov)
     proj = v @ np.diag(1.0 / np.sqrt(np.maximum(w, eps))) @ v.T  # ZCA
 
-    codes = F.slice(quantize_vec(F.col(vec_col))["codes"], 1, dims)
     # same validity rule as gram_matrix: only whiten the vectors the
-    # moments were computed from
-    flat = df.select(F.col(id_col), codes.alias("__c")).filter(
-        F.col("__c").isNotNull() & (F.size("__c") == dims)
+    # moments were computed from; quantization happens inside the Arrow
+    # kernel (quantize_codes_kernel — the JVM transform quantizer is
+    # O(d²) interpreted per row, the r8 sf1 ladder finding)
+    vraw = F.col(vec_col)
+    flat = df.select(F.col(id_col), vraw.alias("__v")).filter(
+        vraw.isNotNull() & (F.size(vraw) >= dims)
     )
 
     def batches(it):
@@ -649,7 +860,9 @@ def pca_whiten(
         for pdf in it:
             if not len(pdf):
                 continue
-            mat = np.vstack(pdf["__c"].to_numpy()).astype(np.float64)
+            mat = quantize_codes_kernel(pdf["__v"].to_numpy(), dims).astype(
+                np.float64
+            )
             out = (mat - mean) @ proj
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "whitened": list(out)}

@@ -222,6 +222,128 @@ class TestQuantization:
                 assert abs(a - b) <= bound, (row.id, a, b, bound)
 
 
+class TestHyperplaneBucketKernelParity:
+    """hyperplane_bucket (Arrow kernel) must agree with
+    hyperplane_bucket_expr (the formula the SQL oracles mirror). sin
+    provenance differs (libm vs JVM Math.sin, both ~1 ulp); a mismatch
+    needs |projection| ≲ 1e-14, so on fixed-seed random data agreement
+    is deterministic."""
+
+    def test_kernel_matches_expr(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(17)
+        vecs = rng.randn(200, 64).astype("float32") * 2.0
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        for planes in (4, 8):
+            got = df.select(
+                "vec_id",
+                sim.hyperplane_bucket("embedding", planes).alias("k"),
+                sim.hyperplane_bucket_expr("embedding", planes).alias("e"),
+            ).collect()
+            assert len(got) == 200
+            for r in got:
+                assert r.k == r.e, (r.vec_id, planes)
+
+    def test_null_and_empty_vectors(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0]), (2, None), (3, [])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.vec_id: (r.k, r.e)
+            for r in df.select(
+                "vec_id",
+                sim.hyperplane_bucket("embedding", 3).alias("k"),
+                sim.hyperplane_bucket_expr("embedding", 3).alias("e"),
+            ).collect()
+        }
+        # null and empty vectors both bucket to 0 (null projection ->
+        # when(null>=0) not-true -> otherwise(0) per plane; the empty
+        # array null-pads through zip_with and poisons the fold)
+        assert rows[2] == (0, 0)
+        assert rows[3] == (0, 0)
+        assert rows[1][0] == rows[1][1]
+
+
+class TestQuantizeKernelParity:
+    """quantize_codes_kernel must be bit-identical to the
+    quantize_vec(...)["codes"] expression (r8 sf1 ladder: the HOF
+    expression re-evaluates array_min/max per element — O(d²)
+    interpreted per row — so the Arrow kernels quantize in numpy)."""
+
+    def test_kernel_bit_identical_to_expr_float32(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        vecs = (rng.randn(300, 12) * rng.uniform(0.1, 40.0, (300, 1))).astype(
+            "float32"
+        )
+        vecs[7] = 3.25  # constant vector -> rng==0 guard path
+        vecs[13] *= -1.0  # all-negative
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, v array<float>",
+        )
+        expr = F.slice(sim.quantize_vec(F.col("v"))["codes"], 1, 12)
+        rows = df.select("vec_id", expr.alias("c")).collect()
+        got = sim.quantize_codes_kernel(list(vecs), 12)
+        assert len(rows) == 300
+        for r in rows:
+            assert [int(x) for x in got[r.vec_id]] == list(r.c)
+
+    def test_kernel_bit_identical_to_expr_float64(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(23)
+        vecs = rng.randn(50, 6) * 7.5
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, v array<double>",
+        )
+        expr = F.slice(sim.quantize_vec(F.col("v"))["codes"], 1, 6)
+        rows = df.select("vec_id", expr.alias("c")).collect()
+        got = sim.quantize_codes_kernel(list(vecs), 6)
+        for r in rows:
+            assert [int(x) for x in got[r.vec_id]] == list(r.c)
+
+    def test_mixed_lengths_quantize_on_full_vector(self):
+        import numpy as np
+
+        # params come from the FULL vector, codes sliced to dims — a
+        # 6-long and a 4-long vector with the same head must differ when
+        # their tails move min/max
+        a = np.array([0.0, 1.0, 2.0, 3.0, 10.0, -10.0], dtype="float64")
+        b = np.array([0.0, 1.0, 2.0, 3.0], dtype="float64")
+        out = sim.quantize_codes_kernel([a, b], 4)
+        assert out.shape == (2, 4)
+        assert list(out[1]) == [0, 85, 170, 255]
+        assert list(out[0]) != list(out[1])
+
+    def test_short_vector_raises(self):
+        import numpy as np
+
+        with pytest.raises(ValueError, match="shorter than dims"):
+            sim.quantize_codes_kernel([np.zeros(3)], 4)
+
+    def test_gram_pandas_matches_expr_impl(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(60, 10).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        key = lambda r: (r.i, r.j)  # noqa: E731
+        a = sorted(sim.gram_matrix(df, "embedding", dims=6, impl="pandas").collect(), key=key)
+        b = sorted(sim.gram_matrix(df, "embedding", dims=6, impl="expr").collect(), key=key)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 class TestContamination:
     def test_flags_overlapping_pairs(self, near_dup_docs):
         # bench = doc 1; docs 2 (exact) and 3 (near) share >= 5 trigrams
