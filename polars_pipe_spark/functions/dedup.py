@@ -594,20 +594,14 @@ def embedding_near_dups(
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, n_planes).alias("bucket"),
     )
-    # Explicit bucket partitioning at the FULL shuffle width (r8 sf1
-    # ladder finding): the bucketed frame is only ~rows x vec bytes, so
-    # AQE would coalesce the grouped-verify exchange to 1-2 partitions
-    # and the per-bucket pair work would run nearly serially. A
-    # user-specified partition count is exempt from AQE coalescing and
-    # already satisfies the groupBy(bucket) distribution, so the verify
-    # runs at full parallelism with no extra exchange.
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    b = b.repartition(n_shuffle, "bucket")
     # Grouped pair-verify (r8 sf1 ladder, second q34 finding): the old
     # bucket SELF-JOIN + per-pair cosine kernel shipped both vectors to
     # Python once per PAIR (~3.3 GB Arrow traffic at sf1); the grouped
     # kernel ships each vector once and verifies in-numpy, bit-identical
     # cosine on survivors. round(6)-then-compare is unchanged.
+    # bucket_pairs_cosine owns the AQE-exempt full-width repartition on
+    # the bucket key (the bucketed frame is tiny in bytes, so AQE would
+    # otherwise coalesce the verify to 1-2 partitions).
     return (
         bucket_pairs_cosine(b, ["bucket"], threshold)
         .withColumn("cosine", F.round(F.col("cosine"), 6))

@@ -200,8 +200,7 @@ def bucket_pairs_cosine(
     chunk: int = 4096,
 ) -> DataFrame:
     """All within-group pairs (id_a < id_b) whose cosine can round to
-    ``threshold`` or above — the verify stage of LSH-bucketed near-dup,
-    emitted by ONE ``applyInPandas`` pass per group.
+    ``threshold`` or above — the verify stage of LSH-bucketed near-dup.
 
     Why (r8 sf1 ladder, second finding on q34): the previous verify was
     a bucket self-join feeding a per-pair cosine kernel, which ships BOTH
@@ -210,6 +209,15 @@ def bucket_pairs_cosine(
     12 s. Grouping by bucket ships each vector ONCE (~13 MB), a blocked
     in-numpy matmul prefilters candidates, and only survivors get the
     exact fold-order cosine.
+
+    Execution shape: an AQE-coalesce-exempt ``repartition`` on the group
+    key + ``sortWithinPartitions`` + ONE ``mapInPandas`` pass per
+    partition, with groups found by boundary scan inside the kernel.
+    NOT ``groupBy().applyInPandas``: that materialises a pandas frame
+    per GROUP, and LSH group counts are high by design (~n/occupancy) —
+    per-group overhead doubled the sf0.1 time. A partition must fit in
+    worker memory (the standard Spark contract; at 256-occupancy the
+    groups are tiny, partition size is corpus_bytes/shuffle_partitions).
 
     Exactness contract: the returned ``cosine`` is bit-identical to
     :func:`cosine_kernel` (float64 widen → product → left-to-right
@@ -224,34 +232,18 @@ def bucket_pairs_cosine(
     bucket costs O(m²) time (inherent — those pairs exist) but bounded
     memory. Declared pandas-UDF seam (grouped pair-verify kernel).
 
-    Output: (group_cols..., id_a, id_b, cosine) — raw, un-rounded.
+    Output: (id_a, id_b, cosine) — raw, un-rounded.
     """
     import numpy as np  # noqa: PLC0415
 
     id_type = dict(b.dtypes)[id_col]
-    out_schema = (
-        ", ".join(f"{c} {dict(b.dtypes)[c]}" for c in group_cols)
-        + f", id_a {id_type}, id_b {id_type}, cosine double"
-    )
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
     margin = 0.5e-6 + 1e-9
+    n_shuffle = int(b.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
-    def verify(key, pdf):
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {
-                    **{c: [] for c in group_cols},
-                    "id_a": [],
-                    "id_b": [],
-                    "cosine": [],
-                }
-            )
-        # sort by id so i<j in matrix order == id_a < id_b in output
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        ids = pdf[id_col].to_numpy()
-        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        # exact per-vector norms, same fold order as cosine_kernel
-        na = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+    def _pairs_of_group(ids, V, na):
+        """Candidate (i, j, exact_cos) for one group's sorted members."""
+        m = len(ids)
         ii, jj = [], []
         for i0 in range(0, m, chunk):
             blk = V[i0 : i0 + chunk]
@@ -259,34 +251,61 @@ def bucket_pairs_cosine(
             approx = g / (na[i0 : i0 + chunk, None] * na[None, :])
             bi, bj = np.nonzero(approx >= threshold - margin)
             keep = (bi + i0) < bj
-            ii.append(bi[keep] + i0)
-            jj.append(bj[keep])
-        ii = np.concatenate(ii) if ii else np.empty(0, dtype=np.int64)
-        jj = np.concatenate(jj) if jj else np.empty(0, dtype=np.int64)
+            if len(bi):
+                ii.append(bi[keep] + i0)
+                jj.append(bj[keep])
+        if not ii:
+            return None
+        ii = np.concatenate(ii)
+        jj = np.concatenate(jj)
         if len(ii) == 0:
-            return pd.DataFrame(
+            return None
+        dots = np.cumsum(V[ii] * V[jj], axis=1)[:, -1]
+        return ids[ii], ids[jj], dots / (na[ii] * na[jj])
+
+    def verify(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        # rows arrive sorted by (group_cols, id); group boundaries are
+        # where any key column changes
+        keys = [pdf[c].to_numpy() for c in group_cols]
+        n = len(pdf)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], n)
+        ids_all = pdf[id_col].to_numpy()
+        vec_all = pdf[vec_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            V = np.stack(vec_all[s:e]).astype(np.float64)
+            # exact per-vector norms, same fold order as cosine_kernel
+            na = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+            got = _pairs_of_group(ids_all[s:e], V, na)
+            if got is not None:
+                out_a.append(got[0])
+                out_b.append(got[1])
+                out_c.append(got[2])
+        if out_a:
+            yield pd.DataFrame(
                 {
-                    **{c: [] for c in group_cols},
-                    "id_a": [],
-                    "id_b": [],
-                    "cosine": [],
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "cosine": np.concatenate(out_c),
                 }
             )
-        dots = np.cumsum(V[ii] * V[jj], axis=1)[:, -1]
-        cos = dots / (na[ii] * na[jj])
-        return pd.DataFrame(
-            {
-                **{c: pdf[c].iloc[0] for c in group_cols},
-                "id_a": ids[ii],
-                "id_b": ids[jj],
-                "cosine": cos,
-            }
-        )
 
     return (
         b.select(*group_cols, F.col(id_col), F.col(vec_col))
-        .groupBy(*group_cols)
-        .applyInPandas(verify, out_schema)
+        .repartition(n_shuffle, *group_cols)
+        .sortWithinPartitions(*group_cols, id_col)
+        .mapInPandas(verify, out_schema)
     )
 
 

@@ -269,6 +269,80 @@ class TestHyperplaneBucketKernelParity:
         assert rows[1][0] == rows[1][1]
 
 
+class TestBucketPairsCosine:
+    """bucket_pairs_cosine must emit exactly the pairs the old
+    self-join + cosine_kernel verify emitted, with bit-identical
+    cosines (the r8 grouped-verify rewrite)."""
+
+    def _brute(self, spark, b, group_cols, threshold):
+        joined = b.alias("a").join(
+            b.withColumnsRenamed({"id": "id_b", "v": "v_b"}).alias("bb"),
+            [F.col(f"a.{c}") == F.col(f"bb.{c}") for c in group_cols]
+            + [F.col("a.id") < F.col("id_b")],
+        )
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in joined.withColumn(
+                "cosine", F.round(sim.cosine_kernel(F.col("a.v"), F.col("v_b")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), "id_b", "cosine")
+            .collect()
+        }
+
+    def test_matches_selfjoin_verify(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(31)
+        base = rng.randn(8, 16)
+        rows = []
+        for i in range(120):
+            v = base[i % 8] + rng.randn(16) * (0.05 if i % 3 else 2.0)
+            rows.append((i, i % 5, [float(x) for x in v]))
+        b = spark.createDataFrame(rows, "id long, bucket int, v array<float>")
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in sim.bucket_pairs_cosine(b, ["bucket"], 0.9)
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
+            .filter(F.col("cosine") >= 0.9)
+            .collect()
+        }
+        want = self._brute(spark, b, ["bucket"], 0.9)
+        assert got == want and len(want) > 5
+
+    def test_two_group_cols_and_id_order(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (i, i % 3, i % 2, [float(x) for x in rng.randn(8)]) for i in range(60)
+        ]
+        b = spark.createDataFrame(
+            rows, "id long, cluster_id int, bucket int, v array<float>"
+        )
+        out = sim.bucket_pairs_cosine(b, ["cluster_id", "bucket"], -1.1).collect()
+        # threshold below -1 -> every within-group pair, ordered
+        n_groups = {}
+        for i in range(60):
+            n_groups[(i % 3, i % 2)] = n_groups.get((i % 3, i % 2), 0) + 1
+        expect = sum(m * (m - 1) // 2 for m in n_groups.values())
+        assert len(out) == expect
+        assert all(r.id_a < r.id_b for r in out)
+        want = self._brute(spark, b, ["cluster_id", "bucket"], -1.1)
+        got = {
+            (r.id_a, r.id_b): round(r.cosine, 6) if r.cosine is not None else None
+            for r in out
+        }
+        assert got == want
+
+    def test_singleton_groups_empty(self, spark):
+        b = spark.createDataFrame(
+            [(1, 10, [1.0, 0.0]), (2, 20, [0.0, 1.0])],
+            "id long, bucket int, v array<double>",
+        )
+        assert sim.bucket_pairs_cosine(b, ["bucket"], 0.5).count() == 0
+
+
 class TestQuantizeKernelParity:
     """quantize_codes_kernel must be bit-identical to the
     quantize_vec(...)["codes"] expression (r8 sf1 ladder: the HOF
