@@ -458,6 +458,71 @@ def ivf_train(
     )
 
 
+def nearest_centroids(
+    df: DataFrame,
+    vec_col: str,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the ``n_probe`` nearest centroid ids to each row — the IVF
+    assignment primitive, as ONE Arrow-batched pass.
+
+    Why (r8, same interpreted-HOF class as cosine/quantize/bucket): the
+    previous assignment crossJoined broadcast centroids and evaluated
+    ``dot_expr`` per (row × centroid) in the HOF interpreter —
+    O(n_centroids · d) interpreted evals per row before the argmin even
+    ran. The kernel holds the (bounded, driver-collected) centroid
+    matrix in the closure, ships each vector ONCE, and computes every
+    distance in numpy.
+
+    Exactness contract: distance is ``-dot`` with ``aggregate``'s
+    left-to-right fold order (``np.cumsum``; the 0.0 init is absorbed by
+    ``0.0 + t1 = t1``), float64 widening before multiply — bit-identical
+    to ``-dot_expr(v, cvec)``. Ranking is ascending (distance,
+    centroid_id): centroids are sorted by id and ``argsort(stable)``
+    keeps the lower id on exact ties, matching ``min_by(struct(d, id))``
+    / ``row_number over (orderBy d, id)``.
+
+    ``centroids`` must be small (it is by construction: the coarse
+    quantiser is trained driver-side on a bounded sample) — it is
+    collected once per call. Declared pandas-UDF seam (IVF assignment
+    kernel). Output columns: ``keep_cols + (centroid_id,)``; rows with
+    ``n_probe > 1`` are replicated per probe, nearest first.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    cent = sorted(
+        ((r["centroid_id"], list(r["cvec"])) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    if not cent:
+        raise ValueError("nearest_centroids: centroids must be non-empty")
+    C = np.array([c[1] for c in cent], dtype=np.float64)
+    cids = np.array([c[0] for c in cent], dtype=np.int64)
+    k = len(cent)
+    probes = min(n_probe, k)
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(f"{c} {dtypes[c]}" for c in keep_cols) + ", centroid_id int"
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dists = np.empty((len(pdf), k), dtype=np.float64)
+            for j in range(k):
+                dists[:, j] = -np.cumsum(V * C[j], axis=1)[:, -1]
+            order = np.argsort(dists, axis=1, kind="stable")[:, :probes]
+            idx = np.repeat(np.arange(len(pdf)), probes)
+            out = pdf.iloc[idx][list(keep_cols)].reset_index(drop=True)
+            out["centroid_id"] = cids[order.ravel()].astype("int32")
+            yield out
+
+    need = list(dict.fromkeys([*keep_cols, vec_col]))
+    return df.select(*need).mapInPandas(gen, schema)
+
+
 def ivf_assign(
     vectors: DataFrame,
     vec_col: str,
@@ -472,27 +537,14 @@ def ivf_assign(
 
     Returns ``(<id_col>, centroid_id)``.
 
-    Scale shape: the centroid table broadcasts into a crossJoin (no
-    shuffle of the vector side — each partition scores rows×n_centroids
-    locally), then ``min_by`` with map-side partial aggregation collapses
-    a vector's candidate rows before the exchange, so the one shuffle
-    carries ONE row per vector, not n_centroids.  (ivf_topk's inline
-    assignment uses a row_number window instead because it must keep the
-    vector payload alongside; here only the id travels.)
+    Scale shape (r8 kernelization): :func:`nearest_centroids` — one
+    Arrow pass per partition with the bounded centroid matrix in the
+    closure; no crossJoin fan-out, no shuffle at all (the old
+    broadcast-crossJoin + min_by shape scored rows×n_centroids through
+    the HOF interpreter and still paid one exchange).
     """
-    a = (
-        vectors.select(F.col(id_col), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            id_col,
-            "centroid_id",
-            (-dot_expr(F.col("__v"), F.col("cvec"))).alias("__d"),
-        )
-    )
-    return a.groupBy(id_col).agg(
-        F.min_by(
-            F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
-        ).alias("centroid_id")
+    return nearest_centroids(
+        vectors, vec_col, centroids, n_probe=1, keep_cols=(id_col,)
     )
 
 
@@ -520,32 +572,18 @@ def ivf_topk(
         else ivf_train(corpus, vec_col, n_centroids, max_iter)
     )
 
-    # assign corpus rows to their nearest centroid (broadcast centroids)
+    # assign both sides to their nearest inverted list(s) via the
+    # Arrow-batched assignment kernel (r8): each vector ships once, no
+    # crossJoin fan-out, no row_number window — the old shape scored
+    # rows×n_centroids through the HOF interpreter and shuffled the
+    # fan-out just to keep rank 1
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    c_assigned = (
-        c.crossJoin(F.broadcast(cent_df))
-        .withColumn("dist", -dot_expr(F.col("cv"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("neighbor_id").orderBy("dist", "centroid_id")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
+    c_assigned = nearest_centroids(
+        c, "cv", cent_df, n_probe=1, keep_cols=("neighbor_id", "cv")
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    q_assigned = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("dist", -dot_expr(F.col("qv"), F.col("cvec")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("dist", "centroid_id")
-            ),
-        )
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "centroid_id")
+    q_assigned = nearest_centroids(
+        q, "qv", cent_df, n_probe=n_probe, keep_cols=("query_id", "qv")
     )
     scored = (
         c_assigned.join(F.broadcast(q_assigned), "centroid_id")
