@@ -43,26 +43,35 @@ def exponent(t_lo: float, t_hi: float, sf_lo: float, sf_hi: float) -> float:
 
 
 def build_rows(runs: list[tuple[float, dict[str, float]]], floor: float):
+    """One row per query seen at ANY rung (no silent drops: a query
+    excluded from the top rung — e.g. an intentionally-quadratic exact
+    baseline skipped via SPARK_GRAFT_BENCH_SKIP — still gets a row, its
+    exponent computed over the rungs it DID run, and a ``to sf<X>``
+    marker showing how high it climbed)."""
     runs = sorted(runs)
-    sf_lo, q_lo = runs[0]
-    sf_hi, q_hi = runs[-1]
+    sf_top = runs[-1][0]
+    all_names = sorted(set().union(*[set(qs) for _, qs in runs]))
     rows = []
-    for name in sorted(set(q_lo) & set(q_hi)):
-        t_lo, t_hi = q_lo[name], q_hi[name]
-        mids = [
-            (sf, qs[name]) for sf, qs in runs[1:-1] if name in qs
-        ]
-        if t_hi < floor:
+    for name in all_names:
+        pts = {sf: qs[name] for sf, qs in runs if name in qs}
+        sfs = sorted(pts)
+        if len(sfs) < 2:
+            rows.append((name, pts, None, "one-point"))
+            continue
+        s0, s1 = sfs[0], sfs[-1]
+        if pts[s1] < floor:
             label, exp = "overhead", None
         else:
-            exp = exponent(t_lo, t_hi, sf_lo, sf_hi)
+            exp = exponent(pts[s0], pts[s1], s0, s1)
             label = (
                 "sublinear" if exp < 0.8
                 else "linear" if exp <= 1.25
                 else "SUPERLINEAR"
             )
-        rows.append((name, t_lo, mids, t_hi, exp, label))
-    return sf_lo, sf_hi, rows
+        if s1 != sf_top:
+            label += f" (to sf{s1:g})"
+        rows.append((name, pts, exp, label))
+    return runs, rows
 
 
 def main() -> int:
@@ -80,27 +89,24 @@ def main() -> int:
     if len(args) < 2:
         print(__doc__)
         return 2
-    runs = [load(p) for p in args]
-    sf_lo, sf_hi, rows = build_rows(runs, floor)
-    mid_sfs = [sf for sf, _ in sorted(runs)[1:-1]]
+    runs, rows = build_rows([load(p) for p in args], floor)
+    rung_sfs = [sf for sf, _ in runs]
 
-    hdr = ["query", f"t(sf{sf_lo:g})"]
-    hdr += [f"t(sf{sf:g})" for sf in mid_sfs]
-    hdr += [f"t(sf{sf_hi:g})", "exponent", "verdict"]
+    hdr = ["query"] + [f"t(sf{sf:g})" for sf in rung_sfs] + ["exponent", "verdict"]
     lines = ["| " + " | ".join(hdr) + " |",
              "|" + "|".join("---" for _ in hdr) + "|"]
     n_super = 0
-    for name, t_lo, mids, t_hi, exp, label in rows:
-        cells = [name, f"{t_lo:.2f}"]
-        cells += [f"{t:.2f}" for _, t in mids]
-        cells += [f"{t_hi:.2f}", "—" if exp is None else f"{exp:.2f}", label]
+    for name, pts, exp, label in rows:
+        cells = [name]
+        cells += [f"{pts[sf]:.2f}" if sf in pts else "skip" for sf in rung_sfs]
+        cells += ["—" if exp is None else f"{exp:.2f}", label]
         lines.append("| " + " | ".join(cells) + " |")
-        if label == "SUPERLINEAR":
+        if label.startswith("SUPERLINEAR"):
             n_super += 1
     table = "\n".join(lines)
     print(table)
     print(f"\n{len(rows)} queries, {n_super} superlinear "
-          f"(floor {floor}s at sf{sf_hi:g})")
+          f"(floor {floor}s at each query's top rung)")
     if md_path:
         with open(md_path) as f:
             doc = f.read()
