@@ -343,6 +343,85 @@ class TestBucketPairsCosine:
         assert sim.bucket_pairs_cosine(b, ["bucket"], 0.5).count() == 0
 
 
+class TestBruteTopkPaths:
+    """brute_force_topk has two execution paths (bounded-query Arrow
+    kernel vs broadcast-crossJoin fallback) — both must produce
+    identical results."""
+
+    def _mk(self, spark, n=40, d=8, nq=5):
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        corpus = spark.createDataFrame(
+            [
+                (i, [float(x) for x in rng.randn(d)], f"lab{i % 3}")
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<float>, label string",
+        )
+        queries = corpus.filter(F.col("vec_id") < nq)
+        return corpus, queries
+
+    def test_kernel_path_matches_fallback(self, spark):
+        corpus, queries = self._mk(spark)
+        kw = dict(
+            vec_col="embedding", id_col="vec_id", query_id_col="vec_id",
+            k=4, carry_cols=("label",),
+        )
+        kern = sim.brute_force_topk(corpus, queries, **kw)  # 5 <= 1024
+        fall = sim.brute_force_topk(
+            corpus, queries, max_collected_queries=2, **kw  # 5 > 2
+        )
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        a = sorted(kern.collect(), key=key)
+        b = sorted(fall.collect(), key=key)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 5 * 4
+        assert a[0].__fields__ == ["query_id", "neighbor_id", "cosine", "rk", "label"]
+
+    def test_excludes_self_matches(self, spark):
+        corpus, queries = self._mk(spark, n=10, nq=10)
+        out = sim.brute_force_topk(
+            corpus, queries, "embedding", "vec_id", "vec_id", k=9
+        ).collect()
+        assert all(r.query_id != r.neighbor_id for r in out)
+
+
+class TestNearestCentroids:
+    def _cents(self, spark):
+        return spark.createDataFrame(
+            [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)],
+            "centroid_id int, cvec array<double>",
+        )
+
+    def test_n_probe_order_and_replication(self, spark):
+        cents = self._cents(spark)
+        # vector aligned with centroid 2, then 0; -dot ranking
+        df = spark.createDataFrame(
+            [(7, [0.5, 0.0, 2.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = sim.nearest_centroids(
+            df, "embedding", cents, n_probe=2, keep_cols=("vec_id",)
+        ).collect()
+        assert [(r.vec_id, r.centroid_id) for r in out] == [(7, 2), (7, 0)]
+
+    def test_tie_goes_to_lower_centroid_id(self, spark):
+        cents = self._cents(spark)
+        df = spark.createDataFrame(
+            [(1, [0.0, 1.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        out = sim.nearest_centroids(
+            df, "embedding", cents, n_probe=1, keep_cols=("vec_id",)
+        ).collect()
+        assert out[0].centroid_id == 1  # tie between 1 and 2 -> lower id
+
+    def test_empty_centroids_raise(self, spark):
+        empty = spark.createDataFrame([], "centroid_id int, cvec array<double>")
+        df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError, match="non-empty"):
+            sim.nearest_centroids(df, "embedding", empty, keep_cols=("vec_id",))
+
+
 class TestQuantizeKernelParity:
     """quantize_codes_kernel must be bit-identical to the
     quantize_vec(...)["codes"] expression (r8 sf1 ladder: the HOF
