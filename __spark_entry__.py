@@ -787,9 +787,11 @@ def _q34_embedding_neardup(spark, sf):
     candidate pair volume grows linearly in n (the sf1 ladder caught
     both a fixed-8-plane recall collapse at sandbox scale — collision
     probability (1−θ/π)^8 ≈ 2.5% per cosine-0.4 pair — and a fixed-4-
-    plane quadratic blowup at sf1). At the driver's sf0.01 (500
-    vectors) the auto rule resolves to 4 planes, which is what the
-    oracle's bucket SQL mirrors."""
+    plane quadratic blowup at sf1). The oracle SQL mirrors the SAME
+    auto rule (GREATEST(4, CEIL(LOG2(n/256))) with the plane count as a
+    SQL scalar), so Spark and DuckDB agree at ANY corpus size —
+    verified hash-identical at sf0.001, sf0.01 and the generated sf1
+    fixtures (50k vectors, 8 planes)."""
     from polars_pipe_spark.functions.dedup import embedding_near_dups
 
     return embedding_near_dups(
@@ -9627,11 +9629,38 @@ _WINDOWED_SQL = """
 _ORACLES["q31_windowed_events"] = _WINDOWED_SQL
 _ORACLES["q32_streaming_windowed"] = _WINDOWED_SQL
 
+def _bucket_sql_auto(v: str, np_ref: str, max_planes: int = 16) -> str:
+    """Corpus-adaptive twin of _bucket_sql: the plane count is a SQL
+    scalar (``np_ref``) instead of a Python literal, so the oracle
+    matches embedding_near_dups' auto-planes rule at ANY corpus size,
+    not just the sf0.01 gate (r8: the sf1 self-check caught the static
+    4-plane oracle diverging from Spark's 8 planes at 50k vectors).
+    Planes are unrolled to ``max_planes`` with a ``j < np`` gate; the
+    bit weight 2^(np-1-j) is computed per row (exact in double for
+    np <= 16, cast back to BIGINT)."""
+    bits = []
+    for j in range(max_planes):
+        proj = (
+            f"list_reduce(list_transform(range(1, len({v}) + 1), "
+            f"i -> CAST({v}[i] AS DOUBLE) * sin({j + 1} * 2.399963229728653 * i + {j})), "
+            f"(x, y) -> x + y)"
+        )
+        bits.append(
+            f"(CASE WHEN {j} < {np_ref} THEN "
+            f"(CASE WHEN {proj} >= 0 THEN CAST(POWER(2, {np_ref} - 1 - {j}) AS BIGINT) "
+            f"ELSE 0 END) ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 _ORACLES["q34_embedding_neardup"] = f"""
-    WITH b AS (
-      SELECT vec_id AS id, embedding AS v,
-             {_bucket_sql("embedding", 4)} AS bucket
+    WITH p AS (
+      SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 256.0)) AS INT)) AS np
       FROM embeddings
+    ), b AS (
+      SELECT vec_id AS id, embedding AS v,
+             {_bucket_sql_auto("embedding", "p.np")} AS bucket
+      FROM embeddings, p
     )
     SELECT a.id AS id_a, bb.id AS id_b, {_cosine_sql("a.v", "bb.v")} AS cosine
     FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
