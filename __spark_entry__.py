@@ -632,10 +632,70 @@ def _char_gram_frame(spark, sf, n=4):
     )
 
 
-def _q27_ngram_jaccard(spark, sf):
+def _exact_pair_budget(spark, sf, max_pairs, sample_blocks, query_name):
+    """Estimate-then-fence for the EXACT all-pairs verify queries (q27,
+    q211): one cheap column-pruned count agg over the documents table
+    (bounded collect — one row per source block) gives Σ per-block
+    C(n,2), the upper bound on pairs the blocking self-join can emit.
+
+    Returns ``None`` when the estimate fits ``max_pairs`` (run the full
+    corpus), or the list of allowed source blocks when ``sample_blocks``
+    restricts the run; raises ``ValueError`` with the estimate when the
+    work would exceed the budget and no escape hatch was given — a
+    diagnosable contract instead of a silent multi-hour hang at sf3+
+    (r8 VERDICT item 1; the ladder measured ~470k verified pairs/sec, so
+    the default 100M budget caps the exact baseline at ~3.5 min — large
+    enough that the sf1 validation rung (~62M pairs) still runs).
+
+    ``sample_blocks=k`` keeps the k SMALLEST blocks (deterministic:
+    ascending (count, source) order) — exact within the kept blocks, so
+    the sampled run still validates the approximate paths pair-for-pair
+    on its subset. Eagerness note: the count agg runs at CALL time.
+    """
+    counts = sorted(
+        (
+            (r["source"], r["n"])
+            for r in _t_par(spark, sf, "documents")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda t: (t[1], t[0]),
+    )
+    if sample_blocks is not None:
+        counts = counts[: max(int(sample_blocks), 0)]
+    est = sum(n * (n - 1) // 2 for _, n in counts)
+    if est > max_pairs:
+        hatch = (
+            "pass sample_blocks=<k> to run the k smallest source blocks, "
+            "or raise max_pairs= explicitly"
+            if sample_blocks is None
+            else f"the {len(counts)} sampled blocks still exceed it — "
+            "lower sample_blocks= or raise max_pairs="
+        )
+        raise ValueError(
+            f"{query_name}: exact all-pairs verify would compare "
+            f"~{est:,} candidate pairs, over the pair budget of "
+            f"{max_pairs:,} ({hatch}). This query is the Θ(Σ C(n_block,2)) "
+            "exact baseline that validates the LSH paths (q25/q196); at "
+            "this corpus size use those instead."
+        )
+    return None if sample_blocks is None else [s for s, _ in counts]
+
+
+def _q27_ngram_jaccard(spark, sf, max_pairs=100_000_000, sample_blocks=None):
     """Character-4-gram Jaccard over same-source candidate pairs
-    (blocking join on source, then exact set similarity ≥ 0.25)."""
+    (blocking join on source, then exact set similarity ≥ 0.25).
+
+    Self-protecting (r8 VERDICT item 1): Σ per-block C(n,2) is estimated
+    from one cheap count agg at call time; over ``max_pairs`` (default
+    100M, ≈3.5 min of verify work) the call raises ``ValueError`` unless
+    ``sample_blocks=k`` restricts the run to the k smallest blocks —
+    see :func:`_exact_pair_budget`."""
+    keep = _exact_pair_budget(spark, sf, max_pairs, sample_blocks, "q27_ngram_jaccard")
     g = _char_gram_frame(spark, sf, n=4)
+    if keep is not None:
+        g = g.filter(F.col("source").isin(keep))
     a, b = g.alias("a"), g.alias("b")
     # size-band pre-filter: j = i/(|A|+|B|-i) >= 1/4 forces i >= (|A|+|B|)/5
     # and i <= min(|A|,|B|), hence max <= 4*min — pairs outside the band can
@@ -5312,7 +5372,7 @@ def _q210_domain_caps(spark, sf):
     )
 
 
-def _q211_dedup_explain(spark, sf):
+def _q211_dedup_explain(spark, sf, max_pairs=100_000_000, sample_blocks=None):
     """Dedup EXPLAIN report: for every candidate near-dup pair (q27's
     same-source char-4-gram candidates at jaccard ≥ 0.25), the full
     evidence row a curation reviewer needs — both set sizes, the exact
@@ -5320,8 +5380,16 @@ def _q211_dedup_explain(spark, sf):
     (the asymmetric containment signal flags quote-inside-a-page pairs
     that symmetric jaccard underrates). One candidate join produces ALL
     signals; no per-signal corpus rescan. All-BIGINT output: the ratio
-    micros are integral divisions of exact counts, no float seam."""
+    micros are integral divisions of exact counts, no float seam.
+
+    Same pair-budget fence as q27 (:func:`_exact_pair_budget`): it is
+    the same Θ(Σ C(n_block,2)) join."""
+    keep = _exact_pair_budget(
+        spark, sf, max_pairs, sample_blocks, "q211_dedup_explain"
+    )
     g = _char_gram_frame(spark, sf, n=4)
+    if keep is not None:
+        g = g.filter(F.col("source").isin(keep))
     a, b = g.alias("a"), g.alias("b")
     band = (F.col("a.ng") <= 4 * F.col("b.ng")) & (
         F.col("b.ng") <= 4 * F.col("a.ng")
@@ -8892,22 +8960,21 @@ _ORACLES["q26_simhash"] = f"""
 """
 
 _ORACLES["q27_ngram_jaccard"] = f"""
-    WITH g AS (
-      SELECT doc_id AS id, source,
-             list_distinct(list_transform(
-               range(1, greatest(length({_NORM}) - 3, 1) + 1),
-               i -> substr({_NORM}, i, 4))) AS grams
-      FROM documents
-    )
-    SELECT a.id AS id_a, b.id AS id_b,
-           round(CAST(len(list_filter(a.grams, s -> list_contains(b.grams, s))) AS DOUBLE)
-                 / (len(a.grams) + len(b.grams)
-                    - len(list_filter(a.grams, s -> list_contains(b.grams, s)))), 6) AS jaccard
-    FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+    SELECT * FROM (
+      WITH g AS (
+        SELECT doc_id AS id, source,
+               list_distinct(list_transform(
+                 range(1, greatest(length({_NORM}) - 3, 1) + 1),
+                 i -> substr({_NORM}, i, 4))) AS grams
+        FROM documents
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_filter(a.grams, s -> list_contains(b.grams, s))) AS DOUBLE)
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_filter(a.grams, s -> list_contains(b.grams, s)))), 6) AS jaccard
+      FROM g a JOIN g b ON a.source = b.source AND a.id < b.id
+    ) WHERE jaccard >= 0.25
 """
-_ORACLES["q27_ngram_jaccard"] = (
-    "SELECT * FROM (" + _ORACLES["q27_ngram_jaccard"] + ") WHERE jaccard >= 0.25"
-)
 
 _ORACLES["q211_dedup_explain"] = f"""
     WITH g AS (
@@ -9654,9 +9721,20 @@ def _bucket_sql_auto(v: str, np_ref: str, max_planes: int = 16) -> str:
 
 
 _ORACLES["q34_embedding_neardup"] = f"""
-    WITH p AS (
+    WITH p0 AS (
       SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(COUNT(*), 1) / 256.0)) AS INT)) AS np
       FROM embeddings
+    ), p AS (
+      -- guard: the plane sum below is unrolled to 16 terms; Spark's auto
+      -- rule is uncapped, so past ~16.7M vectors this oracle would
+      -- silently drop the extra plane bits. Fail loudly instead.
+      SELECT CASE WHEN np > 16
+                  THEN CAST(error('q34 oracle: auto plane count ' || np
+                                  || ' exceeds the unrolled max of 16 — '
+                                  || 'extend _bucket_sql_auto(max_planes)')
+                            AS INT)
+                  ELSE np END AS np
+      FROM p0
     ), b AS (
       SELECT vec_id AS id, embedding AS v,
              {_bucket_sql_auto("embedding", "p.np")} AS bucket
@@ -9666,7 +9744,13 @@ _ORACLES["q34_embedding_neardup"] = f"""
     FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
 """
 _ORACLES["q34_embedding_neardup"] = (
-    "SELECT * FROM (" + _ORACLES["q34_embedding_neardup"] + ") WHERE cosine >= 0.4"
+    # NOT isnan: engine cosines cross the pandas->Arrow seam, which maps
+    # NaN to NULL, so degenerate (zero-norm / NaN-valued) pairs fail the
+    # Spark-side `round(cos,6) >= t` filter; DuckDB's expression keeps a
+    # true NaN, which orders ABOVE the threshold — guard it out so a
+    # degenerate corpus cannot diverge (r8 ADVICE).
+    "SELECT * FROM (" + _ORACLES["q34_embedding_neardup"]
+    + ") WHERE cosine >= 0.4 AND NOT isnan(cosine)"
 )
 
 # q33 (r4, was rows-only): the exact-side counts come straight from the

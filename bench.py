@@ -84,13 +84,11 @@ def main() -> None:
     names += [n for n in qmap if n.startswith("x") and n not in names]
 
     # SPARK_GRAFT_BENCH_SKIP: comma-separated query keys to leave out of
-    # this run. Used by the scale-factor ladder to exclude queries whose
-    # cost is intentionally super-linear — q27 is the EXACT all-pairs
-    # Jaccard baseline (Θ((n/sources)²) by definition, ~1.1B pairs at
-    # sf3) kept in the suite only to validate the approximate paths
-    # (q25/q196); measuring a documented quadratic for an hour adds no
-    # information. Skipped keys are recorded in the output JSON so the
-    # ladder report can show the gap explicitly instead of silently.
+    # this run (recorded in the output JSON). Rarely needed since r9:
+    # the intentionally-quadratic exact baselines (q27/q211) now fence
+    # THEMSELVES with a pair-budget ValueError past ~100M candidate
+    # pairs, which this harness records under "fenced" — no env var
+    # required for the sf3+ ladder rungs.
     skip = {
         s.strip()
         for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",")
@@ -111,6 +109,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    fenced: dict[str, str] = {}
     for name in names:
         samples: list[float] = []
         for _ in range(runs):
@@ -124,10 +123,24 @@ def main() -> None:
                 df = qmap[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 samples.append(round(time.time() - t0, 3))
+            except ValueError as e:
+                if "pair budget" in str(e):
+                    # the query's own scale fence fired (exact all-pairs
+                    # baseline past its budget) — a documented contract,
+                    # not a failure; recorded so the ladder shows the gap
+                    sys.stderr.write(f"bench {name} fenced: {e}\n")
+                    fenced[name] = str(e).split(".")[0]
+                    samples = []
+                    break
+                sys.stderr.write(f"bench {name} failed: ValueError: {e}\n")
+                samples = [-1.0]
+                break
             except Exception as e:  # record failures as negative sentinel
                 sys.stderr.write(f"bench {name} failed: {type(e).__name__}: {e}\n")
                 samples = [-1.0]
                 break
+        if not samples:
+            continue
         timings[name] = min(samples) if samples[0] >= 0 else -1.0
         spreads[name] = (
             round(max(samples) - min(samples), 3) if samples[0] >= 0 else -1.0
@@ -145,6 +158,7 @@ def main() -> None:
                 "runs": runs,
                 "sf": sf,
                 **({"skipped": sorted(skip)} if skip else {}),
+                **({"fenced": fenced} if fenced else {}),
             }
         )
     )

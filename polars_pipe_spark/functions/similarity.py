@@ -183,7 +183,10 @@ def hyperplane_bucket(vec_col: str | Column, n_planes: int = 8) -> Column:
             for j in range(n_planes):
                 w = np.sin((j + 1) * _PLANE_STRIDE * pos + float(j))
                 proj = np.cumsum(mat * w, axis=1)[:, -1]
-                b = b * 2 + (proj >= 0).astype(np.int64)
+                # Spark SQL (and DuckDB) order NaN above every number, so
+                # the expression form's `proj >= 0` is TRUE for NaN
+                # projections; numpy says False — mirror Spark here.
+                b = b * 2 + ((proj >= 0) | np.isnan(proj)).astype(np.int64)
             out[idx] = b
         return pd.Series(out)
 
@@ -233,6 +236,14 @@ def bucket_pairs_cosine(
     memory. Declared pandas-UDF seam (grouped pair-verify kernel).
 
     Output: (id_a, id_b, cosine) — raw, un-rounded.
+
+    Degenerate-vector contract (r9): zero-norm or NaN-valued vectors
+    produce a NaN cosine, which the pandas→Arrow seam maps to NULL —
+    the pair row IS emitted (the prefilter deliberately passes NaN) and
+    the callers' `round(cos,6) >= t` filter rejects it as NULL. A zero
+    vector therefore never near-dup-matches anything, and the DuckDB
+    oracles carry a matching `NOT isnan(cosine)` guard (their expression
+    form keeps a true NaN, which would order above any threshold).
     """
     import numpy as np  # noqa: PLC0415
 
@@ -248,8 +259,16 @@ def bucket_pairs_cosine(
         for i0 in range(0, m, chunk):
             blk = V[i0 : i0 + chunk]
             g = blk @ V.T
-            approx = g / (na[i0 : i0 + chunk, None] * na[None, :])
-            bi, bj = np.nonzero(approx >= threshold - margin)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                approx = g / (na[i0 : i0 + chunk, None] * na[None, :])
+            # Degenerate (zero-norm / NaN-valued) vectors give NaN here;
+            # numpy's `NaN >= x` is False, which would SILENTLY drop the
+            # pair at the prefilter (r8 ADVICE). Pass them through so the
+            # exact pass emits the pair row — its NaN cosine crosses the
+            # pandas->Arrow seam as NULL, exactly what the old self-join
+            # + cosine_kernel path produced, and callers' threshold
+            # filters (`round(cos,6) >= t`, null-rejecting) decide.
+            bi, bj = np.nonzero((approx >= threshold - margin) | np.isnan(approx))
             keep = (bi + i0) < bj
             if len(bi):
                 ii.append(bi[keep] + i0)
@@ -261,7 +280,8 @@ def bucket_pairs_cosine(
         if len(ii) == 0:
             return None
         dots = np.cumsum(V[ii] * V[jj], axis=1)[:, -1]
-        return ids[ii], ids[jj], dots / (na[ii] * na[jj])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return ids[ii], ids[jj], dots / (na[ii] * na[jj])
 
     def verify(batches):
         frames = [pdf for pdf in batches if len(pdf)]
@@ -334,6 +354,13 @@ def brute_force_topk(
     (float64 widen, ``np.cumsum`` fold, ``dots/(na·nb)``); round(6) and
     the rank window are unchanged. Larger query sets keep the
     broadcast-crossJoin + per-pair kernel path.
+
+    Eagerness note: the size probe runs ``limit(max_collected_queries +
+    1).collect()`` at CALL time (not at the first action on the result),
+    and on the large-query fallback the ``queries`` plan is evaluated a
+    second time by the crossJoin. A NONDETERMINISTIC queries plan
+    (unseeded ``sample``/``rand``) can therefore disagree between probe
+    and search — cache or ``localCheckpoint`` such inputs before calling.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -557,7 +584,7 @@ def nearest_centroids(
     k = len(cent)
     probes = min(n_probe, k)
     dtypes = dict(df.dtypes)
-    schema = ", ".join(f"{c} {dtypes[c]}" for c in keep_cols) + ", centroid_id int"
+    schema = ", ".join([*(f"{c} {dtypes[c]}" for c in keep_cols), "centroid_id int"])
 
     def gen(batches):
         for pdf in batches:
@@ -758,6 +785,11 @@ def quantized_topk(
     in the expression's operation order, cosine is the `np.cumsum` fold
     of :func:`cosine_kernel`; round(6) and the rank window unchanged.
     Large query sets keep the expression + crossJoin path.
+
+    Eagerness note: same contract as :func:`brute_force_topk` — the size
+    probe collects at CALL time and the fallback path re-evaluates the
+    queries plan; cache/``localCheckpoint`` nondeterministic query plans
+    before calling.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

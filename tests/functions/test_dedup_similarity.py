@@ -268,6 +268,29 @@ class TestHyperplaneBucketKernelParity:
         assert rows[3] == (0, 0)
         assert rows[1][0] == rows[1][1]
 
+    def test_nan_vector_matches_expr(self, spark):
+        """r8 ADVICE: a NaN projection must take the SPARK branch of
+        `proj >= 0` (TRUE — Spark/DuckDB order NaN above every number),
+        not numpy's FALSE. An all-NaN vector forces every plane's
+        projection to NaN, so kernel and expression must both emit the
+        all-ones bucket; a mixed vector exercises the per-plane path."""
+        nan = float("nan")
+        df = spark.createDataFrame(
+            [(1, [nan, nan, nan]), (2, [0.5, nan, -0.25]), (3, [1.0, -1.0, 0.5])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {
+            r.vec_id: (r.k, r.e)
+            for r in df.select(
+                "vec_id",
+                sim.hyperplane_bucket("embedding", 4).alias("k"),
+                sim.hyperplane_bucket_expr("embedding", 4).alias("e"),
+            ).collect()
+        }
+        for vid, (k, e) in rows.items():
+            assert k == e, (vid, k, e)
+        assert rows[1] == (0b1111, 0b1111)
+
 
 class TestBucketPairsCosine:
     """bucket_pairs_cosine must emit exactly the pairs the old
@@ -341,6 +364,61 @@ class TestBucketPairsCosine:
             "id long, bucket int, v array<double>",
         )
         assert sim.bucket_pairs_cosine(b, ["bucket"], 0.5).count() == 0
+
+    def test_zero_norm_pairs_not_silently_dropped(self, spark):
+        """r8 ADVICE: zero-norm vectors give NaN cosine (0/0), and
+        numpy's `NaN >= t` is False — the prefilter must not silently
+        swallow the pair. Contract (r9, documented on the function):
+        the pair row IS emitted, its NaN cosine crosses the
+        pandas→Arrow seam as NULL (same as the old self-join +
+        cosine_kernel path), and callers' threshold filters reject it
+        as NULL — so both paths agree pair-for-pair after filtering."""
+        rows = [
+            (0, 1, [0.0, 0.0, 0.0]),
+            (1, 1, [0.0, 0.0, 0.0]),  # zero×zero -> NULL-cosine pair
+            (2, 1, [1.0, 0.0, 0.0]),  # zero×nonzero -> NULL too
+            (3, 1, [0.9, 0.1, 0.0]),
+            (4, 2, [0.0, 0.0, 0.0]),  # singleton-with-zero group
+        ]
+        b = spark.createDataFrame(rows, "id long, bucket int, v array<double>")
+        raw = {
+            (r.id_a, r.id_b): r.cosine
+            for r in sim.bucket_pairs_cosine(b, ["bucket"], 0.9).collect()
+        }
+        # all 6 within-bucket-1 pairs reach the output; the 5 degenerate
+        # ones carry NULL cosine (prefilter passed the NaN through)
+        assert len(raw) == 6
+        assert sum(1 for v in raw.values() if v is None) == 5
+        assert raw[(2, 3)] is not None
+        # after the callers' threshold filter both paths agree
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in sim.bucket_pairs_cosine(b, ["bucket"], 0.9)
+            .withColumn("cosine", F.round(F.col("cosine"), 6))
+            .filter(F.col("cosine") >= 0.9)
+            .collect()
+        }
+        want = self._brute(spark, b, ["bucket"], 0.9)
+        assert got == want == {(2, 3): got[(2, 3)]}
+
+
+class TestNearestCentroidsNoKeepCols:
+    def test_default_keep_cols_empty(self, spark):
+        """r8 ADVICE: the documented default keep_cols=() used to build
+        the schema string ', centroid_id int' (leading comma) and crash
+        at parse time."""
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])],
+            "id long, v array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id int, cvec array<double>"
+        )
+        out = sim.nearest_centroids(df, "v", cents)
+        assert out.columns == ["centroid_id"]
+        got = [r.centroid_id for r in out.collect()]
+        # max-dot assignment: [1,0]->c0, [0,1]->c1, [-1,0]->c1 (dot 0 beats -1)
+        assert sorted(got) == [0, 1, 1]
 
 
 class TestBruteTopkPaths:
