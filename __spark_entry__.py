@@ -8346,6 +8346,76 @@ def _q277_jpeg_decode(spark, sf):
     )
 
 
+def _q278_png_palette_gray(spark, sf):
+    """REAL palette + grayscale PNG decode end-to-end (r8 VERDICT
+    item 4 — palette PNG is common in web-scraped corpora): per document
+    one of three 8-bit color types by doc_id % 3 —
+      0: grayscale (ct 0), g_i = (did·7+3i) % 256;
+      1: gray+alpha (ct 4), same gray rule, alpha (did·17+i) % 256
+         (ignored by luma);
+      2: palette (ct 3), 16-entry PLTE p_j = ((did·5+3j)%256,
+         (did·9+7j)%256, (did·3+11j)%256), index_i = (did+i) % 16, with
+         a tRNS chunk when did is odd (n_channels 4 vs 3) —
+    all at w = 4+did%3, h = 3+did%2 and filter_type = did % 5, so every
+    un-filter path runs at 1- and 2-byte strides too. PNG is lossless,
+    so the ORACLE is the same closed-form construction (ground truth,
+    not a second decoder) — the indexed/gray twin of q276."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_png,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 3 + did % 2
+                i = np.arange(w * h, dtype="int64")
+                cls = did % 3
+                if cls == 0:
+                    px = ((did * 7 + i * 3) % 256).reshape(h, w).astype("uint8")
+                    payloads.append(encode_png(w, h, px, filter_type=did % 5))
+                elif cls == 1:
+                    g = (did * 7 + i * 3) % 256
+                    a = (did * 17 + i) % 256
+                    px = np.stack([g, a], axis=-1).reshape(h, w, 2).astype("uint8")
+                    payloads.append(encode_png(w, h, px, filter_type=did % 5))
+                else:
+                    j = np.arange(16, dtype="int64")
+                    pal = np.stack(
+                        [
+                            (did * 5 + 3 * j) % 256,
+                            (did * 9 + 7 * j) % 256,
+                            (did * 3 + 11 * j) % 256,
+                        ],
+                        axis=-1,
+                    ).astype("uint8")
+                    idx = ((did + i) % 16).reshape(h, w).astype("uint8")
+                    trns = list(range(16)) if did % 2 else None
+                    payloads.append(
+                        encode_png(w, h, idx, filter_type=did % 5,
+                                   palette=pal, trns=trns)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("image/png")
+        ).alias("media"),
+    )
+    return extract_image_features(media, use_fake_decoder=False).select(
+        "doc_id", "width", "height", "n_channels", "mean_luma"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8628,6 +8698,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q275_burstiness": _q275_burstiness,
     "q276_png_decode": _q276_png_decode,
     "q277_jpeg_decode": _q277_jpeg_decode,
+    "q278_png_palette_gray": _q278_png_palette_gray,
 }
 
 
@@ -14424,6 +14495,40 @@ _ORACLES["q276_png_decode"] = """
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
            CAST(3 AS INT) AS n_channels,
+           CAST(lum_sum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
+    FROM px
+"""
+
+# q278: palette/gray PNG is lossless too — same closed-form oracle
+# style as q276. Grayscale luma is exactly the gray level (the 299+587+
+# 114 = 1000 weight scale cancels); palette luma walks the PLTE formula
+# at index (did+i) % 16.
+_ORACLES["q278_png_palette_gray"] = """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h,
+             doc_id % 3 AS cls
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, cls,
+             CASE WHEN cls IN (0, 1) THEN
+               list_sum(list_transform(range(0, w * h), i ->
+                 1000 * ((doc_id * 7 + i * 3) % 256)))
+             ELSE
+               list_sum(list_transform(range(0, w * h), i ->
+                 299 * ((doc_id * 5 + 3 * ((doc_id + i) % 16)) % 256)
+               + 587 * ((doc_id * 9 + 7 * ((doc_id + i) % 16)) % 256)
+               + 114 * ((doc_id * 3 + 11 * ((doc_id + i) % 16)) % 256)))
+             END AS lum_sum
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE cls WHEN 0 THEN 1 WHEN 1 THEN 2
+                ELSE CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+                END AS INT) AS n_channels,
            CAST(lum_sum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
     FROM px
 """

@@ -79,9 +79,24 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     qmap = entry_mod.queries()
-    names = [n for n in HEADLINE if n in qmap]
-    # extension queries registered after this file was written run too
-    names += [n for n in qmap if n.startswith("x") and n not in names]
+    # SPARK_GRAFT_BENCH_QUERIES overrides the HEADLINE selection:
+    #   "all"      -> every registered query (the r9 non-headline sf1
+    #                 sweep: no family left without a measured rung)
+    #   "a,b,c"    -> exactly those keys (the sf10 steep-family rung)
+    # Default (unset) stays the HEADLINE list, so driver-round artifacts
+    # remain comparable across rounds.
+    sel = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if sel == "all":
+        names = sorted(qmap)
+    elif sel:
+        names = [n.strip() for n in sel.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qmap]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES unknown keys: {unknown}")
+    else:
+        names = [n for n in HEADLINE if n in qmap]
+        # extension queries registered after this file was written run too
+        names += [n for n in qmap if n.startswith("x") and n not in names]
 
     # SPARK_GRAFT_BENCH_SKIP: comma-separated query keys to leave out of
     # this run (recorded in the output JSON). Rarely needed since r9:

@@ -15,18 +15,21 @@ Decode / feature-extraction runs as Arrow-batched Pandas UDFs over
 ``mapInPandas`` — the real shape of a media pipeline stage (per-partition
 batch iterator, bounded memory, no driver involvement). Two decode tiers:
 
-- **Real, dependency-free codecs** for the container formats whose specs
-  need only byte arithmetic + stdlib zlib: 24-bit BI_RGB **BMP**, binary
-  **PPM (P6)**, non-interlaced 8-bit RGB/RGBA **PNG** (real inflate +
-  all five scanline un-filters, chunk CRCs verified — r6 VERDICT
-  task 3), and RIFF/PCM-16 **WAV** (plus the byte-level audio
-  featurizer). These run the full payload→samples/pixels→features path
-  with numpy only — no PIL/opencv/soundfile.
-- **Stubbed compressed codecs**: JPEG/mp3/ogg (and PNG variants outside
-  the supported subset: palette/gray/16-bit/interlaced) genuinely need
-  codec libraries (not in this container); those payloads raise a clear
-  ``NotImplementedError`` naming the seam. The deterministic fake decoder
-  (seeded from the content hash) remains for plumbing tests.
+- **Real, dependency-free codecs** for the formats whose specs need only
+  byte arithmetic + stdlib zlib: 24-bit BI_RGB **BMP**, binary
+  **PPM (P6)**, non-interlaced 8-bit **PNG** in all five 8-bit color
+  types — gray / gray+alpha / palette (PLTE + tRNS) / RGB / RGBA —
+  (real inflate + all five scanline un-filters, chunk CRCs verified;
+  r6 task 3 + r8 item 4), baseline sequential-DCT **JPEG** (T.81), and
+  RIFF/PCM-16 **WAV** (plus the byte-level audio featurizer). These run
+  the full payload→samples/pixels→features path with numpy only — no
+  PIL/opencv/soundfile.
+- **Stubbed compressed codecs**: mp3/ogg, progressive JPEG, and PNG
+  variants outside the supported subset (16-bit depth, interlaced)
+  genuinely need codec libraries (not in this container); those payloads
+  raise a clear ``NotImplementedError`` naming the seam. The
+  deterministic fake decoder (seeded from the content hash) remains for
+  plumbing tests.
 """
 
 from __future__ import annotations
@@ -115,25 +118,64 @@ def encode_ppm(width: int, height: int, pixels) -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(width: int, height: int, pixels, filter_type: int = 0) -> bytes:
-    """Minimal non-interlaced 8-bit PNG writer (color type 2 = RGB or
-    6 = RGBA, inferred from the pixel array's last axis) — stdlib
-    ``zlib`` + ``struct`` only. ``filter_type`` applies one scanline
-    filter (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to EVERY row so the
-    decoder's un-filtering paths are each independently exercisable.
+def encode_png(
+    width: int,
+    height: int,
+    pixels,
+    filter_type: int = 0,
+    palette=None,
+    trns=None,
+) -> bytes:
+    """Minimal non-interlaced 8-bit PNG writer — stdlib ``zlib`` +
+    ``struct`` only. The color type is inferred from the pixel array's
+    last axis: 1 channel = grayscale (0), 2 = gray+alpha (4), 3 = RGB
+    (2), 4 = RGBA (6); passing ``palette`` (an (n, 3) uint8 RGB table,
+    n <= 256) switches to indexed color (3) with ``pixels`` as an
+    (height, width) index map, plus an optional ``trns`` per-entry alpha
+    list. ``filter_type`` applies one scanline filter (0 None, 1 Sub,
+    2 Up, 3 Average, 4 Paeth) to EVERY row so the decoder's un-filtering
+    paths are each independently exercisable at every bytes-per-pixel.
     Test/synthesis helper, mirror of :func:`encode_bmp`."""
     import struct
     import zlib
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype="uint8")
-    channels = px.shape[2]
-    if channels not in (3, 4):
-        raise ValueError(f"encode_png: pixels must be RGB or RGBA, got {channels} channels")
     if filter_type not in (0, 1, 2, 3, 4):
         raise ValueError(f"encode_png: filter_type={filter_type} not in 0..4")
-    bpp = channels
+    pal_bytes = b""
+    trns_bytes = b""
+    if palette is not None:
+        pal = np.asarray(palette, dtype="uint8")
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError(
+                f"encode_png: palette must be (n<=256, 3) RGB, got {pal.shape}"
+            )
+        px = np.asarray(pixels, dtype="uint8").reshape(height, width, 1)
+        if int(px.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("encode_png: palette index out of range")
+        color_type = 3
+        pal_bytes = pal.tobytes()
+        if trns is not None:
+            ta = np.asarray(trns, dtype="uint8")
+            if ta.ndim != 1 or ta.shape[0] > pal.shape[0]:
+                raise ValueError(
+                    "encode_png: trns must be 1-D with <= palette entries"
+                )
+            trns_bytes = ta.tobytes()
+    else:
+        if trns is not None:
+            raise ValueError("encode_png: trns requires a palette")
+        px = np.asarray(pixels, dtype="uint8")
+        if px.ndim == 2:
+            px = px[:, :, None]
+        channels = px.shape[2]
+        if channels not in (1, 2, 3, 4):
+            raise ValueError(
+                f"encode_png: pixels must have 1-4 channels, got {channels}"
+            )
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    channels = px.shape[2]
     raw = px.astype("int16")
     body = bytearray()
     prev = np.zeros((width, channels), dtype="int16")
@@ -166,26 +208,34 @@ def encode_png(width: int, height: int, pixels, filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    color_type = 2 if channels == 3 else 6
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", pal_bytes) if pal_bytes else b"")
+        + (chunk(b"tRNS", trns_bytes) if trns_bytes else b"")
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL PNG decode for the non-interlaced 8-bit RGB/RGBA subset
-    (r6 VERDICT task 3) — stdlib ``zlib`` inflate + the five PNG
+    """REAL PNG decode for the non-interlaced 8-bit subset — color types
+    0 (grayscale), 2 (RGB), 3 (palette, with optional tRNS alpha),
+    4 (gray+alpha) and 6 (RGBA) — stdlib ``zlib`` inflate + the five PNG
     scanline un-filters (None/Sub/Up/Average/Paeth per the PNG spec
-    §4.5.4), chunk CRCs verified. Anything outside that subset
-    (palette/grayscale/16-bit/interlaced) raises ``NotImplementedError``
-    naming the remaining seam. Returns the :func:`decode_image`
-    contract tuple ``(width, height, n_channels, mean_luma)``;
-    mean_luma uses the RGB channels only (alpha ignored), same
-    integer-sum-then-one-division form as BMP/PPM."""
+    §4.5.4), chunk CRCs verified. Palette and grayscale joined the
+    subset in r9 (r8 VERDICT item 4 — palette PNG is common in
+    web-scraped corpora and costs only a PLTE lookup after the existing
+    inflate/unfilter path). Anything outside (16-bit depth, interlaced)
+    raises ``NotImplementedError`` naming the remaining seam. Returns
+    the :func:`decode_image` contract tuple
+    ``(width, height, n_channels, mean_luma)`` where n_channels reports
+    the PIXEL format: 1 gray, 2 gray+alpha, 3 RGB / opaque palette,
+    4 RGBA / palette with tRNS; mean_luma uses the (expanded) RGB
+    channels only (alpha ignored), same integer-sum-then-one-division
+    form as BMP/PPM — a gray pixel's luma is exactly its gray level
+    (299+587+114 = 1000 = the weight scale)."""
     import struct
     import zlib
 
@@ -195,6 +245,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
         raise ValueError("decode_png: bad PNG signature")
     off = 8
     ihdr = None
+    plte = None
+    trns = None
     idat = bytearray()
     while off + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, off)
@@ -211,6 +263,15 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
             raise ValueError(f"decode_png: CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3:
+                raise ValueError(
+                    f"decode_png: PLTE length {len(data)} not a positive "
+                    "multiple of 3"
+                )
+            plte = np.frombuffer(data, dtype="uint8").reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -223,14 +284,34 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
         # r7 ADVICE: width=0/height=0 previously reached the mean_luma
         # division as ZeroDivisionError instead of the ValueError contract.
         raise ValueError(f"decode_png: invalid dimensions {width}x{height}")
-    if depth != 8 or color_type not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        depth != 8
+        or color_type not in (0, 2, 3, 4, 6)
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
         raise NotImplementedError(
-            "PNG decoder supports non-interlaced 8-bit RGB/RGBA only (got "
-            f"depth={depth}, color_type={color_type}, interlace={interlace}) "
-            "— palette/gray/16-bit/interlaced PNG and JPEG remain the codec "
-            "seam"
+            "PNG decoder supports non-interlaced 8-bit gray/gray-alpha/"
+            f"palette/RGB/RGBA only (got depth={depth}, "
+            f"color_type={color_type}, interlace={interlace}) — 16-bit and "
+            "interlaced PNG remain the codec seam"
         )
-    channels = 3 if color_type == 2 else 4
+    if color_type == 3 and plte is None:
+        raise ValueError("decode_png: palette image without a PLTE chunk")
+    if trns is not None:
+        if color_type != 3:
+            raise NotImplementedError(
+                "PNG decoder supports tRNS for palette images only (got "
+                f"color_type={color_type}) — single-color transparency on "
+                "gray/RGB remains the codec seam"
+            )
+        if len(trns) > len(plte):
+            raise ValueError(
+                f"decode_png: tRNS has {len(trns)} entries for a "
+                f"{len(plte)}-entry palette"
+            )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     stride = width * channels
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype="uint8")
     if raw.size != height * (stride + 1):
@@ -271,9 +352,24 @@ def decode_png(payload: bytes) -> tuple[int, int, int, float]:
             raise ValueError(f"decode_png: bad filter byte {ft} on row {r}")
         out[r] = recon.astype("uint8")
         prev = recon.astype("int32")
-    lum = out[:, :, :3].astype("int64") @ np.array([299, 587, 114], dtype="int64")
+    if color_type == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"decode_png: palette index {int(idx.max())} out of range "
+                f"for a {len(plte)}-entry PLTE"
+            )
+        rgb = plte[idx]  # (h, w, 3) lookup — the whole cost of ct 3
+        n_channels = 4 if trns is not None else 3
+    elif color_type in (0, 4):
+        rgb = out[:, :, [0, 0, 0]]  # gray expands to R=G=B
+        n_channels = channels
+    else:
+        rgb = out[:, :, :3]
+        n_channels = channels
+    lum = rgb.astype("int64") @ np.array([299, 587, 114], dtype="int64")
     mean_luma = float(int(lum.sum()) / (_LUMA_SCALE * width * height))
-    return width, height, channels, mean_luma
+    return width, height, n_channels, mean_luma
 
 
 # --------------------------------------------------------------------------

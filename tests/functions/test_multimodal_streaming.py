@@ -397,8 +397,9 @@ class TestRealImageCodecs:
         assert luma == self.expected_luma(px[:, :, :3])
 
     def test_png_out_of_subset_ihdr_raises_notimplemented(self):
-        # Grayscale (color_type=0) is outside the RGB/RGBA subset: the
-        # seam must raise NotImplementedError, not decode garbage.
+        # 16-bit depth is outside the 8-bit subset (grayscale/palette
+        # GRADUATED into the subset in r9): the seam must raise
+        # NotImplementedError, not decode garbage.
         import struct
         import zlib
 
@@ -410,16 +411,113 @@ class TestRealImageCodecs:
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
             )
 
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # gray 8-bit
-        body = b"\x00\x01\x02" + b"\x00\x03\x04"
-        payload = (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(body))
-            + chunk(b"IEND", b"")
+        for depth, ct, interlace in [(16, 0, 0), (16, 2, 0), (8, 2, 1)]:
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, interlace)
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+                + chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError, match="16-bit|interlaced"):
+                mm.decode_image(payload)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_png_grayscale_roundtrip_all_filters(self, filter_type):
+        # r9: 8-bit grayscale (ct 0) joined the subset; luma of a gray
+        # pixel is exactly its gray level (299+587+114 = 1000 scale).
+        import numpy as np
+
+        w, h = 5, 4
+        g = (np.arange(w * h, dtype="int64") * 29 % 256).reshape(h, w)
+        payload = mm.encode_png(w, h, g.astype("uint8"), filter_type=filter_type)
+        gw, gh, ch, luma = mm.decode_image(payload)
+        assert (gw, gh, ch) == (w, h, 1)
+        assert luma == int(g.sum() * 1000) / (255000.0 * w * h)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_png_gray_alpha_roundtrip_all_filters(self, filter_type):
+        import numpy as np
+
+        w, h = 4, 3
+        g = (np.arange(w * h, dtype="int64") * 31 % 256).reshape(h, w)
+        a = (np.arange(w * h, dtype="int64") * 7 % 256).reshape(h, w)
+        px = np.stack([g, a], axis=-1).astype("uint8")
+        gw, gh, ch, luma = mm.decode_image(
+            mm.encode_png(w, h, px, filter_type=filter_type)
         )
-        with pytest.raises(NotImplementedError, match="RGB/RGBA"):
-            mm.decode_image(payload)
+        assert (gw, gh, ch) == (w, h, 2)
+        # alpha ignored by contract
+        assert luma == int(g.sum() * 1000) / (255000.0 * w * h)
+
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    @pytest.mark.parametrize("with_trns", [False, True])
+    def test_png_palette_roundtrip_all_filters(self, filter_type, with_trns):
+        # r9: indexed color (ct 3) — PLTE lookup after the same
+        # inflate/unfilter path; tRNS flips n_channels 3 -> 4.
+        import numpy as np
+
+        w, h = 6, 3
+        pal = (np.arange(48, dtype="int64") * 53 % 256).reshape(16, 3)
+        idx = (np.arange(w * h, dtype="int64") * 5 % 16).reshape(h, w)
+        payload = mm.encode_png(
+            w, h, idx.astype("uint8"), filter_type=filter_type,
+            palette=pal.astype("uint8"),
+            trns=list(range(16)) if with_trns else None,
+        )
+        gw, gh, ch, luma = mm.decode_image(payload)
+        assert (gw, gh, ch) == (w, h, 4 if with_trns else 3)
+        assert luma == self.expected_luma(pal[idx])
+
+    def test_png_palette_missing_plte_raises_valueerror(self):
+        import struct
+
+        import numpy as np
+
+        pal = np.zeros((4, 3), dtype="uint8")
+        idx = np.zeros((2, 2), dtype="uint8")
+        payload = mm.encode_png(2, 2, idx, palette=pal)
+        # strip the PLTE chunk
+        out, off = payload[:8], 8
+        while off + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, off)
+            if payload[off + 4 : off + 8] != b"PLTE":
+                out += payload[off : off + 12 + ln]
+            off += 12 + ln
+        with pytest.raises(ValueError, match="PLTE"):
+            mm.decode_png(out)
+
+    def test_png_palette_index_out_of_range_raises_valueerror(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        # encoder refuses out-of-range indices, so build the bad stream
+        # with a 16-entry palette then shrink PLTE to 4 entries by hand
+        pal = np.zeros((16, 3), dtype="uint8")
+        idx = np.full((2, 2), 9, dtype="uint8")
+        payload = mm.encode_png(2, 2, idx, palette=pal)
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        out, off = payload[:8], 8
+        while off + 8 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, off)
+            ctype = payload[off + 4 : off + 8]
+            if ctype == b"PLTE":
+                out += chunk(b"PLTE", bytes(12))
+            else:
+                out += payload[off : off + 12 + ln]
+            off += 12 + ln
+        with pytest.raises(ValueError, match="out of range"):
+            mm.decode_png(out)
 
     def test_png_truncated_between_data_and_crc_raises_valueerror(self):
         # r7 ADVICE: truncation between chunk data and CRC must be
