@@ -8346,6 +8346,47 @@ def _q277_jpeg_decode(spark, sf):
     )
 
 
+def _q279_jpeg_progressive(spark, sf):
+    """REAL progressive JPEG decode end-to-end (SOF2, T.81 Annex G:
+    spectral selection + successive approximation, EOB runs, AC
+    refinement — the libjpeg default 10-scan script): same solid-gray
+    closed-form construction as q277 (even v = 2·(did%128), quality 50,
+    DC quant 16 divides exactly), but transmitted progressively — DC
+    arrives at Al=1 then refines, the empty AC bands ride EOBn runs.
+    Fully-refined progressive reconstructs the SAME coefficients as
+    baseline, so the ORACLE is q277's closed form (ground truth, not a
+    second decoder)."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_jpeg_progressive,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                v = 2 * (int(did) % 128)
+                px = np.full((8, 8, 3), v, dtype="uint8")
+                payloads.append(encode_jpeg_progressive(8, 8, px, quality=50))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("image/jpeg")
+        ).alias("media"),
+    )
+    return extract_image_features(media, use_fake_decoder=False).select(
+        "doc_id", "width", "height", "n_channels", "mean_luma"
+    )
+
+
 def _q278_png_palette_gray(spark, sf):
     """REAL palette + grayscale PNG decode end-to-end (r8 VERDICT
     item 4 — palette PNG is common in web-scraped corpora): per document
@@ -8699,6 +8740,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q276_png_decode": _q276_png_decode,
     "q277_jpeg_decode": _q277_jpeg_decode,
     "q278_png_palette_gray": _q278_png_palette_gray,
+    "q279_jpeg_progressive": _q279_jpeg_progressive,
 }
 
 
@@ -14536,6 +14578,18 @@ _ORACLES["q278_png_palette_gray"] = """
 # q277: solid gray, even v, quality 50 → DC quant 16 divides 8·(v−128)
 # exactly, so the decoded block is uniformly v and
 # mean_luma = (299+587+114)·v·64 / (255000·64) in closed form.
+# q279: the progressive (SOF2) transmission of the SAME coefficients —
+# fully-refined progressive reconstructs identically, so it shares the
+# closed form.
+_ORACLES["q279_jpeg_progressive"] = """
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST(64000 * (2 * (doc_id % 128)) AS DOUBLE) / (255000.0 * 64)
+             AS mean_luma
+    FROM documents
+"""
 _ORACLES["q277_jpeg_decode"] = """
     SELECT doc_id,
            CAST(8 AS INT) AS width,

@@ -507,15 +507,15 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
-                subsample: str = "444") -> bytes:
-    """Minimal baseline JPEG writer (SOF0, Huffman, Annex-K tables
-    scaled by ``quality``) — stdlib ``struct`` + numpy only. ``pixels``
-    is (height, width, 3) RGB uint8; ``subsample`` is ``"444"`` (no
-    chroma subsampling) or ``"420"`` (2x2 box-averaged chroma, 16x16
-    MCUs). Test/synthesis helper, mirror of :func:`encode_png`."""
-    import struct
-
+def _jpeg_forward(width: int, height: int, pixels, quality: int, subsample: str):
+    """Shared forward path of the baseline and progressive writers:
+    RGB → YCbCr, optional 4:2:0 box subsampling, 8×8 DCT + quantization,
+    MCU-grid padding. Returns ``([yb, cbb, crb], hs, vs, ql, qc, mcux,
+    mcuy)`` with each component's quantized ZIGZAG-ordered block grid
+    already padded to the MCU grid. Progressive JPEG is just a
+    different TRANSMISSION ORDER of these same coefficients, so both
+    writers share this path bit-for-bit (the round-trip tests rely on
+    it: fully-refined progressive must decode identical to baseline)."""
     import numpy as np
 
     if subsample not in ("444", "420"):
@@ -561,6 +561,36 @@ def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
     yb = blocks(y, qlm)
     cbb, crb = blocks(cb, qcm), blocks(cr, qcm)
 
+    mcux = (width + 8 * hs - 1) // (8 * hs)
+    mcuy = (height + 8 * vs - 1) // (8 * vs)
+
+    def grid_pad(b, ny, nx):
+        gy, gx = b.shape[0], b.shape[1]
+        if gy < ny:
+            b = np.concatenate([b, np.repeat(b[-1:], ny - gy, axis=0)], axis=0)
+        if gx < nx:
+            b = np.concatenate([b, np.repeat(b[:, -1:], nx - gx, axis=1)], axis=1)
+        return b
+
+    yb = grid_pad(yb, mcuy * vs, mcux * hs)
+    cbb = grid_pad(cbb, mcuy, mcux)
+    crb = grid_pad(crb, mcuy, mcux)
+    return [yb, cbb, crb], hs, vs, ql, qc, mcux, mcuy
+
+
+def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
+                subsample: str = "444") -> bytes:
+    """Minimal baseline JPEG writer (SOF0, Huffman, Annex-K tables
+    scaled by ``quality``) — stdlib ``struct`` + numpy only. ``pixels``
+    is (height, width, 3) RGB uint8; ``subsample`` is ``"444"`` (no
+    chroma subsampling) or ``"420"`` (2x2 box-averaged chroma, 16x16
+    MCUs). Test/synthesis helper, mirror of :func:`encode_png`."""
+    import struct
+
+    (yb, cbb, crb), hs, vs, ql, qc, mcux, mcuy = _jpeg_forward(
+        width, height, pixels, quality, subsample
+    )
+
     dc_l = _jpeg_huff_codes(*_JPEG_HDC_L)
     dc_c = _jpeg_huff_codes(*_JPEG_HDC_C)
     ac_l = _jpeg_huff_codes(*_JPEG_HAC_L)
@@ -602,21 +632,6 @@ def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
             code, ln = ac_t[0x00]  # EOB
             bw_.write(code, ln)
 
-    mcux = (width + 8 * hs - 1) // (8 * hs)
-    mcuy = (height + 8 * vs - 1) // (8 * vs)
-    ypad_y, ypad_x = mcuy * vs, mcux * hs  # Y blocks needed per axis
-    # re-pad Y block grid to the MCU grid (edge blocks replicate)
-    def grid_pad(b, ny, nx):
-        gy, gx = b.shape[0], b.shape[1]
-        if gy < ny:
-            b = np.concatenate([b, np.repeat(b[-1:], ny - gy, axis=0)], axis=0)
-        if gx < nx:
-            b = np.concatenate([b, np.repeat(b[:, -1:], nx - gx, axis=1)], axis=1)
-        return b
-
-    yb = grid_pad(yb, ypad_y, ypad_x)
-    cbb = grid_pad(cbb, mcuy, mcux)
-    crb = grid_pad(crb, mcuy, mcux)
     for my in range(mcuy):
         for mx in range(mcux):
             for v in range(vs):
@@ -649,6 +664,274 @@ def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
         + scan
         + b"\xff\xd9"  # EOI
     )
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r=0..14) that the Annex-K
+# AC tables lack. This flat 8-bit-code table covers every symbol a
+# progressive AC scan can emit — s=0: EOB0..EOB14 + ZRL; s=1..10 ×
+# r=0..15 — 176 symbols, all length 8 (valid: the all-ones 8-bit code is
+# unused at <256 symbols). Compression is not the point of the writer;
+# decode correctness never depends on this table (the decoder rebuilds
+# its state from the payload's own DHT, like every other table here).
+_JPEG_HAC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(16)]
+    + [(r << 4) | s for s in range(1, 11) for r in range(16)],
+)
+
+# libjpeg's default progressive scan script (jcparam.c): interleaved DC
+# first with one point-transform bit, banded/approximated AC first
+# scans, then DC and AC refinement passes down to full precision.
+_JPEG_PROG_SCRIPT = [
+    # (comp_indices, Ss, Se, Ah, Al)
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels,
+    quality: int = 75,
+    subsample: str = "444",
+    script=None,
+) -> bytes:
+    """Progressive JPEG writer (SOF2, spectral selection + successive
+    approximation per T.81 Annex G) — same forward DCT/quant path as the
+    baseline writer (:func:`_jpeg_forward`), so a fully-refined
+    progressive stream decodes BIT-IDENTICAL to the baseline encoding of
+    the same pixels (the round-trip tests assert exactly that).
+
+    ``script`` is a list of ``(comp_indices, Ss, Se, Ah, Al)`` scans
+    (default: libjpeg's 10-scan script, which exercises all four scan
+    kinds — DC first/refine, AC first/refine — plus EOB runs and ZRL).
+    The script must refine every coefficient to Al=0 for the full
+    round-trip guarantee; partial scripts still produce valid streams.
+    Test/synthesis helper, mirror of :func:`encode_jpeg`."""
+    import struct
+
+    (yb, cbb, crb), hs, vs, ql, qc, mcux, mcuy = _jpeg_forward(
+        width, height, pixels, quality, subsample
+    )
+    grids = [yb, cbb, crb]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+    dc_codes = [
+        _jpeg_huff_codes(*_JPEG_HDC_L),
+        _jpeg_huff_codes(*_JPEG_HDC_C),
+        _jpeg_huff_codes(*_JPEG_HDC_C),
+    ]
+    ac_codes = _jpeg_huff_codes(*_JPEG_HAC_PROG)
+    script = list(_JPEG_PROG_SCRIPT) if script is None else list(script)
+
+    def comp_blocks(ci):
+        """Non-interleaved scan order: the component's OWN block grid
+        (ceil of its actual sample dimensions), not the MCU-padded one."""
+        ch, cv = samp[ci]
+        bw = (-(-width * ch // hs) + 7) // 8
+        bh = (-(-height * cv // vs) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                yield ci, by, bx
+
+    def mcu_blocks(comp_indices):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comp_indices:
+                    ch, cv = samp[ci]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            yield ci, my * cv + v, mx * ch + hh
+
+    def dc_order(comp_indices):
+        # ns>1: MCU-interleaved; ns==1: the component's own block grid
+        # (T.81 non-interleaved scan order)
+        if len(comp_indices) > 1:
+            return mcu_blocks(comp_indices)
+        return comp_blocks(comp_indices[0])
+
+    def scan_dc_first(w_, comp_indices, al):
+        pred = [0, 0, 0]
+        for ci, by, bx in dc_order(comp_indices):
+            t = int(grids[ci][by, bx, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+            diff = t - pred[ci]
+            pred[ci] = t
+            cat, bits = _jpeg_magnitude(diff)
+            code, ln = dc_codes[ci][cat]
+            w_.write(code, ln)
+            if cat:
+                w_.write(bits, cat)
+
+    def scan_dc_refine(w_, comp_indices, al):
+        for ci, by, bx in dc_order(comp_indices):
+            w_.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def scan_ac_first(w_, ci, ss, se, al):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                w_.write(code, ln)
+                if n:
+                    w_.write(eobrun - (1 << n), n)
+                eobrun = 0
+
+        for _, by, bx in comp_blocks(ci):
+            blk = grids[ci][by, bx]
+            # magnitude point transform (sign-preserving, T.81 G.1.2.2)
+            vals = [
+                (abs(int(blk[k])) >> al) * (1 if int(blk[k]) >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            last = -1
+            for i in range(len(vals) - 1, -1, -1):
+                if vals[i]:
+                    last = i
+                    break
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            r = 0
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    w_.write(code, ln)
+                    r -= 16
+                flush_eob()
+                cat, bits = _jpeg_magnitude(v)
+                code, ln = ac_codes[(r << 4) | cat]
+                w_.write(code, ln)
+                w_.write(bits, cat)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+
+    def scan_ac_refine(w_, ci, ss, se, al):
+        # T.81 G.1.2.3 / libjpeg encode_mcu_AC_refine: newly-significant
+        # coefficients get (run, 1) symbols; already-nonzero ones emit a
+        # buffered correction bit; trailing zeros fold into EOB runs
+        # whose buffered bits flush right after the EOBn symbol.
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                n = eobrun.bit_length() - 1
+                code, ln = ac_codes[n << 4]
+                w_.write(code, ln)
+                if n:
+                    w_.write(eobrun - (1 << n), n)
+                eobrun = 0
+            for b in eob_bits:
+                w_.write(b, 1)
+            eob_bits.clear()
+
+        for _, by, bx in comp_blocks(ci):
+            blk = grids[ci][by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = -1
+            for i in range(len(absv)):
+                if absv[i] == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []
+            for i in range(len(absv)):
+                t = absv[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    w_.write(code, ln)
+                    r -= 16
+                    for b in br:
+                        w_.write(b, 1)
+                    br.clear()
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_codes[(r << 4) | 1]
+                w_.write(code, ln)
+                w_.write(0 if int(blk[ss + i]) < 0 else 1, 1)
+                for b in br:
+                    w_.write(b, 1)
+                br.clear()
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                eob_bits.extend(br)
+                if eobrun == 0x7FFF or len(eob_bits) > 900:
+                    flush_eob()
+        flush_eob()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tclass, tid, spec):
+        bits, vals = spec
+        return seg(0xFFC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals))
+
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes([1, hs << 4 | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(ql))
+        + seg(0xFFDB, bytes([1]) + bytes(qc))
+        + seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+        + dht(0, 0, _JPEG_HDC_L)
+        + dht(0, 1, _JPEG_HDC_C)
+        + dht(1, 0, _JPEG_HAC_PROG)
+    )
+    cids = [1, 2, 3]
+    for comp_indices, ss, se, ah, al in script:
+        w_ = _JpegBitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ah == 0:
+                scan_dc_first(w_, comp_indices, al)
+            else:
+                scan_dc_refine(w_, comp_indices, al)
+            tds = [(0 if ci == 0 else 1, 0) for ci in comp_indices]
+        else:
+            if len(comp_indices) != 1:
+                raise ValueError("progressive AC scans are single-component")
+            (ci,) = comp_indices
+            if ah == 0:
+                scan_ac_first(w_, ci, ss, se, al)
+            else:
+                scan_ac_refine(w_, ci, ss, se, al)
+            tds = [(0, 0)]
+        sos = bytes([len(comp_indices)])
+        for (ci, (td, ta)) in zip(comp_indices, tds):
+            sos += bytes([cids[ci], td << 4 | ta])
+        sos += bytes([ss, se, ah << 4 | al])
+        out += seg(0xFFDA, sos) + w_.flush()
+    return out + b"\xff\xd9"
 
 
 class _JpegBitReader:
@@ -710,13 +993,34 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
+_JPEG_SOF_NAMES = {
+    0xC1: "SOF1 extended sequential Huffman",
+    0xC3: "SOF3 lossless sequential",
+    0xC5: "SOF5 differential sequential",
+    0xC6: "SOF6 differential progressive",
+    0xC7: "SOF7 differential lossless",
+    0xC9: "SOF9 extended sequential arithmetic",
+    0xCA: "SOF10 progressive arithmetic",
+    0xCB: "SOF11 lossless arithmetic",
+    0xCD: "SOF13 differential sequential arithmetic",
+    0xCE: "SOF14 differential progressive arithmetic",
+    0xCF: "SOF15 differential lossless arithmetic",
+}
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
-    """REAL baseline JPEG decode (r6 VERDICT: the last compressed-codec
-    seam) — marker walk, DQT/DHT state built FROM THE PAYLOAD, Huffman +
-    dequant + orthonormal IDCT, nearest-neighbor chroma upsampling,
-    JFIF YCbCr→RGB. Subset: sequential DCT (SOF0), 8-bit, 1 or 3
-    components, sampling factors ≤ 2, no restart intervals; progressive
-    (SOF2), arithmetic coding, 12-bit, and DRI raise
+    """REAL JPEG decode — baseline sequential (SOF0, r6) AND progressive
+    (SOF2, r9: spectral selection + successive approximation per T.81
+    Annex G, including EOB runs and AC refinement). Marker walk with
+    DQT/DHT state built FROM THE PAYLOAD (tables may be redefined
+    between scans, as progressive encoders do), every scan decoded into
+    one coefficient array per component, then dequant + orthonormal
+    IDCT, nearest-neighbor chroma upsampling, JFIF YCbCr→RGB — so a
+    fully-refined progressive stream reconstructs BIT-IDENTICAL to the
+    baseline stream of the same quantized coefficients. Subset: 8-bit,
+    1 or 3 components, sampling factors ≤ 2, Huffman entropy coding, no
+    restart intervals; arithmetic coding, lossless/differential frames
+    (named in the error by SOF type), 12-bit, and DRI raise
     ``NotImplementedError`` — that is the remaining seam. Returns the
     :func:`decode_image` tuple ``(width, height, n_channels,
     mean_luma)``; mean_luma integer-sums 299R+587G+114B over the
@@ -732,14 +1036,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
     hdc: dict[int, dict] = {}
     hac: dict[int, dict] = {}
     sof = None
-    scan_comps = None
-    scan_start = None
+    progressive = False
+    scans = []  # (scan_comps, Ss, Se, Ah, Al, dc_tab_snap, ac_tab_snap, data)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at byte {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + seglen > len(payload):
             raise ValueError(f"decode_jpeg: truncated segment 0xFF{marker:02X}")
@@ -763,7 +1070,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
                 vals = list(body[off + 17 : off + 17 + n])
                 (hdc if tc == 0 else hac)[th] = _jpeg_huff_decoder(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("JPEG decoder supports 8-bit precision only")
@@ -783,95 +1091,166 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
             if w == 0 or h == 0:
                 raise ValueError(f"decode_jpeg: invalid dimensions {w}x{h}")
             sof = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in _JPEG_SOF_NAMES:
             raise NotImplementedError(
-                f"JPEG decoder supports baseline sequential (SOF0) only, got "
-                f"SOF marker 0xFF{marker:02X} — progressive/arithmetic/"
-                "hierarchical JPEG remains the codec seam"
+                "JPEG decoder supports baseline sequential (SOF0) and "
+                f"progressive Huffman (SOF2) only, got {_JPEG_SOF_NAMES[marker]} "
+                f"(0xFF{marker:02X}) — arithmetic/lossless/differential "
+                "JPEG remains the codec seam"
             )
         elif marker == 0xDD:
             raise NotImplementedError(
                 "JPEG decoder does not support restart intervals (DRI)"
             )
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: header, then delimit the entropy data
+            if sof is None:
+                raise ValueError("decode_jpeg: SOS before SOF")
             ns = body[0]
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            scan_start = pos + 2 + seglen
-            break
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            start = pos + 2 + seglen
+            end = start
+            while True:
+                nxt = payload.find(b"\xff", end)
+                if nxt < 0 or nxt + 1 >= len(payload):
+                    raise ValueError("decode_jpeg: scan runs past end of payload")
+                m2 = payload[nxt + 1]
+                if m2 == 0x00:  # stuffed byte
+                    end = nxt + 2
+                elif m2 == 0xFF:  # fill byte
+                    end = nxt + 1
+                else:
+                    break
+            # snapshot the tables the scan references AT THIS POINT —
+            # later DHT segments may redefine them
+            dc_snap = {}
+            ac_snap = {}
+            for cid, sid in scan_comps:
+                td, ta = sid >> 4, sid & 0xF
+                if ss == 0 and ah == 0 or not progressive:
+                    if td not in hdc:
+                        raise ValueError(
+                            "decode_jpeg: scan references undefined DC table"
+                        )
+                    dc_snap[cid] = hdc[td]
+                if se > 0 or not progressive:
+                    if ta not in hac:
+                        raise ValueError(
+                            "decode_jpeg: scan references undefined AC table"
+                        )
+                    ac_snap[cid] = hac[ta]
+            scans.append(
+                (scan_comps, ss, se, ah, al, dc_snap, ac_snap, payload[start:nxt])
+            )
+            pos = nxt
+            continue
         pos += 2 + seglen
-    if sof is None or scan_comps is None:
-        raise ValueError("decode_jpeg: missing SOF0/SOS segment")
+    if sof is None or not scans:
+        raise ValueError("decode_jpeg: missing SOF/SOS segment")
     w, h, comps = sof
-    if len(scan_comps) != len(comps):
-        raise NotImplementedError(
-            "JPEG decoder supports single-scan interleaved streams only"
-        )
+    if not progressive:
+        if len(scans) != 1 or len(scans[0][0]) != len(comps):
+            raise NotImplementedError(
+                "JPEG decoder supports single-scan interleaved streams only "
+                "for baseline (SOF0)"
+            )
 
     max_h = max(c[1] for c in comps)
     max_v = max(c[2] for c in comps)
     mcux = (w + 8 * max_h - 1) // (8 * max_h)
     mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    # one MCU-padded coefficient grid per component, ZIGZAG index order
+    coef = [
+        np.zeros((mcuy * cv, mcux * ch, 64), dtype="int32")
+        for (_, ch, cv, _) in comps
+    ]
+
+    def comp_blocks(ci):
+        # non-interleaved scans traverse the component's OWN block grid
+        # (T.81 A.2.2), which can be smaller than the MCU-padded grid
+        _, ch, cv, _ = comps[ci]
+        bw = (-(-w * ch // max_h) + 7) // 8
+        bh = (-(-h * cv // max_v) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                yield ci, by, bx
+
+    def mcu_blocks(cis):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cis:
+                    _, ch, cv, _ = comps[ci]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            yield ci, my * cv + v, mx * ch + hh
+
+    for scan_comps, ss, se, ah, al, dc_snap, ac_snap, data in scans:
+        cis = []
+        for cid, _ in scan_comps:
+            if cid not in cid_to_ci:
+                raise ValueError(f"decode_jpeg: scan component {cid} not in frame")
+            cis.append(cid_to_ci[cid])
+        reader = _JpegBitReader(data)
+        if not progressive:
+            _jpeg_decode_baseline_scan(
+                reader, coef, comps, cis,
+                [dc_snap[comps[ci][0]] for ci in cis],
+                [ac_snap[comps[ci][0]] for ci in cis],
+                mcu_blocks(cis),
+            )
+        elif ss == 0:
+            if se != 0:
+                raise ValueError("decode_jpeg: progressive DC scan with Se != 0")
+            order = mcu_blocks(cis) if len(cis) > 1 else comp_blocks(cis[0])
+            if ah == 0:
+                _jpeg_decode_dc_first(
+                    reader, coef, cis,
+                    {ci: dc_snap[comps[ci][0]] for ci in cis}, al, order,
+                )
+            else:
+                for ci, by, bx in order:
+                    if reader.read(1):
+                        coef[ci][by, bx, 0] = int(coef[ci][by, bx, 0]) | (1 << al)
+        else:
+            if len(cis) != 1:
+                raise ValueError(
+                    "decode_jpeg: progressive AC scans must be single-component"
+                )
+            (ci,) = cis
+            if ah == 0:
+                _jpeg_decode_ac_first(
+                    reader, coef[ci], ac_snap[comps[ci][0]], ss, se, al,
+                    comp_blocks(ci),
+                )
+            else:
+                _jpeg_decode_ac_refine(
+                    reader, coef[ci], ac_snap[comps[ci][0]], ss, se, al,
+                    comp_blocks(ci),
+                )
+
+    # dequant + IDCT every block, then upsample/crop/color-convert
     C = _jpeg_dct_matrix()
     unzig = np.argsort(np.array(_JPEG_ZIGZAG))
-    planes = []
-    qms = []
-    tabs = []
-    for (cid, ch, cv, tq) in comps:
-        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype="float64"))
-        if tq not in qtables:
-            raise ValueError(f"decode_jpeg: missing quantization table {tq}")
-        qms.append(np.array(qtables[tq], dtype="float64")[unzig].reshape(8, 8))
-        sid = dict(scan_comps).get(cid)
-        if sid is None:
-            raise ValueError(f"decode_jpeg: component {cid} missing from scan")
-        td, ta = sid >> 4, sid & 0xF
-        if td not in hdc or ta not in hac:
-            raise ValueError("decode_jpeg: scan references undefined Huffman table")
-        tabs.append((hdc[td], hac[ta]))
-
-    reader = _JpegBitReader(payload[scan_start:])
-    pred = [0] * len(comps)
-    zz = np.zeros(64, dtype="float64")
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (cid, chf, cvf, tq) in enumerate(comps):
-                dct_t, ac_t = tabs[ci]
-                for v in range(cvf):
-                    for hh in range(chf):
-                        zz[:] = 0.0
-                        cat = _jpeg_read_huff(reader, dct_t)
-                        pred[ci] += _jpeg_extend(reader.read(cat), cat)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_read_huff(reader, ac_t)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError(
-                                    "decode_jpeg: AC run past block end"
-                                )
-                            cat = rs & 0xF
-                            zz[k] = _jpeg_extend(reader.read(cat), cat)
-                            k += 1
-                        blk = (zz[unzig].reshape(8, 8)) * qms[ci]
-                        rec = C.T @ blk @ C + 128.0
-                        py = (my * cvf + v) * 8
-                        px_ = (mx * chf + hh) * 8
-                        planes[ci][py:py + 8, px_:px_ + 8] = rec
-
-    # upsample each plane to full MCU-grid resolution, crop to (h, w)
     full = []
     for ci, (cid, chf, cvf, tq) in enumerate(comps):
-        p = planes[ci]
+        if tq not in qtables:
+            raise ValueError(f"decode_jpeg: missing quantization table {tq}")
+        qm = np.array(qtables[tq], dtype="float64")[unzig].reshape(8, 8)
+        plane = np.zeros((mcuy * cvf * 8, mcux * chf * 8), dtype="float64")
+        grid = coef[ci]
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                blk = grid[by, bx].astype("float64")[unzig].reshape(8, 8) * qm
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    C.T @ blk @ C + 128.0
+                )
         if chf < max_h or cvf < max_v:
-            p = np.repeat(np.repeat(p, max_v // cvf, axis=0), max_h // chf, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, max_v // cvf, axis=0), max_h // chf, axis=1
+            )
+        full.append(plane[:h, :w])
     if len(comps) == 1:
         yv = np.clip(np.rint(full[0]), 0, 255).astype("int64")
         lum_sum = int((yv * 1000).sum())
@@ -882,6 +1261,128 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
     b = np.clip(np.rint(yv + 1.772 * cbv), 0, 255).astype("int64")
     lum_sum = int((299 * r + 587 * g + 114 * b).sum())
     return w, h, 3, float(lum_sum / (_LUMA_SCALE * w * h))
+
+
+def _jpeg_decode_baseline_scan(reader, coef, comps, cis, dc_tabs, ac_tabs, order):
+    """The SOF0 entropy decode (unchanged semantics from r6, now writing
+    into the shared coefficient grids instead of IDCT-ing inline)."""
+    pred = {ci: 0 for ci in cis}
+    tab = {ci: (dc_tabs[i], ac_tabs[i]) for i, ci in enumerate(cis)}
+    for ci, by, bx in order:
+        dct_t, ac_t = tab[ci]
+        blk = coef[ci][by, bx]
+        cat = _jpeg_read_huff(reader, dct_t)
+        pred[ci] += _jpeg_extend(reader.read(cat), cat)
+        blk[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _jpeg_read_huff(reader, ac_t)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise ValueError("decode_jpeg: AC run past block end")
+            cat = rs & 0xF
+            blk[k] = _jpeg_extend(reader.read(cat), cat)
+            k += 1
+
+
+def _jpeg_decode_dc_first(reader, coef, cis, dc_tabs, al, order):
+    """Progressive DC first scan (T.81 G.2): DC diffs in the
+    point-transformed domain, stored shifted up by Al."""
+    pred = {ci: 0 for ci in cis}
+    for ci, by, bx in order:
+        cat = _jpeg_read_huff(reader, dc_tabs[ci])
+        pred[ci] += _jpeg_extend(reader.read(cat), cat)
+        coef[ci][by, bx, 0] = pred[ci] << al
+
+
+def _jpeg_decode_ac_first(reader, grid, ac_tab, ss, se, al, order):
+    """Progressive AC first scan: band [Ss, Se] at precision Al, with
+    EOBn end-of-band runs spanning blocks."""
+    eobrun = 0
+    for _, by, bx in order:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        blk = grid[by, bx]
+        k = ss
+        while k <= se:
+            rs = _jpeg_read_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL: 16 zero coefficients
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("decode_jpeg: AC run past band end")
+            blk[k] = _jpeg_extend(reader.read(s), s) << al
+            k += 1
+
+
+def _jpeg_decode_ac_refine(reader, grid, ac_tab, ss, se, al, order):
+    """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
+    decode_mcu_AC_refine shape): newly-significant coefficients arrive
+    as (run, 1) symbols where the run counts ZERO-HISTORY positions;
+    every nonzero-history coefficient passed — including those inside
+    EOB runs — carries one correction bit that may add ±1<<Al toward
+    larger magnitude."""
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for _, by, bx in order:
+        blk = grid[by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _jpeg_read_huff(reader, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "decode_jpeg: AC refine symbol with size > 1"
+                        )
+                    val = p1 if reader.read(1) else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s:
+                    if k > se:
+                        raise ValueError(
+                            "decode_jpeg: AC refine placement past band end"
+                        )
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, float]:
