@@ -8346,6 +8346,84 @@ def _q277_jpeg_decode(spark, sf):
     )
 
 
+def _q280_png_full_matrix(spark, sf):
+    """PNG spec-matrix decode end-to-end (r9 — the seam-closing twin of
+    q276/q278): per document one of four shapes by doc_id % 4 —
+      0: 16-bit grayscale, Adam7 interlaced; g_i = (did·257+1031i) % 65536
+      1: 4-bit grayscale (samples expand ×17 exactly); g_i = (did+i) % 16
+      2: 2-bit palette (4-entry PLTE), Adam7; idx_i = (did+i) % 4
+      3: 16-bit RGB; (did·7+3i, did·11+5i, did·13+2i) % 65536 —
+    all at w = 4+did%3, h = 3+did%2 (small enough that Adam7 passes go
+    empty) and filter_type = did % 5. PNG is lossless at every depth, so
+    the ORACLE is the closed-form construction with the depth's own
+    integer-luma denominator (65535 for 16-bit) — ground truth, not a
+    second decoder."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_png,
+        extract_image_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 3, 3 + did % 2
+                i = np.arange(w * h, dtype="int64")
+                ft = did % 5
+                cls = did % 4
+                if cls == 0:
+                    g = ((did * 257 + i * 1031) % 65536).reshape(h, w)
+                    payloads.append(
+                        encode_png(w, h, g, filter_type=ft, depth=16, interlace=1)
+                    )
+                elif cls == 1:
+                    g = ((did + i) % 16).reshape(h, w)
+                    payloads.append(encode_png(w, h, g, filter_type=ft, depth=4))
+                elif cls == 2:
+                    j = np.arange(4, dtype="int64")
+                    pal = np.stack(
+                        [
+                            (did * 5 + 3 * j) % 256,
+                            (did * 9 + 7 * j) % 256,
+                            (did * 3 + 11 * j) % 256,
+                        ],
+                        axis=-1,
+                    ).astype("uint8")
+                    idx = ((did + i) % 4).reshape(h, w)
+                    payloads.append(
+                        encode_png(w, h, idx, filter_type=ft, depth=2,
+                                   interlace=1, palette=pal)
+                    )
+                else:
+                    px = np.stack(
+                        [
+                            (did * 7 + i * 3) % 65536,
+                            (did * 11 + i * 5) % 65536,
+                            (did * 13 + i * 2) % 65536,
+                        ],
+                        axis=-1,
+                    ).reshape(h, w, 3)
+                    payloads.append(encode_png(w, h, px, filter_type=ft, depth=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("image/png")
+        ).alias("media"),
+    )
+    return extract_image_features(media, use_fake_decoder=False).select(
+        "doc_id", "width", "height", "n_channels", "mean_luma"
+    )
+
+
 def _q279_jpeg_progressive(spark, sf):
     """REAL progressive JPEG decode end-to-end (SOF2, T.81 Annex G:
     spectral selection + successive approximation, EOB runs, AC
@@ -8741,6 +8819,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q277_jpeg_decode": _q277_jpeg_decode,
     "q278_png_palette_gray": _q278_png_palette_gray,
     "q279_jpeg_progressive": _q279_jpeg_progressive,
+    "q280_png_full_matrix": _q280_png_full_matrix,
 }
 
 
@@ -14578,6 +14657,52 @@ _ORACLES["q278_png_palette_gray"] = """
 # q277: solid gray, even v, quality 50 → DC quant 16 divides 8·(v−128)
 # exactly, so the decoded block is uniformly v and
 # mean_luma = (299+587+114)·v·64 / (255000·64) in closed form.
+# q280: the PNG spec-matrix twin of q278 — same closed-form style, with
+# each class's own exact integer-luma denominator (16-bit divides by
+# 65535; 4-bit gray expands ×17 = 255/15 exactly; 2-bit palette walks a
+# 4-entry PLTE).
+_ORACLES["q280_png_full_matrix"] = """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h,
+             doc_id % 4 AS cls
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, cls,
+             CASE cls
+             WHEN 0 THEN
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 1000 * ((doc_id * 257 + i * 1031) % 65536))) AS DOUBLE)
+               / (1000.0 * 65535 * w * h)
+             WHEN 1 THEN
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 1000 * (17 * ((doc_id + i) % 16)))) AS DOUBLE)
+               / (1000.0 * 255 * w * h)
+             WHEN 2 THEN
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 299 * ((doc_id * 5 + 3 * ((doc_id + i) % 4)) % 256)
+               + 587 * ((doc_id * 9 + 7 * ((doc_id + i) % 4)) % 256)
+               + 114 * ((doc_id * 3 + 11 * ((doc_id + i) % 4)) % 256))) AS DOUBLE)
+               / (1000.0 * 255 * w * h)
+             ELSE
+               CAST(list_sum(list_transform(range(0, w * h), i ->
+                 299 * ((doc_id * 7 + i * 3) % 65536)
+               + 587 * ((doc_id * 11 + i * 5) % 65536)
+               + 114 * ((doc_id * 13 + i * 2) % 65536))) AS DOUBLE)
+               / (1000.0 * 65535 * w * h)
+             END AS mean_luma
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(CASE cls WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 3 END
+                AS INT) AS n_channels,
+           mean_luma
+    FROM px
+"""
+
 # q279: the progressive (SOF2) transmission of the SAME coefficients —
 # fully-refined progressive reconstructs identically, so it shares the
 # closed form.

@@ -74,6 +74,16 @@ def cosine_kernel(a: Column, b: Column) -> Column:
     the same ``dot / (sqrt(ssq_a) * sqrt(ssq_b))``. Verified bit-exact
     against cosine_expr on 45k random float32 pairs.
 
+    Degenerate-vector contract (r9, from the r8 ADVICE audit): a
+    zero-norm or NaN-valued vector produces a NaN cosine, and the
+    pandas→Arrow return seam maps float NaN to SQL NULL — so downstream
+    ``round(cos, 6) >= t`` filters REJECT such pairs (NULL comparisons),
+    whereas the pure-expression form would produce a true NaN that
+    Spark orders ABOVE every threshold. NULL-on-degenerate is the
+    deliberate engine semantics (a zero vector must not near-dup-match
+    everything); oracles that threshold a cosine carry a matching
+    ``NOT isnan(...)`` guard.
+
     Declared pandas-UDF seam (the no-row-UDF policy allows Arrow
     batches at named seams; this is the per-pair similarity kernel).
     """
@@ -90,7 +100,8 @@ def cosine_kernel(a: Column, b: Column) -> Column:
         dots = np.cumsum(A * B, axis=1)[:, -1]
         na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
         nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
-        return pd.Series(dots / (na * nb))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return pd.Series(dots / (na * nb))
 
     return _cos(a, b)
 

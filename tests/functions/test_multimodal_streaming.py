@@ -396,10 +396,10 @@ class TestRealImageCodecs:
         # luma ignores alpha by contract
         assert luma == self.expected_luma(px[:, :, :3])
 
-    def test_png_out_of_subset_ihdr_raises_notimplemented(self):
-        # 16-bit depth is outside the 8-bit subset (grayscale/palette
-        # GRADUATED into the subset in r9): the seam must raise
-        # NotImplementedError, not decode garbage.
+    def test_png_illegal_ihdr_combo_raises_valueerror(self):
+        # r9 closed the PNG seam: EVERY legal (depth x color type x
+        # interlace) combo decodes, so only spec-ILLEGAL combos reject —
+        # as ValueError (malformed stream), not NotImplementedError.
         import struct
         import zlib
 
@@ -411,16 +411,102 @@ class TestRealImageCodecs:
                 + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
             )
 
-        for depth, ct, interlace in [(16, 0, 0), (16, 2, 0), (8, 2, 1)]:
-            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, interlace)
+        for depth, ct in [(3, 0), (16, 3), (4, 2), (2, 6), (1, 4)]:
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ct, 0, 0, 0)
             payload = (
                 b"\x89PNG\r\n\x1a\n"
                 + chunk(b"IHDR", ihdr)
                 + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
                 + chunk(b"IEND", b"")
             )
-            with pytest.raises(NotImplementedError, match="16-bit|interlaced"):
+            with pytest.raises(ValueError, match="invalid IHDR"):
                 mm.decode_image(payload)
+
+    def test_png_nonpalette_trns_raises_notimplemented(self):
+        # the one remaining (deliberate) PNG seam: single-color
+        # transparency on gray/RGB — it cannot affect the feature
+        # contract, so it stays a named NotImplementedError
+        import struct
+        import zlib
+
+        import numpy as np
+
+        payload = mm.encode_png(2, 2, np.zeros((2, 2, 3), dtype=np.uint8))
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        # inject a tRNS chunk right after IHDR (8 sig + 25 IHDR bytes)
+        at = 8 + 25
+        bad = payload[:at] + chunk(b"tRNS", bytes(6)) + payload[at:]
+        with pytest.raises(NotImplementedError, match="tRNS"):
+            mm.decode_png(bad)
+
+    @pytest.mark.parametrize("interlace", [0, 1])
+    @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+    def test_png_full_matrix_roundtrip(self, interlace, filter_type):
+        # r9: the COMPLETE spec matrix — every legal depth per color
+        # type, both interlace methods, every filter. Exact integer-luma
+        # oracle per combo (PNG is lossless).
+        import numpy as np
+
+        rng = np.random.RandomState(9 + interlace * 10 + filter_type)
+        # gray at all five depths
+        for d in (1, 2, 4, 8, 16):
+            w, h = 13, 9
+            mx = (1 << d) - 1
+            g = rng.randint(0, mx + 1, (h, w))
+            got = mm.decode_png(
+                mm.encode_png(w, h, g, filter_type=filter_type, depth=d,
+                              interlace=interlace)
+            )
+            want = float(g.astype(np.int64).sum()) / (mx * w * h)
+            assert got[:3] == (w, h, 1) and abs(got[3] - want) < 1e-12, (d, got)
+        # gray+alpha / RGB / RGBA at 8 and 16
+        for ch, d in [(2, 8), (2, 16), (3, 8), (3, 16), (4, 8), (4, 16)]:
+            w, h = 11, 7
+            mx = (1 << d) - 1
+            px = rng.randint(0, mx + 1, (h, w, ch))
+            got = mm.decode_png(
+                mm.encode_png(w, h, px, filter_type=filter_type, depth=d,
+                              interlace=interlace)
+            )
+            lum = (
+                px[:, :, 0].astype(np.int64) * 1000
+                if ch <= 2
+                else px[:, :, :3].astype(np.int64) @ [299, 587, 114]
+            )
+            want = float(lum.sum()) / (1000.0 * mx * w * h)
+            assert got[:3] == (w, h, ch) and abs(got[3] - want) < 1e-12, (ch, d, got)
+        # palette at 1/2/4/8-bit indices
+        for d in (1, 2, 4, 8):
+            w, h = 10, 6
+            pal = rng.randint(0, 256, (1 << d, 3))
+            idx = rng.randint(0, pal.shape[0], (h, w))
+            got = mm.decode_png(
+                mm.encode_png(w, h, idx, filter_type=filter_type, depth=d,
+                              interlace=interlace, palette=pal.astype(np.uint8))
+            )
+            lum = pal[idx].astype(np.int64) @ [299, 587, 114]
+            want = float(lum.sum()) / (255000.0 * w * h)
+            assert got[:3] == (w, h, 3) and abs(got[3] - want) < 1e-12, (d, got)
+
+    @pytest.mark.parametrize("w,h", [(1, 1), (2, 2), (3, 1), (1, 5), (7, 3)])
+    def test_png_adam7_tiny_images_with_empty_passes(self, w, h):
+        # images smaller than the Adam7 grid leave whole passes empty —
+        # the per-pass geometry must handle pw/ph == 0
+        import numpy as np
+
+        rng = np.random.RandomState(w * 10 + h)
+        px = rng.randint(0, 256, (h, w, 3))
+        got = mm.decode_png(mm.encode_png(w, h, px, filter_type=4, interlace=1))
+        lum = px.astype(np.int64) @ [299, 587, 114]
+        assert got == (w, h, 3, float(lum.sum()) / (255000.0 * w * h))
 
     @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
     def test_png_grayscale_roundtrip_all_filters(self, filter_type):
