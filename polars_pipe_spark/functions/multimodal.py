@@ -616,6 +616,14 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Byte-align (1-padded) and emit an RSTn marker — raw, marker
+        bytes are never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     """(category, mantissa bits) for a DC diff / AC coefficient."""
@@ -699,12 +707,15 @@ def _jpeg_forward(width: int, height: int, pixels, quality: int, subsample: str)
 
 
 def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
-                subsample: str = "444") -> bytes:
+                subsample: str = "444", restart_interval: int = 0) -> bytes:
     """Minimal baseline JPEG writer (SOF0, Huffman, Annex-K tables
     scaled by ``quality``) — stdlib ``struct`` + numpy only. ``pixels``
     is (height, width, 3) RGB uint8; ``subsample`` is ``"444"`` (no
     chroma subsampling) or ``"420"`` (2x2 box-averaged chroma, 16x16
-    MCUs). Test/synthesis helper, mirror of :func:`encode_png`."""
+    MCUs); ``restart_interval`` > 0 emits a DRI segment and an RSTn
+    marker (cycling 0-7, DC predictors reset) every that many MCUs —
+    the camera/web-encoder shape (r9). Test/synthesis helper, mirror of
+    :func:`encode_png`."""
     import struct
 
     (yb, cbb, crb), hs, vs, ql, qc, mcux, mcuy = _jpeg_forward(
@@ -752,13 +763,18 @@ def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
             code, ln = ac_t[0x00]  # EOB
             bw_.write(code, ln)
 
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for v in range(vs):
-                for h in range(hs):
-                    emit(yb[my * vs + v, mx * hs + h], 0)
-            emit(cbb[my, mx], 1)
-            emit(crb[my, mx], 2)
+    rst = 0
+    for mcu_i in range(mcuy * mcux):
+        my, mx = divmod(mcu_i, mcux)
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw_.restart(rst)
+            rst = (rst + 1) & 7
+            pred[0] = pred[1] = pred[2] = 0
+        for v in range(vs):
+            for h in range(hs):
+                emit(yb[my * vs + v, mx * hs + h], 0)
+        emit(cbb[my, mx], 1)
+        emit(crb[my, mx], 2)
     scan = bw_.flush()
 
     def seg(marker, body):
@@ -771,10 +787,16 @@ def encode_jpeg(width: int, height: int, pixels, quality: int = 75,
     sof = struct.pack(">BHHB", 8, height, width, 3)
     sof += bytes([1, hs << 4 | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + seg(0xFFDB, bytes([0]) + bytes(ql))
         + seg(0xFFDB, bytes([1]) + bytes(qc))
+        + dri
         + seg(0xFFC0, sof)
         + dht(0, 0, _JPEG_HDC_L)
         + dht(1, 0, _JPEG_HAC_L)
@@ -824,6 +846,7 @@ def encode_jpeg_progressive(
     quality: int = 75,
     subsample: str = "444",
     script=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG writer (SOF2, spectral selection + successive
     approximation per T.81 Annex G) — same forward DCT/quant path as the
@@ -836,6 +859,8 @@ def encode_jpeg_progressive(
     kinds — DC first/refine, AC first/refine — plus EOB runs and ZRL).
     The script must refine every coefficient to Al=0 for the full
     round-trip guarantee; partial scripts still produce valid streams.
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs in every scan (predictors/EOB runs reset per T.81 §B.2.5).
     Test/synthesis helper, mirror of :func:`encode_jpeg`."""
     import struct
 
@@ -851,25 +876,29 @@ def encode_jpeg_progressive(
     ]
     ac_codes = _jpeg_huff_codes(*_JPEG_HAC_PROG)
     script = list(_JPEG_PROG_SCRIPT) if script is None else list(script)
+    ri = restart_interval
 
     def comp_blocks(ci):
-        """Non-interleaved scan order: the component's OWN block grid
-        (ceil of its actual sample dimensions), not the MCU-padded one."""
+        """Non-interleaved scan order (one block per MCU): the
+        component's OWN block grid (ceil of its actual sample
+        dimensions), not the MCU-padded one."""
         ch, cv = samp[ci]
         bw = (-(-width * ch // hs) + 7) // 8
         bh = (-(-height * cv // vs) + 7) // 8
         for by in range(bh):
             for bx in range(bw):
-                yield ci, by, bx
+                yield [(ci, by, bx)]
 
     def mcu_blocks(comp_indices):
         for my in range(mcuy):
             for mx in range(mcux):
-                for ci in comp_indices:
-                    ch, cv = samp[ci]
-                    for v in range(cv):
-                        for hh in range(ch):
-                            yield ci, my * cv + v, mx * ch + hh
+                yield [
+                    (ci, my * cv + v, mx * ch + hh)
+                    for ci in comp_indices
+                    for (ch, cv) in (samp[ci],)
+                    for v in range(cv)
+                    for hh in range(ch)
+                ]
 
     def dc_order(comp_indices):
         # ns>1: MCU-interleaved; ns==1: the component's own block grid
@@ -880,22 +909,34 @@ def encode_jpeg_progressive(
 
     def scan_dc_first(w_, comp_indices, al):
         pred = [0, 0, 0]
-        for ci, by, bx in dc_order(comp_indices):
-            t = int(grids[ci][by, bx, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
-            diff = t - pred[ci]
-            pred[ci] = t
-            cat, bits = _jpeg_magnitude(diff)
-            code, ln = dc_codes[ci][cat]
-            w_.write(code, ln)
-            if cat:
-                w_.write(bits, cat)
+        rst = 0
+        for mcu_i, blks in enumerate(dc_order(comp_indices)):
+            if ri and mcu_i and mcu_i % ri == 0:
+                w_.restart(rst)
+                rst = (rst + 1) & 7
+                pred = [0, 0, 0]
+            for ci, by, bx in blks:
+                t = int(grids[ci][by, bx, 0]) >> al  # arithmetic shift (G.1.2.1)
+                diff = t - pred[ci]
+                pred[ci] = t
+                cat, bits = _jpeg_magnitude(diff)
+                code, ln = dc_codes[ci][cat]
+                w_.write(code, ln)
+                if cat:
+                    w_.write(bits, cat)
 
     def scan_dc_refine(w_, comp_indices, al):
-        for ci, by, bx in dc_order(comp_indices):
-            w_.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+        rst = 0
+        for mcu_i, blks in enumerate(dc_order(comp_indices)):
+            if ri and mcu_i and mcu_i % ri == 0:
+                w_.restart(rst)
+                rst = (rst + 1) & 7
+            for ci, by, bx in blks:
+                w_.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
 
     def scan_ac_first(w_, ci, ss, se, al):
         eobrun = 0
+        rst = 0
 
         def flush_eob():
             nonlocal eobrun
@@ -907,7 +948,12 @@ def encode_jpeg_progressive(
                     w_.write(eobrun - (1 << n), n)
                 eobrun = 0
 
-        for _, by, bx in comp_blocks(ci):
+        for mcu_i, blks in enumerate(comp_blocks(ci)):
+            if ri and mcu_i and mcu_i % ri == 0:
+                flush_eob()  # an EOB run cannot cross a restart
+                w_.restart(rst)
+                rst = (rst + 1) & 7
+            (_, by, bx) = blks[0]
             blk = grids[ci][by, bx]
             # magnitude point transform (sign-preserving, T.81 G.1.2.2)
             vals = [
@@ -954,6 +1000,7 @@ def encode_jpeg_progressive(
         # whose buffered bits flush right after the EOBn symbol.
         eobrun = 0
         eob_bits: list[int] = []
+        rst = 0
 
         def flush_eob():
             nonlocal eobrun
@@ -968,7 +1015,12 @@ def encode_jpeg_progressive(
                 w_.write(b, 1)
             eob_bits.clear()
 
-        for _, by, bx in comp_blocks(ci):
+        for mcu_i, blks in enumerate(comp_blocks(ci)):
+            if ri and mcu_i and mcu_i % ri == 0:
+                flush_eob()  # pending run + bits belong before the RST
+                w_.restart(rst)
+                rst = (rst + 1) & 7
+            (_, by, bx) = blks[0]
             blk = grids[ci][by, bx]
             absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
             eob = -1
@@ -1021,6 +1073,7 @@ def encode_jpeg_progressive(
         b"\xff\xd8"
         + seg(0xFFDB, bytes([0]) + bytes(ql))
         + seg(0xFFDB, bytes([1]) + bytes(qc))
+        + (seg(0xFFDD, struct.pack(">H", ri)) if ri else b"")
         + seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
         + dht(0, 0, _JPEG_HDC_L)
         + dht(0, 1, _JPEG_HDC_C)
@@ -1083,6 +1136,23 @@ class _JpegBitReader:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
         return v
+
+    def restart(self) -> int:
+        """Discard pad bits to the byte boundary, consume an RSTn marker,
+        return n. Raises if the stream is not at a restart marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError(
+                f"decode_jpeg: expected restart marker at scan byte {self.pos}"
+            )
+        n = self.data[self.pos + 1] & 7
+        self.pos += 2
+        return n
 
 
 def _jpeg_huff_decoder(bits, vals):
@@ -1157,7 +1227,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
     hac: dict[int, dict] = {}
     sof = None
     progressive = False
-    scans = []  # (scan_comps, Ss, Se, Ah, Al, dc_tab_snap, ac_tab_snap, data)
+    restart_interval = 0
+    # (scan_comps, Ss, Se, Ah, Al, dc_tab_snap, ac_tab_snap, data, ri)
+    scans = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"decode_jpeg: expected marker at byte {pos}")
@@ -1218,10 +1290,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
                 f"(0xFF{marker:02X}) — arithmetic/lossless/differential "
                 "JPEG remains the codec seam"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError(
-                "JPEG decoder does not support restart intervals (DRI)"
-            )
+        elif marker == 0xDD:  # DRI: restart every N MCUs (r9)
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: header, then delimit the entropy data
             if sof is None:
                 raise ValueError("decode_jpeg: SOS before SOF")
@@ -1240,6 +1310,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
                     end = nxt + 2
                 elif m2 == 0xFF:  # fill byte
                     end = nxt + 1
+                elif 0xD0 <= m2 <= 0xD7:  # RSTn: part of the scan data
+                    end = nxt + 2
                 else:
                     break
             # snapshot the tables the scan references AT THIS POINT —
@@ -1261,7 +1333,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
                         )
                     ac_snap[cid] = hac[ta]
             scans.append(
-                (scan_comps, ss, se, ah, al, dc_snap, ac_snap, payload[start:nxt])
+                (scan_comps, ss, se, ah, al, dc_snap, ac_snap,
+                 payload[start:nxt], restart_interval)
             )
             pos = nxt
             continue
@@ -1287,6 +1360,9 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
         for (_, ch, cv, _) in comps
     ]
 
+    # orders yield one LIST of (ci, by, bx) per MCU — the restart
+    # interval counts MCUs (one block per "MCU" in non-interleaved scans,
+    # T.81 §B.2.5)
     def comp_blocks(ci):
         # non-interleaved scans traverse the component's OWN block grid
         # (T.81 A.2.2), which can be smaller than the MCU-padded grid
@@ -1295,18 +1371,20 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
         bh = (-(-h * cv // max_v) + 7) // 8
         for by in range(bh):
             for bx in range(bw):
-                yield ci, by, bx
+                yield [(ci, by, bx)]
 
     def mcu_blocks(cis):
         for my in range(mcuy):
             for mx in range(mcux):
-                for ci in cis:
-                    _, ch, cv, _ = comps[ci]
-                    for v in range(cv):
-                        for hh in range(ch):
-                            yield ci, my * cv + v, mx * ch + hh
+                yield [
+                    (ci, my * cv + v, mx * ch + hh)
+                    for ci in cis
+                    for (_, ch, cv, _) in (comps[ci],)
+                    for v in range(cv)
+                    for hh in range(ch)
+                ]
 
-    for scan_comps, ss, se, ah, al, dc_snap, ac_snap, data in scans:
+    for scan_comps, ss, se, ah, al, dc_snap, ac_snap, data, ri in scans:
         cis = []
         for cid, _ in scan_comps:
             if cid not in cid_to_ci:
@@ -1318,7 +1396,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
                 reader, coef, comps, cis,
                 [dc_snap[comps[ci][0]] for ci in cis],
                 [ac_snap[comps[ci][0]] for ci in cis],
-                mcu_blocks(cis),
+                mcu_blocks(cis), ri,
             )
         elif ss == 0:
             if se != 0:
@@ -1327,12 +1405,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
             if ah == 0:
                 _jpeg_decode_dc_first(
                     reader, coef, cis,
-                    {ci: dc_snap[comps[ci][0]] for ci in cis}, al, order,
+                    {ci: dc_snap[comps[ci][0]] for ci in cis}, al, order, ri,
                 )
             else:
-                for ci, by, bx in order:
-                    if reader.read(1):
-                        coef[ci][by, bx, 0] = int(coef[ci][by, bx, 0]) | (1 << al)
+                rst = 0
+                for mcu_i, blks in enumerate(order):
+                    if ri and mcu_i and mcu_i % ri == 0:
+                        rst = _jpeg_expect_rst(reader, rst)
+                    for ci, by, bx in blks:
+                        if reader.read(1):
+                            coef[ci][by, bx, 0] = (
+                                int(coef[ci][by, bx, 0]) | (1 << al)
+                            )
         else:
             if len(cis) != 1:
                 raise ValueError(
@@ -1342,12 +1426,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
             if ah == 0:
                 _jpeg_decode_ac_first(
                     reader, coef[ci], ac_snap[comps[ci][0]], ss, se, al,
-                    comp_blocks(ci),
+                    comp_blocks(ci), ri,
                 )
             else:
                 _jpeg_decode_ac_refine(
                     reader, coef[ci], ac_snap[comps[ci][0]], ss, se, al,
-                    comp_blocks(ci),
+                    comp_blocks(ci), ri,
                 )
 
     # dequant + IDCT every block, then upsample/crop/color-convert
@@ -1383,48 +1467,80 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
     return w, h, 3, float(lum_sum / (_LUMA_SCALE * w * h))
 
 
-def _jpeg_decode_baseline_scan(reader, coef, comps, cis, dc_tabs, ac_tabs, order):
+def _jpeg_expect_rst(reader, expected: int) -> int:
+    """Consume an RSTn marker at a restart boundary, verify the 0-7
+    cycle, return the NEXT expected index."""
+    n = reader.restart()
+    if n != expected & 7:
+        raise ValueError(
+            f"decode_jpeg: restart marker out of sequence (RST{n}, "
+            f"expected RST{expected & 7})"
+        )
+    return (expected + 1) & 7
+
+
+def _jpeg_decode_baseline_scan(reader, coef, comps, cis, dc_tabs, ac_tabs,
+                               order, ri=0):
     """The SOF0 entropy decode (unchanged semantics from r6, now writing
-    into the shared coefficient grids instead of IDCT-ing inline)."""
+    into the shared coefficient grids instead of IDCT-ing inline).
+    ``ri`` > 0: verify an RSTn every ri MCUs and reset the DC
+    predictors (T.81 §B.2.5, r9)."""
     pred = {ci: 0 for ci in cis}
     tab = {ci: (dc_tabs[i], ac_tabs[i]) for i, ci in enumerate(cis)}
-    for ci, by, bx in order:
-        dct_t, ac_t = tab[ci]
-        blk = coef[ci][by, bx]
-        cat = _jpeg_read_huff(reader, dct_t)
-        pred[ci] += _jpeg_extend(reader.read(cat), cat)
-        blk[0] = pred[ci]
-        k = 1
-        while k < 64:
-            rs = _jpeg_read_huff(reader, ac_t)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            if k > 63:
-                raise ValueError("decode_jpeg: AC run past block end")
-            cat = rs & 0xF
-            blk[k] = _jpeg_extend(reader.read(cat), cat)
-            k += 1
+    rst = 0
+    for mcu_i, blks in enumerate(order):
+        if ri and mcu_i and mcu_i % ri == 0:
+            rst = _jpeg_expect_rst(reader, rst)
+            pred = {ci: 0 for ci in cis}
+        for ci, by, bx in blks:
+            dct_t, ac_t = tab[ci]
+            blk = coef[ci][by, bx]
+            cat = _jpeg_read_huff(reader, dct_t)
+            pred[ci] += _jpeg_extend(reader.read(cat), cat)
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_read_huff(reader, ac_t)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("decode_jpeg: AC run past block end")
+                cat = rs & 0xF
+                blk[k] = _jpeg_extend(reader.read(cat), cat)
+                k += 1
 
 
-def _jpeg_decode_dc_first(reader, coef, cis, dc_tabs, al, order):
+def _jpeg_decode_dc_first(reader, coef, cis, dc_tabs, al, order, ri=0):
     """Progressive DC first scan (T.81 G.2): DC diffs in the
-    point-transformed domain, stored shifted up by Al."""
+    point-transformed domain, stored shifted up by Al. Restarts reset
+    the predictors."""
     pred = {ci: 0 for ci in cis}
-    for ci, by, bx in order:
-        cat = _jpeg_read_huff(reader, dc_tabs[ci])
-        pred[ci] += _jpeg_extend(reader.read(cat), cat)
-        coef[ci][by, bx, 0] = pred[ci] << al
+    rst = 0
+    for mcu_i, blks in enumerate(order):
+        if ri and mcu_i and mcu_i % ri == 0:
+            rst = _jpeg_expect_rst(reader, rst)
+            pred = {ci: 0 for ci in cis}
+        for ci, by, bx in blks:
+            cat = _jpeg_read_huff(reader, dc_tabs[ci])
+            pred[ci] += _jpeg_extend(reader.read(cat), cat)
+            coef[ci][by, bx, 0] = pred[ci] << al
 
 
-def _jpeg_decode_ac_first(reader, grid, ac_tab, ss, se, al, order):
+def _jpeg_decode_ac_first(reader, grid, ac_tab, ss, se, al, order, ri=0):
     """Progressive AC first scan: band [Ss, Se] at precision Al, with
-    EOBn end-of-band runs spanning blocks."""
+    EOBn end-of-band runs spanning blocks. Restarts reset the EOB run
+    (it cannot cross a restart boundary, T.81 §B.2.5)."""
     eobrun = 0
-    for _, by, bx in order:
+    rst = 0
+    for mcu_i, blks in enumerate(order):
+        if ri and mcu_i and mcu_i % ri == 0:
+            rst = _jpeg_expect_rst(reader, rst)
+            eobrun = 0
+        (_, by, bx) = blks[0]
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -1448,16 +1564,21 @@ def _jpeg_decode_ac_first(reader, grid, ac_tab, ss, se, al, order):
             k += 1
 
 
-def _jpeg_decode_ac_refine(reader, grid, ac_tab, ss, se, al, order):
+def _jpeg_decode_ac_refine(reader, grid, ac_tab, ss, se, al, order, ri=0):
     """Progressive AC refinement scan (T.81 G.1.2.3, the libjpeg
     decode_mcu_AC_refine shape): newly-significant coefficients arrive
     as (run, 1) symbols where the run counts ZERO-HISTORY positions;
     every nonzero-history coefficient passed — including those inside
     EOB runs — carries one correction bit that may add ±1<<Al toward
-    larger magnitude."""
+    larger magnitude. Restarts reset the EOB run."""
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
-    for _, by, bx in order:
+    rst = 0
+    for mcu_i, blks in enumerate(order):
+        if ri and mcu_i and mcu_i % ri == 0:
+            rst = _jpeg_expect_rst(reader, rst)
+            eobrun = 0
+        (_, by, bx) = blks[0]
         blk = grid[by, bx]
         k = ss
         if eobrun == 0:
@@ -1506,15 +1627,15 @@ def _jpeg_decode_ac_refine(reader, grid, ac_tab, ss, se, al, order):
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, float]:
-    """Decode a BMP (24-bit BI_RGB), PPM (P6), or PNG (non-interlaced
-    8-bit RGB/RGBA, real zlib inflate + un-filtering — see
-    :func:`decode_png`) payload to
+    """Decode a BMP (24-bit BI_RGB), PPM (P6), PNG (complete spec
+    matrix — see :func:`decode_png`), or JPEG (baseline + progressive
+    Huffman, restart intervals — see :func:`decode_jpeg`) payload to
     ``(width, height, n_channels, mean_luma)`` with numpy + stdlib only.
 
-    mean_luma = (Σ_pixels 299·R+587·G+114·B) / (255000 · n_pixels) — the
-    integer-sum-then-one-division form, so the double is deterministic.
-    Formats still needing a codec library (JPEG, exotic PNG variants)
-    raise ``NotImplementedError``: that is the documented seam."""
+    mean_luma = (Σ_pixels 299·R+587·G+114·B) / (1000·maxval · n_pixels)
+    — the integer-sum-then-one-division form, so the double is
+    deterministic. The remaining seams (arithmetic/lossless JPEG,
+    non-palette tRNS) raise a named ``NotImplementedError``."""
     import struct
 
     import numpy as np

@@ -781,15 +781,47 @@ class TestRealImageCodecs:
         with pytest.raises(ValueError, match="truncated|exhausted|missing"):
             mm.decode_jpeg(payload[:40])
 
-    def test_jpeg_dri_raises_notimplemented(self):
-        import struct
+    @pytest.mark.parametrize("subsample,ri", [("444", 2), ("420", 1), ("444", 5)])
+    def test_jpeg_restart_intervals_baseline(self, subsample, ri):
+        # r9: DRI + RSTn decode (the camera/web-encoder shape) — a
+        # restarted stream carries the same coefficients, so it must
+        # decode identical to the plain stream of the same pixels
+        import numpy as np
 
-        px = self.checker(8, 8)
-        payload = mm.encode_jpeg(8, 8, px)
-        i = payload.index(b"\xff\xc0")  # inject DRI before SOF
-        dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-        with pytest.raises(NotImplementedError, match="restart"):
-            mm.decode_jpeg(payload[:i] + dri + payload[i:])
+        rng = np.random.RandomState(41)
+        w, h = 37, 29
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        plain = mm.decode_jpeg(mm.encode_jpeg(w, h, px, 75, subsample))
+        rst = mm.decode_jpeg(
+            mm.encode_jpeg(w, h, px, 75, subsample, restart_interval=ri)
+        )
+        assert rst == plain
+
+    @pytest.mark.parametrize("ri", [1, 2, 3])
+    def test_jpeg_restart_intervals_progressive(self, ri):
+        # restarts inside every progressive scan kind (DC first/refine,
+        # AC first/refine with EOB runs truncated at each boundary)
+        import numpy as np
+
+        rng = np.random.RandomState(43)
+        w, h = 48, 32
+        px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        base = mm.decode_jpeg(mm.encode_jpeg(w, h, px, 60, "420"))
+        prog = mm.decode_jpeg(
+            mm.encode_jpeg_progressive(w, h, px, 60, "420", restart_interval=ri)
+        )
+        assert prog == base
+
+    def test_jpeg_restart_marker_out_of_sequence_raises(self):
+        import numpy as np
+
+        img = np.full((48, 64, 3), (10, 200, 60), dtype=np.uint8)
+        pay = bytearray(mm.encode_jpeg(64, 48, img, 75, restart_interval=2))
+        i = pay.find(b"\xff\xd0")
+        assert i > 0
+        pay[i + 1] = 0xD5
+        with pytest.raises(ValueError, match="out of sequence"):
+            mm.decode_jpeg(bytes(pay))
 
     def test_jpeg_grayscale_single_component(self):
         # decode path for 1-component streams, assembled from the same
