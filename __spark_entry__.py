@@ -22,6 +22,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1394,10 +1396,52 @@ def _q60_trailing_window(spark, sf):
     )
 
 
+def _lev2_deletion_keys():
+    """array<string> of every ≤2-deletion variant of a name — the
+    SymSpell blocking signature: two strings within Levenshtein
+    distance 2 (ins/del/sub) ALWAYS share at least one ≤2-deletion
+    variant, so an equi-join on these keys is a LOSSLESS candidate
+    generator for a lev≤2 verify. Declared pandas-UDF seam (per-row
+    string-slice fan-out; ~1 + L + C(L,2) keys for length L)."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("array<string>")
+    def keys(names: pd.Series) -> pd.Series:
+        out = []
+        for s in names:
+            if s is None:
+                out.append([])
+                continue
+            ks = {s}
+            d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
+            ks.update(d1)
+            for t in d1:
+                ks.update(t[:j] + t[j + 1 :] for j in range(len(t)))
+            out.append(sorted(ks))
+        return pd.Series(out)
+
+    return keys
+
+
 def _q61_fuzzy_join(spark, sf):
-    """Fuzzy record linkage: customer names against corrupted probe names
-    by Levenshtein distance <= 2, blocked on name length band (the
-    blocking join bounds the candidate pairs — no all-pairs product)."""
+    """Fuzzy record linkage: customer names against corrupted probe
+    names by Levenshtein distance <= 2, blocked on ≤2-DELETION
+    signatures (the SymSpell method): both sides explode their deletion
+    neighborhoods, candidates are the key equi-join (broadcast — the
+    probe side is small), and the exact ``levenshtein <= 2`` filter
+    verifies. The deletion-key join is LOSSLESS for lev≤2, so the
+    result is the full exact fuzzy join — and the candidate count is
+    proportional to the true near-pairs, never a block cross product.
+
+    r9 scale fix (found by the sf1 full-registry sweep): the previous
+    name-LENGTH-band blocking degenerated to ONE block on this corpus
+    (every generated customer name has identical length), silently
+    turning the 'blocked' join into a 232M-pair single-partition
+    cross product whose per-pair levenshtein ran ~30 min at sf1 —
+    2 s at sf0.1, invisible at gate scale. Key-entropy failure is the
+    classic blocking pitfall; deletion signatures cannot degenerate
+    that way (a key bucket only holds names within 2 deletions of one
+    another)."""
     cust = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
     )
@@ -1411,14 +1455,18 @@ def _q61_fuzzy_join(spark, sf):
             ).alias("probe_name"),
         )
     )
-    blocked = cust.withColumn("blk", F.floor(F.length("name") / 4))
-    probes_b = probes.withColumn("blk", F.floor(F.length("probe_name") / 4))
-    cand = blocked.join(F.broadcast(probes_b), "blk").drop("blk")
-    cand = cand.unionByName(
-        blocked.withColumn("blk", F.col("blk") - 1)
-        .join(F.broadcast(probes_b), "blk")
-        .drop("blk")
-    ).distinct()
+    keys = _lev2_deletion_keys()
+    cust_k = cust.select(
+        "cust_id", "name", F.explode(keys(F.col("name"))).alias("k")
+    )
+    probe_k = probes.select(
+        "probe_id", "probe_name", F.explode(keys(F.col("probe_name"))).alias("k")
+    )
+    cand = (
+        cust_k.join(F.broadcast(probe_k), "k")
+        .select("cust_id", "name", "probe_id", "probe_name")
+        .distinct()
+    )
     return (
         cand.withColumn("dist", F.levenshtein("name", "probe_name"))
         .filter(F.col("dist") <= 2)
@@ -10246,6 +10294,9 @@ _ORACLES["q60_trailing_window"] = """
     FROM lineitem
 """
 
+# q61 (r9): deletion-signature blocking is LOSSLESS for lev<=2, so the
+# oracle no longer replicates any blocking — it IS the exact fuzzy join
+# (DuckDB evaluates the small cross product directly at gate scale).
 _ORACLES["q61_fuzzy_join"] = """
     WITH cust AS (
       SELECT c_custkey AS cust_id, lower(c_name) AS name FROM customer
@@ -10253,23 +10304,11 @@ _ORACLES["q61_fuzzy_join"] = """
       SELECT cust_id AS probe_id,
              substr(name, 1, 2) || substr(name, 4) AS probe_name
       FROM cust WHERE cust_id % 97 = 0
-    ), blocked AS (
-      SELECT *, CAST(FLOOR(length(name) / 4) AS BIGINT) AS blk FROM cust
-    ), probes_b AS (
-      SELECT *, CAST(FLOOR(length(probe_name) / 4) AS BIGINT) AS blk FROM probes
-    ), cand AS (
-      SELECT DISTINCT cust_id, name, probe_id, probe_name FROM (
-        SELECT b.cust_id, b.name, p.probe_id, p.probe_name
-        FROM blocked b JOIN probes_b p USING (blk)
-        UNION ALL
-        SELECT b.cust_id, b.name, p.probe_id, p.probe_name
-        FROM (SELECT cust_id, name, blk - 1 AS blk FROM blocked) b
-        JOIN probes_b p USING (blk)
-      )
     )
     SELECT probe_id, cust_id, name, probe_name,
            levenshtein(name, probe_name) AS dist
-    FROM cand WHERE levenshtein(name, probe_name) <= 2
+    FROM cust CROSS JOIN probes
+    WHERE levenshtein(name, probe_name) <= 2
 """
 
 _ORACLES["q62_group_percentiles"] = """

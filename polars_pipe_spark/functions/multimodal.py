@@ -17,19 +17,20 @@ batch iterator, bounded memory, no driver involvement). Two decode tiers:
 
 - **Real, dependency-free codecs** for the formats whose specs need only
   byte arithmetic + stdlib zlib: 24-bit BI_RGB **BMP**, binary
-  **PPM (P6)**, non-interlaced 8-bit **PNG** in all five 8-bit color
-  types — gray / gray+alpha / palette (PLTE + tRNS) / RGB / RGBA —
-  (real inflate + all five scanline un-filters, chunk CRCs verified;
-  r6 task 3 + r8 item 4), baseline sequential-DCT **JPEG** (T.81), and
-  RIFF/PCM-16 **WAV** (plus the byte-level audio featurizer). These run
-  the full payload→samples/pixels→features path with numpy only — no
-  PIL/opencv/soundfile.
-- **Stubbed compressed codecs**: mp3/ogg, progressive JPEG, and PNG
-  variants outside the supported subset (16-bit depth, interlaced)
-  genuinely need codec libraries (not in this container); those payloads
-  raise a clear ``NotImplementedError`` naming the seam. The
-  deterministic fake decoder (seeded from the content hash) remains for
-  plumbing tests.
+  **PPM (P6)**, the COMPLETE **PNG** spec matrix — depths 1/2/4/8/16 ×
+  gray / gray+alpha / palette (PLTE + tRNS) / RGB / RGBA × both
+  interlace methods incl. Adam7 (real inflate + all five scanline
+  un-filters, chunk CRCs verified; r6 task 3, r8 item 4, closed in r9)
+  — **JPEG** baseline sequential AND progressive (T.81 Annex G:
+  spectral selection, successive approximation, EOB runs) with restart
+  intervals (DRI/RSTn), and RIFF/PCM-16 **WAV** (plus the byte-level
+  audio featurizer). These run the full payload→samples/pixels→features
+  path with numpy only — no PIL/opencv/soundfile.
+- **Stubbed compressed codecs**: mp3/ogg and the arithmetic-coded /
+  lossless / 12-bit JPEG frame types genuinely need codec libraries
+  (not in this container); those payloads raise a clear
+  ``NotImplementedError`` naming the seam. The deterministic fake
+  decoder (seeded from the content hash) remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -1207,11 +1208,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, float]:
     one coefficient array per component, then dequant + orthonormal
     IDCT, nearest-neighbor chroma upsampling, JFIF YCbCr→RGB — so a
     fully-refined progressive stream reconstructs BIT-IDENTICAL to the
-    baseline stream of the same quantized coefficients. Subset: 8-bit,
-    1 or 3 components, sampling factors ≤ 2, Huffman entropy coding, no
-    restart intervals; arithmetic coding, lossless/differential frames
-    (named in the error by SOF type), 12-bit, and DRI raise
-    ``NotImplementedError`` — that is the remaining seam. Returns the
+    baseline stream of the same quantized coefficients. Restart
+    intervals (DRI + RSTn, the camera/web-encoder shape) decode in both
+    frame types with sequence verification (r9). Subset: 8-bit, 1 or 3
+    components, sampling factors ≤ 2, Huffman entropy coding;
+    arithmetic coding, lossless/differential frames (named in the error
+    by SOF type) and 12-bit raise ``NotImplementedError`` — that is the
+    remaining seam. Returns the
     :func:`decode_image` tuple ``(width, height, n_channels,
     mean_luma)``; mean_luma integer-sums 299R+587G+114B over the
     reconstructed pixels, one division (the BMP/PPM/PNG contract)."""
