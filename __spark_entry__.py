@@ -2953,18 +2953,31 @@ def _q131_unigram_logprob(spark, sf):
 
     docs = _t_par(spark, sf, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # r9 plan fix: aggregate to (doc, term, tf) FIRST — the tokenize +
+    # explode runs ONCE (persisted at doc-term grain, far smaller than
+    # raw tokens), the vocab derives from it with a map-side-combinable
+    # second agg, and the term join probes distinct doc-terms instead of
+    # every token. Identical output: summing tf copies of the per-token
+    # rounded decimal lp equals tf × lp exactly (decimal × integer).
+    # The old token-grain join re-ran the regex tokenizer on both join
+    # inputs and shuffled every token occurrence (17.8 s at sf3).
+    dt = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    vocab = dt.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     lp = F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 6).cast(
         "decimal(14,6)"
     )
     scored = (
-        tok.join(vocab, "term")
+        dt.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.sum(lp).cast("decimal(18,6)").alias("sum_logprob"),
+            F.sum("tf").alias("n_toks"),
+            F.sum(F.col("tf") * lp).cast("decimal(18,6)").alias("sum_logprob"),
         )
     )
     # logprobs are negative: negate before the integer division so both

@@ -16,6 +16,7 @@ partition because it is partitioned by the join key.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,6 +199,38 @@ def salted_join(
     return salted_l.join(salted_r, [*keys, "__salt"], how).drop("__salt")
 
 
+def deletion_keys_udf(max_dist: int):
+    """array<string> of every ≤max_dist-deletion variant of a string —
+    the SymSpell blocking signature: two strings within Levenshtein
+    distance k (ins/del/sub) ALWAYS share at least one ≤k-deletion
+    variant, so an equi-join on these keys is a LOSSLESS candidate
+    generator for a lev≤k verify (~1 + L + C(L,2) keys at k=2 for
+    length L). Declared pandas-UDF seam (per-row string-slice fan-out).
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    if max_dist not in (1, 2):
+        raise ValueError(f"deletion_keys_udf: max_dist={max_dist} not in 1/2")
+
+    @pandas_udf("array<string>")
+    def keys(names: pd.Series) -> pd.Series:
+        out = []
+        for s in names:
+            if s is None:
+                out.append([])
+                continue
+            ks = {s}
+            d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
+            ks.update(d1)
+            if max_dist >= 2:
+                for t in d1:
+                    ks.update(t[:j] + t[j + 1 :] for j in range(len(t)))
+            out.append(sorted(ks))
+        return pd.Series(out)
+
+    return keys
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -208,21 +241,61 @@ def fuzzy_join(
     max_dist: int = 2,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the entity-resolution
-    primitive. Candidate pairs come ONLY from an equi-join on the
-    blocking key (phonetic code, prefix, sorted-token key, …); the
-    expensive ``levenshtein`` runs post-join on candidates, never as an
+    primitive. Candidates come from an equi-join on (blocking key,
+    ≤max_dist-DELETION signature): the SymSpell deletion keys are a
+    LOSSLESS filter for lev≤max_dist, so the result is identical to the
+    block-only join, but the candidate count is proportional to true
+    near-pairs WITHIN each block instead of the block cross product —
+    the expensive ``levenshtein`` verifies candidates, never an
     all-pairs predicate. Output: both key columns + ``edit_dist``.
 
-    Scale: cost is sum over blocks of |L_b|·|R_b| — the caller's
-    blocking key choice bounds it. A key with corpus-scale blocks
-    degenerates to a cross join; pick keys with bounded block sizes
-    (and salt hot blocks with ``salted_join`` if one key dominates).
-    Spark evaluates this as a plain shuffle hash join on the block key
-    with the distance as a post-join filter, so AQE skew handling
-    applies to the block key like any other join.
+    r9 scale fix (found by the sf1 full-registry sweep): the block-only
+    candidate join is Σ_b |L_b|·|R_b| — q160's nation-25 blocking put
+    ~6k names per block at sf1, a 450M-pair product whose per-pair
+    levenshtein ran >30 min. Deletion signatures bound a bucket to
+    strings within max_dist deletions of one another, so a low-entropy
+    block key cannot degenerate the join; the left side is additionally
+    repartitioned on the candidate key so a single-file input never
+    serializes the verify onto one task. max_dist > 2 falls back to the
+    block-only join (deletion fan-out grows combinatorially past 2 —
+    callers at larger distances must pick discriminative blocks).
+
+    Contract (r9): the output is DISTINCT per (block_key, left_key,
+    right_key) — duplicate records with identical key strings collapse
+    to one row (the deletion join would otherwise also multiply pairs
+    by their shared-signature count). Join back on the key strings when
+    record-level multiplicity matters.
     """
     bl = F.col(block_left) if isinstance(block_left, str) else block_left
     br = F.col(block_right) if isinstance(block_right, str) else block_right
+    if max_dist <= 2:
+        keys = deletion_keys_udf(max_dist)
+        n_shuffle = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        l = left.select(
+            bl.alias("__blk"),
+            F.col(left_col).alias("__lk"),
+            F.explode(keys(F.col(left_col))).alias("__dk"),
+        ).repartition(n_shuffle, "__blk", "__dk")
+        r = right.select(
+            br.alias("__blk"),
+            F.col(right_col).alias("__rk"),
+            F.explode(keys(F.col(right_col))).alias("__dk"),
+        )
+        dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+        return (
+            l.join(r, ["__blk", "__dk"])
+            .select("__blk", "__lk", "__rk")
+            .distinct()
+            .where(dist <= max_dist)
+            .select(
+                F.col("__blk").alias("block_key"),
+                F.col("__lk").alias("left_key"),
+                F.col("__rk").alias("right_key"),
+                dist.alias("edit_dist"),
+            )
+        )
     l = left.withColumn("__blk", bl)
     r = right.withColumn("__blk", br)
     dist = F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
@@ -236,6 +309,7 @@ def fuzzy_join(
             F.col(f"r.{right_col}").alias("right_key"),
             dist.alias("edit_dist"),
         )
+        .distinct()
     )
 
 
