@@ -146,6 +146,53 @@ def test_fuzzy_join_blocks_and_distance(spark):
     assert set(out.columns) == {"block_key", "left_key", "right_key", "edit_dist"}
 
 
+def test_fuzzy_join_deletion_signatures_lossless(spark):
+    """r9: candidates now come from (block, ≤k-deletion signature)
+    equi-joins — property-check losslessness against the brute-force
+    lev≤k join on names mutated by every edit kind (substitution,
+    insertion, deletion, double edits, and far-away strings)."""
+    from polars_pipe_spark.operators.joins import fuzzy_join
+
+    base = ["alpha-record-17", "beta-record-204", "gamma-entry-9"]
+    lefts = [(n, "b") for n in base]
+    rights = [
+        ("alpha-recXrd-17", "b"),   # substitution (lev 1)
+        ("alpha-ecord-17", "b"),    # deletion (lev 1)
+        ("alpha-record-917", "b"),  # insertion (lev 1)
+        ("beta-recXrd-20", "b"),    # sub + del (lev 2)
+        ("gamXa-enYry-9", "b"),     # two subs (lev 2)
+        ("delta-unrelated", "b"),   # far away
+        ("alpha-record-17", "c"),   # exact but WRONG block
+    ]
+    left = spark.createDataFrame(lefts, "name string, blk string")
+    right = spark.createDataFrame(rights, "rname string, blk string")
+    for k in (1, 2):
+        got = {
+            (r["left_key"], r["right_key"])
+            for r in fuzzy_join(
+                left, right, "name", "rname", "blk", "blk", max_dist=k
+            ).collect()
+        }
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[-1]
+
+        want = {
+            (ln, rn)
+            for (ln, lb), (rn, rb) in itertools.product(lefts, rights)
+            if lb == rb and lev(ln, rn) <= k
+        }
+        assert got == want, (k, got ^ want)
+
+
 def test_quality_bins_edges(spark):
     from polars_pipe_spark.functions.sampling import quality_bins
 
