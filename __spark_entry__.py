@@ -3696,9 +3696,10 @@ def _q155_corpus_health(spark, sf):
             ).alias("contaminated_micros"),
             "n_grams",
             "n_unique_grams",
-            F.expr("(n_unique_grams * 1000000) DIV n_grams").alias(
-                "novelty_micros"
-            ),
+            F.expr(
+                "CAST((CAST(n_unique_grams AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_grams AS BIGINT)"
+            ).alias("novelty_micros"),
         )
     )
 
@@ -4525,7 +4526,10 @@ def _q182_dedup_savings(spark, sf):
         ).alias("reclaimable_chars"),
     ).withColumn(
         "savings_micros",
-        F.expr("(reclaimable_chars * 1000000) DIV total_chars"),
+        F.expr(
+            "CAST((CAST(reclaimable_chars AS DECIMAL(38,0)) * 1000000)"
+            " DIV total_chars AS BIGINT)"
+        ),
     )
 
 
@@ -6138,8 +6142,11 @@ def _q230_revenue_concentration(spark, sf):
     ).selectExpr(
         "threshold_cents", "n_customers", "n_above", "n_at",
         "total_cents", "mass_above_cents",
-        "CAST((mass_above_cents * 1000000) DIV total_cents AS BIGINT)"
-        " AS mass_above_ppm",
+        # DECIMAL(38,0) widen: total_cents is ~3e13 at sf1 (and grows with
+        # the corpus), so the old long multiply overflowed at sf1 — found
+        # by the r9 full-registry sweep (ARITHMETIC_OVERFLOW).
+        "CAST((CAST(mass_above_cents AS DECIMAL(38,0)) * 1000000)"
+        " DIV total_cents AS BIGINT) AS mass_above_ppm",
     )
 
 
@@ -6896,11 +6903,15 @@ def _q250_cdc_chunking(spark, sf):
     cross-document sharing, and reports the corpus reuse ratio — the
     storage a chunk-level dedup store would reclaim. One explode + one
     chunk-keyed partial-agg groupBy."""
-    from polars_pipe_spark.functions.text import cdc_chunks
+    from polars_pipe_spark.functions.text import cdc_chunks_kernel
 
     docs = _t_par(spark, sf, "documents")
+    # r9: the Arrow kernel twin of cdc_chunks — the expression form pays
+    # an interpreted md5 per TOKEN inside F.filter (119 s at sf1);
+    # boundaries/chunks identical, parity test-pinned.
     ch = docs.select(
-        "doc_id", F.explode(cdc_chunks("text", window=3, mask=16)).alias("chunk")
+        "doc_id",
+        F.explode(cdc_chunks_kernel("text", window=3, mask=16)).alias("chunk"),
     )
     per_chunk = ch.groupBy("chunk").agg(
         F.count(F.lit(1)).alias("n_occ"),
@@ -7501,12 +7512,16 @@ def _q262_seasonal_backtest(spark, sf):
     return agg.select(
         "event_type",
         F.col("n_days").cast("long").alias("n_days"),
-        F.expr("CAST(abs_err * 1000000 AS BIGINT) DIV sum_actual").alias(
-            "wape_ppm"
-        ),
+        F.expr(
+            "CAST((CAST(abs_err AS DECIMAL(38,0)) * 1000000)"
+            " DIV sum_actual AS BIGINT)"
+        ).alias("wape_ppm"),
         (
             F.signum(F.col("sum_err").cast("double")).cast("long")
-            * F.expr("abs(sum_err) * 1000000 DIV sum_actual")
+            * F.expr(
+                "CAST((CAST(abs(sum_err) AS DECIMAL(38,0)) * 1000000)"
+                " DIV sum_actual AS BIGINT)"
+            )
         ).alias("bias_ppm"),
     )
 
@@ -7682,9 +7697,10 @@ def _q265_front_coding(spark, sf):
             F.col("n_terms").cast("long").alias("n_terms"),
             F.col("raw_chars").cast("long").alias("raw_chars"),
             F.col("saved_chars").cast("long").alias("saved_chars"),
-            F.expr("CAST(saved_chars * 1000000 AS BIGINT) DIV raw_chars").alias(
-                "saving_ppm"
-            ),
+            F.expr(
+                "CAST((CAST(saved_chars AS DECIMAL(38,0)) * 1000000)"
+                " DIV raw_chars AS BIGINT)"
+            ).alias("saving_ppm"),
         )
     )
 

@@ -349,6 +349,7 @@ def brute_force_topk(
     k: int = 5,
     carry_cols: tuple[str, ...] = (),
     max_collected_queries: int = 1024,
+    max_collected_corpus: int = 262_144,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (ties broken
     by corpus id for determinism). Self-matches (same id) are excluded.
@@ -366,12 +367,29 @@ def brute_force_topk(
     the rank window are unchanged. Larger query sets keep the
     broadcast-crossJoin + per-pair kernel path.
 
-    Eagerness note: the size probe runs ``limit(max_collected_queries +
-    1).collect()`` at CALL time (not at the first action on the result),
-    and on the large-query fallback the ``queries`` plan is evaluated a
-    second time by the crossJoin. A NONDETERMINISTIC queries plan
-    (unseeded ``sample``/``rand``) can therefore disagree between probe
-    and search — cache or ``localCheckpoint`` such inputs before calling.
+    Large-query path (r9, found by the sweep: q176 classified 20% of
+    the corpus, and the crossJoin fallback shipped 400M pairs for
+    243 s at sf1): when the query side exceeds
+    ``max_collected_queries`` but the CORPUS fits
+    ``max_collected_corpus`` (one cheap count probe), the corpus matrix
+    lives in the kernel's closure and QUERIES stream through
+    ``mapInPandas`` — a blocked GEMM prefilter selects each query's
+    per-chunk top-k candidates (LOSSLESS: the global top-k is a subset
+    of every member's chunk top-k; the margin covers round-to-6 and
+    fold-order slop), and ONLY emitted candidates get the exact
+    ``np.cumsum`` fold cosine — so emitted values stay bit-identical to
+    :func:`cosine_kernel` while the pair volume drops from
+    |corpus|·|queries| to ~k·chunks per query. Corpora past the bound
+    keep the broadcast-crossJoin fallback (at that scale use the
+    LSH/IVF/PQ candidate generators instead).
+
+    Eagerness note: the size probes run ``limit(max_collected_queries +
+    1).collect()`` (and a corpus ``count()`` on the large-query path) at
+    CALL time (not at the first action on the result), and on the
+    fallback paths the probed plan is evaluated a second time. A
+    NONDETERMINISTIC input plan (unseeded ``sample``/``rand``) can
+    therefore disagree between probe and search — cache or
+    ``localCheckpoint`` such inputs before calling.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -419,6 +437,65 @@ def brute_force_topk(
                     yield pd.concat(frames, ignore_index=True)
 
         scored = c.mapInPandas(gen, schema).withColumn(
+            "cosine", F.round(F.col("cosine_raw"), 6)
+        )
+    elif corpus.count() <= max_collected_corpus:
+        import numpy as np  # noqa: PLC0415
+
+        crows = c.collect()
+        C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+        cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+        cids = np.array([r["neighbor_id"] for r in crows])
+        carry_vals = {cc: [r[cc] for r in crows] for cc in carry_cols}
+        dtypes_c = dict(c.dtypes)
+        qid_type = dict(q.dtypes)["query_id"]
+        schema = (
+            f"neighbor_id {dtypes_c['neighbor_id']}, "
+            + "".join(f"{cc} {dtypes_c[cc]}, " for cc in carry_cols)
+            + f"query_id {qid_type}, cosine_raw double"
+        )
+        chunk = 8192
+        margin = 0.5e-6 + 1e-9  # round-to-6 half-step + GEMM/fold slop
+
+        def gen_q(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+                qids_b = pdf["query_id"].to_numpy()
+                sel_q, sel_c = [], []
+                for c0 in range(0, len(C), chunk):
+                    Cc = C[c0 : c0 + chunk]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        approx = (Q @ Cc.T) / (qn[:, None] * cn[None, c0 : c0 + chunk])
+                    # self-matches can never be emitted
+                    approx[qids_b[:, None] == cids[None, c0 : c0 + chunk]] = -np.inf
+                    kk = min(k, approx.shape[1])
+                    # k-th best per query within this chunk; global top-k
+                    # members are always within their own chunk's top-k
+                    thresh = -np.partition(-approx, kk - 1, axis=1)[:, kk - 1]
+                    qi, ci = np.nonzero(
+                        (approx >= thresh[:, None] - margin)
+                        | np.isnan(approx)
+                    )
+                    sel_q.append(qi)
+                    sel_c.append(ci + c0)
+                qi = np.concatenate(sel_q)
+                ci = np.concatenate(sel_c)
+                # exact fold-order cosine ONLY for the emitted candidates
+                dots = np.cumsum(Q[qi] * C[ci], axis=1)[:, -1]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (qn[qi] * cn[ci])
+                out = pd.DataFrame({"neighbor_id": cids[ci]})
+                for cc in carry_cols:
+                    vals = carry_vals[cc]
+                    out[cc] = [vals[j] for j in ci]
+                out["query_id"] = qids_b[qi]
+                out["cosine_raw"] = cos
+                yield out
+
+        scored = q.mapInPandas(gen_q, schema).withColumn(
             "cosine", F.round(F.col("cosine_raw"), 6)
         )
     else:

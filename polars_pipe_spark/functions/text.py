@@ -1,13 +1,18 @@
 """Text analysis for training-data pipelines: tokenisation, quality
 scoring, language-ID heuristic, fingerprinting.
 
-All pure ``F.*`` column expressions — JVM-side, whole-stage-codegen'd, no
-Python UDFs — so they run at full scan speed over a 100 TB documents
-table. Each has an exact SQL equivalent for the DuckDB oracle.
+Pure ``F.*`` column expressions — JVM-side, whole-stage-codegen'd — so
+they run at full scan speed over a 100 TB documents table, each with an
+exact SQL equivalent for the DuckDB oracle. Exceptions are the declared
+Arrow-kernel seams for per-token hashing work that Spark's higher-order
+functions evaluate INTERPRETED (``cdc_chunks_kernel``, the r8/r9
+scale-bug class; the BPE trainer/encoder): bit-exact twins of their
+expression forms, parity test-pinned.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -596,3 +601,64 @@ def cdc_chunks(col: str | Column, window: int = 3, mask: int = 16) -> Column:
         ),
     )
     return F.when(n == 0, F.array().cast("array<string>")).otherwise(chunks)
+
+
+def cdc_chunks_kernel(col: str | Column, window: int = 3, mask: int = 16) -> Column:
+    """Arrow-batched twin of :func:`cdc_chunks` — identical boundaries
+    and chunk texts (r9, same interpreted-HOF class as the r8 kernels:
+    the expression form evaluates an md5 + base-conv INSIDE ``F.filter``
+    once per TOKEN in the interpreter — ~10M interpreted hash evals at
+    sf1 made q250 the sweep's 4th-slowest query at 119 s).
+
+    Exactness contract: tokenisation mirrors ``tokens()`` for ASCII
+    corpora — Java ``trim`` strips code points <= U+0020, Java ``\\s``
+    is the ASCII class ``[ \\t\\n\\x0B\\f\\r]``, ``lower`` agrees with
+    Python on ASCII (the same pure-ASCII precondition the q27 packed-
+    gram kernel documents; non-ASCII corpora should keep the expression
+    form). The rolling hash is the identical md5-first-8-hex int, the
+    boundary rule ``i >= window and i < n and h % mask == 0``, and the
+    chunk spans are the same ``(bpos[j], bpos[j+1]]`` slices — parity
+    pinned by ``test_cdc_kernel_matches_expression``. Declared
+    pandas-UDF seam (per-row rolling-hash chunker)."""
+    import hashlib  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    if window < 1 or mask < 1:
+        raise ValueError(
+            f"cdc_chunks_kernel: window={window} and mask={mask} must be "
+            ">= 1 (mask is the expected chunk length in tokens)"
+        )
+    java_trim = "".join(chr(c) for c in range(0x21))  # trim(): cp <= U+0020
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII)
+
+    @pandas_udf("array<string>")
+    def chunker(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            norm = ws.sub(" ", s.lower().strip(java_trim))
+            toks = [] if norm == "" else norm.split(" ")
+            n = len(toks)
+            if n == 0:
+                out.append([])
+                continue
+            bounds = [0]
+            for i in range(window, n):  # 1-based boundary i in [window, n)
+                gram = " ".join(toks[i - window : i])
+                h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+                if h % mask == 0:
+                    bounds.append(i)
+            bounds.append(n)
+            out.append(
+                [
+                    " ".join(toks[bounds[j] : bounds[j + 1]])
+                    for j in range(len(bounds) - 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return chunker(_c(col))

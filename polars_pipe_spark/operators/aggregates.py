@@ -102,33 +102,39 @@ def equidepth_histogram(
     df: DataFrame, col: str, n_buckets: int = 10
 ) -> DataFrame:
     """Equi-depth (equal-frequency) histogram with EXACT bucket bounds:
-    interior bounds are ``percentile_disc`` values (actual data points —
-    no interpolation arithmetic, so bounds are reproducible bit-for-bit
-    on any engine), computed in ONE aggregation pass; bucket assignment
-    is then a pure scan-side expression over the broadcast bounds row —
-    no sort of the full data, no ntile (a global ntile is a
-    single-partition sort).
+    interior bounds are ``percentile_disc`` VALUES (actual data points,
+    rank ``ceil(q·n)−1`` — no interpolation arithmetic, so bounds are
+    reproducible bit-for-bit on any engine), computed by the shared
+    distributed-selection machinery; bucket assignment is then a static
+    literal-bounds expression — no sort of the full data, no ntile.
+
+    r9 plan fix (found by the sf1 sweep, 105 s → ~2 s): the old form
+    ran ``percentile_disc`` × (n_buckets−1) in one agg — Spark's
+    implementation BUFFERS EVERY VALUE per aggregate, nine copies of
+    the whole column through one reducer — and then assigned buckets
+    with an interpreted per-row HOF over the broadcast bounds. Bounds
+    now come from :func:`exact_quantiles`'s selection loop at the
+    percentile_disc ranks (every job a map-side-combinable aggregate),
+    and the assignment is a codegen'd sum of literal comparisons.
 
     Output: (bucket, n_rows, lo, hi) — bucket b holds rows where
     bounds[b-1] < x <= bounds[b] (b in [0, n_buckets-1]).
     """
+    import math
+
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = df.agg(
-        F.array(
-            *[
-                F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})")
-                for q in qs
-            ]
-        ).alias("__bounds")
-    )
-    bucket = F.aggregate(
-        "__bounds",
-        F.lit(0),
-        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
-    )
+    base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n, lo, hi = base.agg(F.count(F.lit(1)), F.min("__v"), F.max("__v")).first()
+    bounds: list = []
+    if n:
+        ks = sorted({max(int(math.ceil(q * n)) - 1, 0) for q in qs})
+        vals = _exact_ranks(base, ks, n, lo, hi, 10_000, 100_000)
+        bounds = [vals[max(int(math.ceil(q * n)) - 1, 0)] for q in qs]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
     return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("bucket", bucket)
+        df.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -254,17 +260,36 @@ def exact_quantiles(
     n, lo, hi = base.agg(
         F.count(F.lit(1)), F.min("__v"), F.max("__v")
     ).first()
-    out: dict[float, tuple[int, float]] = {}
     if n == 0:
         return {float(q): (0, None) for q in qs}
     ranks = {float(q): int(math.floor((n - 1) * q)) for q in qs}
+    vals = _exact_ranks(
+        base, sorted(set(ranks.values())), n, lo, hi, n_buckets, direct_threshold
+    )
+    return {q: (k, vals[k]) for q, k in ranks.items()}
+
+
+def _exact_ranks(
+    base: DataFrame,
+    ks: list[int],
+    n: int,
+    lo,
+    hi,
+    n_buckets: int,
+    direct_threshold: int,
+) -> dict[int, float]:
+    """Shared selection core: value at each 0-based rank in ``ks`` of
+    the non-null ``__v`` column (stats (n, lo, hi) already computed by
+    the caller). One histogram job serves every requested rank; only the
+    per-bucket recursion diverges. Used by :func:`exact_quantiles`
+    (ranks floor((n−1)q)) and :func:`equidepth_histogram`
+    (percentile_disc ranks ceil(q·n)−1)."""
+    out: dict[int, float] = {}
     if lo == hi:
-        return {q: (k, lo) for q, k in ranks.items()}
+        return {k: lo for k in ks}
     width = (float(hi) - float(lo)) / n_buckets
     if width <= 0.0 or n <= direct_threshold:
-        for q, k in ranks.items():
-            out[q] = (k, _take_rank(base, k))
-        return out
+        return {k: _take_rank(base, k) for k in ks}
     b_expr = F.least(
         F.floor((F.col("__v") - float(lo)) / width).cast("long"),
         F.lit(n_buckets - 1).cast("long"),
@@ -275,7 +300,7 @@ def exact_quantiles(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    for q, k in ranks.items():
+    for k in ks:
         seen = 0
         for b, c in hist:
             if seen + c > k:
@@ -284,11 +309,8 @@ def exact_quantiles(
                     & (F.col("__v") <= float(lo) + (b + 2) * width)
                     & (b_expr == b)
                 )
-                out[q] = (
-                    k,
-                    _select_rank(
-                        base.filter(cond), k - seen, n_buckets, direct_threshold
-                    ),
+                out[k] = _select_rank(
+                    base.filter(cond), k - seen, n_buckets, direct_threshold
                 )
                 break
             seen += c

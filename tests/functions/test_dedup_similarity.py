@@ -448,7 +448,8 @@ class TestBruteTopkPaths:
         )
         kern = sim.brute_force_topk(corpus, queries, **kw)  # 5 <= 1024
         fall = sim.brute_force_topk(
-            corpus, queries, max_collected_queries=2, **kw  # 5 > 2
+            corpus, queries, max_collected_queries=2,
+            max_collected_corpus=2, **kw  # 5 > 2, corpus > 2 -> crossJoin
         )
         key = lambda r: (r.query_id, r.rk)  # noqa: E731
         a = sorted(kern.collect(), key=key)
@@ -456,6 +457,27 @@ class TestBruteTopkPaths:
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
         assert len(a) == 5 * 4
         assert a[0].__fields__ == ["query_id", "neighbor_id", "cosine", "rk", "label"]
+
+    def test_gemm_path_matches_both(self, spark):
+        """r9 large-query path: corpus-in-closure blocked GEMM must
+        reproduce the other two paths row-for-row (chunk-top-k
+        candidate selection is lossless; exact cosines recomputed with
+        the cumsum fold only for emitted candidates)."""
+        corpus, queries = self._mk(spark, n=60, nq=12)
+        kw = dict(
+            vec_col="embedding", id_col="vec_id", query_id_col="vec_id",
+            k=4, carry_cols=("label",),
+        )
+        kern = sim.brute_force_topk(corpus, queries, **kw)
+        gemm = sim.brute_force_topk(
+            corpus, queries, max_collected_queries=2,
+            max_collected_corpus=1_000_000, **kw
+        )
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        a = sorted(kern.collect(), key=key)
+        b = sorted(gemm.collect(), key=key)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert len(a) == 12 * 4
 
     def test_excludes_self_matches(self, spark):
         corpus, queries = self._mk(spark, n=10, nq=10)

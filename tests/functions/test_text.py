@@ -288,6 +288,32 @@ class TestCdcChunking:
     def test_empty_text(self, spark):
         assert self.chunks(spark, "") == []
 
+    def test_cdc_kernel_matches_expression(self, spark):
+        """r9: cdc_chunks_kernel (Arrow twin — the expression form pays
+        an interpreted md5 per token, 119 s at sf1 for q250) must emit
+        IDENTICAL chunks: same tokenisation, boundaries, spans — across
+        edge shapes (empty, null, whitespace-mess, short-of-window,
+        multiline, repeated content) and parameter choices."""
+        from polars_pipe_spark.functions.text import cdc_chunks, cdc_chunks_kernel
+
+        rows = [
+            ("the quick brown fox jumps over the lazy dog " * 8,),
+            ("  MIXED   Case\t\ttabs\nand newlines  here   ",),
+            ("one two",),  # shorter than the window
+            ("",),
+            (None,),
+            ("alpha beta gamma delta epsilon zeta eta theta " * 12,),
+            ("x " * 200,),  # degenerate repeated token stream
+        ]
+        df = spark.createDataFrame(rows, "text string")
+        for window, mask in [(3, 16), (2, 4), (1, 8)]:
+            got = df.select(
+                cdc_chunks("text", window, mask).alias("e"),
+                cdc_chunks_kernel("text", window, mask).alias("k"),
+            ).collect()
+            for r in got:
+                assert r.e == r.k, (window, mask, r.e, r.k)
+
 
 def test_cdc_chunks_rejects_degenerate_params(spark):
     from polars_pipe_spark.functions.text import cdc_chunks
