@@ -248,10 +248,14 @@ class TestRound2bQueryPlans:
 
     def test_q90_bounds_broadcast_no_global_sort(self, spark):
         p = physical(self._q("q90_equidepth_histogram", spark))
-        # bucket assignment is scan-side against a broadcast 1-row bounds
-        # frame; the only SinglePartition exchange feeds the 1-row agg,
-        # never a Sort of the data
-        assert "BroadcastNestedLoopJoin" in p
+        # r9: bounds come from the distributed-selection core at call
+        # time and bucket assignment is a codegen'd sum of LITERAL
+        # comparisons — no join of any kind remains in the final plan
+        # (the old shape broadcast a 1-row percentile_disc bounds frame,
+        # which buffered the whole column per aggregate), and still no
+        # Sort of the data
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "percentile_disc" not in p.lower()
         import re as _re
 
         assert not _re.search(r"Sort\s+\[l_extendedprice", p)
