@@ -349,7 +349,7 @@ def brute_force_topk(
     k: int = 5,
     carry_cols: tuple[str, ...] = (),
     max_collected_queries: int = 1024,
-    max_collected_corpus: int = 262_144,
+    max_collected_corpus: int = 524_288,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (ties broken
     by corpus id for determinism). Self-matches (same id) are excluded.
@@ -455,34 +455,44 @@ def brute_force_topk(
             + f"query_id {qid_type}, cosine_raw double"
         )
         chunk = 8192
+        qbatch = 2048  # bounds the GEMM tile: 2048×8192 doubles ≈ 134 MB/task
         margin = 0.5e-6 + 1e-9  # round-to-6 half-step + GEMM/fold slop
 
         def gen_q(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
-                Q = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
-                qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
-                qids_b = pdf["query_id"].to_numpy()
+                Qa = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                qna = np.sqrt(np.cumsum(Qa * Qa, axis=1)[:, -1])
+                qids_a = pdf["query_id"].to_numpy()
                 sel_q, sel_c = [], []
-                for c0 in range(0, len(C), chunk):
-                    Cc = C[c0 : c0 + chunk]
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        approx = (Q @ Cc.T) / (qn[:, None] * cn[None, c0 : c0 + chunk])
-                    # self-matches can never be emitted
-                    approx[qids_b[:, None] == cids[None, c0 : c0 + chunk]] = -np.inf
-                    kk = min(k, approx.shape[1])
-                    # k-th best per query within this chunk; global top-k
-                    # members are always within their own chunk's top-k
-                    thresh = -np.partition(-approx, kk - 1, axis=1)[:, kk - 1]
-                    qi, ci = np.nonzero(
-                        (approx >= thresh[:, None] - margin)
-                        | np.isnan(approx)
-                    )
-                    sel_q.append(qi)
-                    sel_c.append(ci + c0)
+                for q0 in range(0, len(Qa), qbatch):
+                    Q = Qa[q0 : q0 + qbatch]
+                    qn = qna[q0 : q0 + qbatch]
+                    qids_b = qids_a[q0 : q0 + qbatch]
+                    for c0 in range(0, len(C), chunk):
+                        Cc = C[c0 : c0 + chunk]
+                        with np.errstate(invalid="ignore", divide="ignore"):
+                            approx = (Q @ Cc.T) / (
+                                qn[:, None] * cn[None, c0 : c0 + chunk]
+                            )
+                        # self-matches can never be emitted
+                        approx[
+                            qids_b[:, None] == cids[None, c0 : c0 + chunk]
+                        ] = -np.inf
+                        kk = min(k, approx.shape[1])
+                        # k-th best per query within this chunk; global
+                        # top-k members are always within chunk top-k
+                        thresh = -np.partition(-approx, kk - 1, axis=1)[:, kk - 1]
+                        qi, ci = np.nonzero(
+                            (approx >= thresh[:, None] - margin)
+                            | np.isnan(approx)
+                        )
+                        sel_q.append(qi + q0)
+                        sel_c.append(ci + c0)
                 qi = np.concatenate(sel_q)
                 ci = np.concatenate(sel_c)
+                Q, qn, qids_b = Qa, qna, qids_a
                 # exact fold-order cosine ONLY for the emitted candidates
                 dots = np.cumsum(Q[qi] * C[ci], axis=1)[:, -1]
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -495,7 +505,10 @@ def brute_force_topk(
                 out["cosine_raw"] = cos
                 yield out
 
-        scored = q.mapInPandas(gen_q, schema).withColumn(
+        # spread the GEMM across the cluster: a single-file queries input
+        # would otherwise run every tile on one task (the q61 lesson)
+        n_shuffle = int(q.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        scored = q.repartition(n_shuffle).mapInPandas(gen_q, schema).withColumn(
             "cosine", F.round(F.col("cosine_raw"), 6)
         )
     else:
