@@ -33,6 +33,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from polars_pipe_spark.session import shuffle_partitions
+
 from polars_pipe_spark.functions.text import doc_fingerprint, shingles, tokens
 
 logger = logging.getLogger(__name__)
@@ -695,7 +697,7 @@ def semantic_dedup_ledger(
     # embedding_near_dups: the assigned frame is small in bytes, AQE
     # would coalesce the self-join exchange to ~1 partition, and the
     # quadratic pair fan-out + verify kernel would run serially.
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = shuffle_partitions(df.sparkSession)
     assigned = (
         base.withColumn("cluster_id", F.expr(argmin).cast("long"))
         .repartition(n_shuffle, "cluster_id", "bucket")

@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_pipe_spark.session import shuffle_partitions
+
 
 def asof_join(
     left: DataFrame,
@@ -270,9 +272,7 @@ def fuzzy_join(
     br = F.col(block_right) if isinstance(block_right, str) else block_right
     if max_dist <= 2:
         keys = deletion_keys_udf(max_dist)
-        n_shuffle = int(
-            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_shuffle = shuffle_partitions(left.sparkSession)
         l = left.select(
             bl.alias("__blk"),
             F.col(left_col).alias("__lk"),

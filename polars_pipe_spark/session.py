@@ -55,3 +55,17 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions(spark: SparkSession) -> int:
+    """Parallelism hint for explicit ``repartition(n)`` calls.
+
+    ``spark.sql.shuffle.partitions`` is not guaranteed numeric on every
+    deployment (e.g. ``"auto"`` under AQE-managed shuffle on some managed
+    platforms), so fall back to ``defaultParallelism`` — the same order of
+    magnitude (cluster cores) — instead of raising ValueError.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism

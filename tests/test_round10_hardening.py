@@ -1,0 +1,184 @@
+"""Round-10 hardening: GEMM-kNN contract fixes (r9 ADVICE) and the
+byte-budgeted corpus/query closure bounds (r9 VERDICT item 1).
+
+- GEMM self-match leak: a chunk with <= k columns made the masked -inf
+  the chunk threshold, so the self pair passed the prefilter and was
+  emitted with exact cosine 1.0 — violating the self-exclusion contract
+  and leaking labels through knn_classify.
+- NaN chunk threshold: np.partition sorts NaN last, so a chunk with
+  fewer non-NaN cosines than k got thresh = NaN and silently dropped
+  every finite candidate.
+- Closure byte budgets: the 524,288-row corpus bound couldn't see
+  vector width (768-dim float64 ~ 3.2 GB driver collect); now
+  rows x dim x 8 must also fit max_corpus_bytes / max_queries_bytes.
+- shuffle_partitions(): int("auto") no longer raises on deployments
+  with AQE-managed (non-numeric) spark.sql.shuffle.partitions.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from polars_pipe_spark.functions import similarity as sim
+from polars_pipe_spark.session import shuffle_partitions
+
+
+def _vecs(spark, rows, d=4):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+KW = dict(vec_col="embedding", id_col="vec_id", query_id_col="vec_id")
+
+
+class TestGemmSelfExclusion:
+    def test_small_chunk_never_emits_self(self, spark):
+        """corpus (4 rows) <= k (5): the chunk k-th threshold is the
+        masked -inf self entry, which used to pass '-inf >= -inf -
+        margin' and emit the self pair at rank 1 / cosine 1.0."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        df = _vecs(spark, [(i, rng.randn(4)) for i in range(4)])
+        out = sim.brute_force_topk(
+            df, df, k=5, max_collected_queries=2, **KW
+        ).collect()
+        assert out, "expected neighbor rows"
+        assert all(r.query_id != r.neighbor_id for r in out)
+        # with self excluded, each of the 4 queries has exactly 3 neighbors
+        assert len(out) == 4 * 3
+
+    def test_small_chunk_matches_crossjoin_path(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(8)
+        df = _vecs(spark, [(i, rng.randn(4)) for i in range(4)])
+        gemm = sim.brute_force_topk(df, df, k=5, max_collected_queries=2, **KW)
+        fall = sim.brute_force_topk(
+            df, df, k=5, max_collected_queries=2, max_collected_corpus=0, **KW
+        )
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        assert [tuple(r) for r in sorted(gemm.collect(), key=key)] == [
+            tuple(r) for r in sorted(fall.collect(), key=key)
+        ]
+
+
+class TestGemmNaNThreshold:
+    def test_zero_norm_corpus_keeps_finite_candidates(self, spark):
+        """3 zero-norm vectors produce NaN cosines; with k=5 > the 2
+        finite non-self candidates the old NaN threshold dropped BOTH
+        finite neighbors from the prefilter."""
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.5, 0.5]),
+            (3, [0.0, 0.0]),
+            (4, [0.0, 0.0]),
+            (5, [0.0, 0.0]),
+        ]
+        df = _vecs(spark, rows, d=2)
+        gemm = sim.brute_force_topk(df, df, k=5, max_collected_queries=2, **KW)
+        fall = sim.brute_force_topk(
+            df, df, k=5, max_collected_queries=2, max_collected_corpus=0, **KW
+        )
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        a = [tuple(r) for r in sorted(gemm.collect(), key=key)]
+        b = [tuple(r) for r in sorted(fall.collect(), key=key)]
+        assert a == b
+        # query 0's finite neighbors (1 and 2) must both be present
+        q0 = {r[1] for r in a if r[0] == 0}
+        assert {1, 2} <= q0
+
+
+class TestClosureByteBudgets:
+    def _mk(self, spark, n=30, d=8, nq=6):
+        import numpy as np
+
+        rng = np.random.RandomState(13)
+        df = _vecs(spark, [(i, rng.randn(d)) for i in range(n)], d=d)
+        return df, df.filter(F.col("vec_id") < nq)
+
+    @staticmethod
+    def _is_gemm_plan(df) -> bool:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return "cosine_raw" in plan and "Join" not in plan
+
+    def test_corpus_over_byte_budget_routes_to_crossjoin(self, spark):
+        """rows fit the row cap but rows x dim x 8 exceeds the byte
+        budget -> the high-dim corpus must NOT be collected into the
+        task closure (r9 verdict: driver-OOM class at 768-dim)."""
+        corpus, queries = self._mk(spark)
+        kw = dict(k=4, max_collected_queries=2, **KW)
+        over = sim.brute_force_topk(
+            corpus, queries, max_corpus_bytes=1024, **kw  # 30*8*8=1920 > 1024
+        )
+        under = sim.brute_force_topk(corpus, queries, **kw)
+        assert not self._is_gemm_plan(over)
+        assert self._is_gemm_plan(under)
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        assert [tuple(r) for r in sorted(over.collect(), key=key)] == [
+            tuple(r) for r in sorted(under.collect(), key=key)
+        ]
+
+    def test_queries_over_byte_budget_leave_kernel_path(self, spark):
+        """6 queries fit the 1024-row cap but not a tiny byte budget;
+        results must still match the kernel path."""
+        corpus, queries = self._mk(spark)
+        kw = dict(k=4, **KW)
+        kern = sim.brute_force_topk(corpus, queries, **kw)
+        routed = sim.brute_force_topk(
+            corpus, queries, max_queries_bytes=64, **kw  # 6*8*8=384 > 64
+        )
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        assert [tuple(r) for r in sorted(kern.collect(), key=key)] == [
+            tuple(r) for r in sorted(routed.collect(), key=key)
+        ]
+
+    def test_quantized_topk_respects_query_byte_budget(self, spark):
+        corpus, queries = self._mk(spark)
+        kw = dict(k=4, **KW)
+        kern = sim.quantized_topk(corpus, queries, **kw)
+        routed = sim.quantized_topk(corpus, queries, max_queries_bytes=64, **kw)
+        key = lambda r: (r.query_id, r.rk)  # noqa: E731
+        assert [tuple(r) for r in sorted(kern.collect(), key=key)] == [
+            tuple(r) for r in sorted(routed.collect(), key=key)
+        ]
+
+
+class TestShufflePartitionsFallback:
+    def test_numeric_conf(self, spark):
+        assert shuffle_partitions(spark) == int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    def test_non_numeric_conf_falls_back(self):
+        class _Conf:
+            @staticmethod
+            def get(_key):
+                return "auto"  # AQE-managed shuffle on some platforms
+
+        class _SC:
+            defaultParallelism = 7
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        assert shuffle_partitions(_Spark()) == 7
+
+    def test_none_conf_falls_back(self):
+        class _Conf:
+            @staticmethod
+            def get(_key):
+                return None
+
+        class _SC:
+            defaultParallelism = 5
+
+        class _Spark:
+            conf = _Conf()
+            sparkContext = _SC()
+
+        assert shuffle_partitions(_Spark()) == 5
