@@ -233,6 +233,57 @@ def deletion_keys_udf(max_dist: int):
     return keys
 
 
+def assert_blocked_join_budget(
+    left: DataFrame,
+    right: DataFrame | None,
+    keys: list[str],
+    max_candidate_pairs: int,
+    context: str = "blocked join",
+) -> int:
+    """Runtime entropy guard for blocked joins — the q27-fence pattern
+    applied to candidate generation. A blocked equi-join's candidate
+    volume is Σ_k |L_k|·|R_k|; when the blocking key has too little
+    entropy for the corpus (r9: every generated name the same length →
+    ONE block → a 232M-pair product on a single task, ~30 min at sf1,
+    invisible until the sweep), the join degenerates SILENTLY. This
+    estimates the volume with one group-count aggregate per side plus a
+    count-join (linear, skew-tolerant partial aggs — no candidate row is
+    ever materialised) and raises a diagnosable ``ValueError`` naming
+    the estimate, the largest block, and the budget, instead of hanging.
+
+    ``right=None`` declares a SELF-join on ``left``: the per-key counts
+    are computed in ONE pass and squared, halving the guard's cost for
+    the common dedup shape.
+
+    Returns the estimated candidate-pair count when within budget.
+    """
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+    if right is None:
+        per_key = lc.select(
+            (F.col("__nl").cast("double") * F.col("__nl")).alias("__p")
+        )
+    else:
+        rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+        per_key = lc.join(rc, keys).select(
+            (F.col("__nl").cast("double") * F.col("__nr")).alias("__p")
+        )
+    stats = per_key.agg(
+        F.sum("__p").alias("pairs"), F.max("__p").alias("max_block")
+    ).first()
+    pairs = int(stats["pairs"] or 0)
+    if pairs > max_candidate_pairs:
+        raise ValueError(
+            f"{context}: candidate-pair budget exceeded — the blocking key "
+            f"generates ~{pairs:,} candidate pairs (largest single block "
+            f"~{int(stats['max_block']):,}) over the budget of "
+            f"{max_candidate_pairs:,}. The blocking key has too little "
+            "entropy for this corpus: choose a more discriminative block "
+            "(or compose keys), shrink identical-key mass with exact dedup "
+            "first, or raise max_candidate_pairs if the volume is intended."
+        )
+    return pairs
+
+
 def fuzzy_join(
     left: DataFrame,
     right: DataFrame,
@@ -241,6 +292,7 @@ def fuzzy_join(
     block_left: Column | str,
     block_right: Column | str,
     max_dist: int = 2,
+    max_candidate_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the entity-resolution
     primitive. Candidates come from an equi-join on (blocking key,
@@ -267,22 +319,54 @@ def fuzzy_join(
     to one row (the deletion join would otherwise also multiply pairs
     by their shared-signature count). Join back on the key strings when
     record-level multiplicity matters.
+
+    Entropy guard (r10): ``max_candidate_pairs`` (None disables) runs
+    :func:`assert_blocked_join_budget` on the ACTUAL join keys before
+    candidate generation — (block, deletion-signature) on the ≤2 path,
+    block alone on the fallback — so a degenerate key (duplicate-heavy
+    corpus, low-entropy block) raises a diagnosable ValueError with the
+    pair estimate instead of silently hanging a task for 30+ minutes
+    (the q61/q160 failure class).
     """
     bl = F.col(block_left) if isinstance(block_left, str) else block_left
     br = F.col(block_right) if isinstance(block_right, str) else block_right
+    # self-join detection lets the guard count each side once
+    same_side = (
+        left is right
+        and left_col == right_col
+        and (
+            block_left is block_right
+            or (
+                isinstance(block_left, str)
+                and isinstance(block_right, str)
+                and block_left == block_right
+            )
+        )
+    )
     if max_dist <= 2:
         keys = deletion_keys_udf(max_dist)
         n_shuffle = shuffle_partitions(left.sparkSession)
-        l = left.select(
+        l_raw = left.select(
             bl.alias("__blk"),
             F.col(left_col).alias("__lk"),
             F.explode(keys(F.col(left_col))).alias("__dk"),
-        ).repartition(n_shuffle, "__blk", "__dk")
+        )
         r = right.select(
             br.alias("__blk"),
             F.col(right_col).alias("__rk"),
             F.explode(keys(F.col(right_col))).alias("__dk"),
         )
+        if max_candidate_pairs is not None:
+            # guard the PRE-repartition projection (partial aggs combine
+            # map-side; the full-width exchange never runs for the guard)
+            assert_blocked_join_budget(
+                l_raw,
+                None if same_side else r,
+                ["__blk", "__dk"],
+                max_candidate_pairs,
+                "fuzzy_join",
+            )
+        l = l_raw.repartition(n_shuffle, "__blk", "__dk")
         dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
         return (
             l.join(r, ["__blk", "__dk"])
@@ -298,6 +382,14 @@ def fuzzy_join(
         )
     l = left.withColumn("__blk", bl)
     r = right.withColumn("__blk", br)
+    if max_candidate_pairs is not None:
+        assert_blocked_join_budget(
+            l,
+            None if same_side else r,
+            ["__blk"],
+            max_candidate_pairs,
+            "fuzzy_join (block-only)",
+        )
     dist = F.levenshtein(F.col(f"l.{left_col}"), F.col(f"r.{right_col}"))
     return (
         l.alias("l")

@@ -147,6 +147,74 @@ class TestClosureByteBudgets:
         ]
 
 
+class TestBlockedJoinEntropyGuard:
+    """r9 VERDICT item 3: q26's full-collapse raise and q61's deletion
+    signatures both exist because a blocked join degenerated SILENTLY —
+    the generic guard now fences every fuzzy_join path the same way the
+    q27 pair fence fences the all-pairs baselines."""
+
+    def _degenerate(self, spark, n=40):
+        # zero-entropy corpus: every row the same block AND same key
+        # string -> one block of n x n candidate pairs
+        return spark.createDataFrame(
+            [(i, "same", "blk") for i in range(n)], "id long, name string, blk string"
+        )
+
+    def test_degenerate_key_raises_with_estimate(self, spark):
+        import pytest
+
+        from polars_pipe_spark.operators.joins import fuzzy_join
+
+        df = self._degenerate(spark)
+        with pytest.raises(ValueError, match="candidate-pair budget"):
+            fuzzy_join(
+                df, df, "name", "name", "blk", "blk", max_dist=1,
+                max_candidate_pairs=100,
+            ).collect()
+
+    def test_block_only_fallback_shares_the_guard(self, spark):
+        import pytest
+
+        from polars_pipe_spark.operators.joins import fuzzy_join
+
+        df = self._degenerate(spark)
+        with pytest.raises(ValueError, match="candidate-pair budget"):
+            fuzzy_join(
+                df, df, "name", "name", "blk", "blk", max_dist=3,
+                max_candidate_pairs=100,
+            ).collect()
+
+    def test_none_disables_and_within_budget_unchanged(self, spark):
+        from polars_pipe_spark.operators.joins import fuzzy_join
+
+        df = spark.createDataFrame(
+            [(1, "smith", "b"), (2, "smyth", "b"), (3, "jones", "b")],
+            "id long, name string, blk string",
+        )
+        kw = dict(max_dist=1)
+        got = sorted(
+            (r.left_key, r.right_key)
+            for r in fuzzy_join(df, df, "name", "name", "blk", "blk", **kw).collect()
+        )
+        off = sorted(
+            (r.left_key, r.right_key)
+            for r in fuzzy_join(
+                df, df, "name", "name", "blk", "blk",
+                max_candidate_pairs=None, **kw
+            ).collect()
+        )
+        assert got == off
+        assert ("smith", "smyth") in got
+
+    def test_budget_estimate_value(self, spark):
+        from polars_pipe_spark.operators.joins import assert_blocked_join_budget
+
+        l = spark.createDataFrame([(k, i) for k in "ab" for i in range(3)], "k string, v int")
+        r = spark.createDataFrame([(k, i) for k in "ab" for i in range(2)], "k string, v int")
+        # 2 blocks x (3 x 2) = 12 candidate pairs
+        assert assert_blocked_join_budget(l, r, ["k"], 100) == 12
+
+
 class TestShufflePartitionsFallback:
     def test_numeric_conf(self, spark):
         assert shuffle_partitions(spark) == int(
