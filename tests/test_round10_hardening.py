@@ -215,6 +215,94 @@ class TestBlockedJoinEntropyGuard:
         assert assert_blocked_join_budget(l, r, ["k"], 100) == 12
 
 
+class TestAudioSeamClosure:
+    """r9 VERDICT item 4: float-WAV + IMA-ADPCM decode (the one modality
+    where codec work had stopped at the toy format)."""
+
+    def test_float32_rms_closed_form(self):
+        import math
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_wav, encode_wav_float,
+        )
+
+        v = [((7 * 31 + i * 7) % 2001 - 1000) for i in range(60)]
+        payload = encode_wav_float([x / 128.0 for x in v], 8000, bits=32)
+        rate, n, dur, rms = decode_wav(payload)
+        assert (rate, n, dur) == (8000, 60, 7)
+        # every partial sum is integer/16384 < 2^53 -> decode is EXACT
+        assert rms == math.sqrt(sum(x * x for x in v) / 16384 / 60)
+
+    def test_float64_path(self):
+        from polars_pipe_spark.functions.multimodal import (
+            decode_wav, encode_wav_float,
+        )
+
+        rate, n, dur, rms = decode_wav(encode_wav_float([0.5, -0.5], 4000, bits=64))
+        assert (rate, n, rms) == (4000, 2, 0.5)
+
+    def test_adpcm_nibble_stream_matches_reference_recurrence(self):
+        import math
+
+        from polars_pipe_spark.functions.multimodal import (
+            _ima_decode_nibble, decode_wav, encode_wav_ima_adpcm_nibbles,
+        )
+
+        nibs = [(5 * 13 + i * 5) % 16 for i in range(45)]  # odd count: pad+fact
+        pred, idx = (5 * 17) % 1024 - 512, 5 % 40
+        payload = encode_wav_ima_adpcm_nibbles(pred, idx, nibs, 8000)
+        rate, n, dur, rms = decode_wav(payload)
+        assert (rate, n) == (8000, 1 + len(nibs))
+        ss = pred * pred
+        for nb in nibs:
+            pred, idx = _ima_decode_nibble(pred, idx, nb)
+            ss += pred * pred
+        assert rms == math.sqrt(ss / (1 + len(nibs)))
+
+    def test_adpcm_real_encoder_roundtrip_multiblock(self):
+        """decode(encode(x)) equals the encoder's own reconstruction
+        and tracks the original within the step-size error bound."""
+        import math
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_wav, encode_wav_ima_adpcm,
+        )
+
+        wave = [int(3000 * math.sin(i / 7)) for i in range(700)]
+        rate, n, dur, rms = decode_wav(encode_wav_ima_adpcm(wave, 8000, 64))
+        assert n == len(wave)  # fact chunk truncates block padding
+        want = math.sqrt(sum(s * s for s in wave) / len(wave))
+        assert abs(rms - want) / want < 0.05  # lossy, but close
+
+    def test_unsupported_format_names_the_tag(self):
+        import struct
+
+        import pytest
+
+        from polars_pipe_spark.functions.multimodal import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # mp3-in-wav
+        payload = (
+            b"RIFF" + struct.pack("<I", 4 + 16 + len(fmt)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(NotImplementedError, match="tag=85"):
+            decode_wav(payload)
+
+    def test_stereo_still_raises(self):
+        import pytest
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_wav, encode_wav,
+        )
+
+        mono = bytearray(encode_wav([1, 2, 3, 4], 8000))
+        mono[22] = 2  # channels field
+        with pytest.raises(NotImplementedError, match="mono"):
+            decode_wav(bytes(mono))
+
+
 class TestShufflePartitionsFallback:
     def test_numeric_conf(self, spark):
         assert shuffle_partitions(spark) == int(
