@@ -360,7 +360,9 @@ def _corpus_fits_closure(c: DataFrame, max_rows: int, max_bytes: int) -> bool:
     same rows at 768-dim float64 would be ~3.2 GB — a driver-OOM class
     failure (r9 verdict defect 1)."""
     rows = c.count()
-    if rows > max_rows:
+    if rows == 0 or rows > max_rows:
+        # empty corpus: the crossJoin path returns an empty frame with
+        # the right schema; np.stack([]) in the GEMM branch would raise
         return False
     probe = c.select("cv").filter(F.col("cv").isNotNull()).limit(1).collect()
     dim = len(probe[0][0]) if probe else 0

@@ -346,19 +346,41 @@ def fuzzy_join(
     if max_dist <= 2:
         keys = deletion_keys_udf(max_dist)
         n_shuffle = shuffle_partitions(left.sparkSession)
-        l_raw = left.select(
-            bl.alias("__blk"),
-            F.col(left_col).alias("__lk"),
-            F.explode(keys(F.col(left_col))).alias("__dk"),
-        )
-        r = right.select(
-            br.alias("__blk"),
-            F.col(right_col).alias("__rk"),
-            F.explode(keys(F.col(right_col))).alias("__dk"),
+        # round-robin the COMPACT input before the deletion-key UDF: the
+        # explode needs the UDF, so with a single-file input the whole
+        # fan-out would otherwise run on ONE task (the r9 q61 lesson
+        # applied one operator earlier — the old code only repartitioned
+        # AFTER the explode, parallelizing the verify but not the UDF)
+        l_in = left.select(
+            bl.alias("__blk"), F.col(left_col).alias("__lk")
+        ).repartition(n_shuffle)
+        l_raw = l_in.select(
+            "__blk", "__lk", F.explode(keys(F.col("__lk"))).alias("__dk")
         )
         if max_candidate_pairs is not None:
-            # guard the PRE-repartition projection (partial aggs combine
-            # map-side; the full-width exchange never runs for the guard)
+            # the guard would otherwise re-run the deletion-key pandas
+            # UDF (the dominant cost) once per side: checkpoint the
+            # exploded frame lazily so guard + join — and BOTH sides of
+            # a self-join — share one materialization.
+            # max_candidate_pairs=None keeps the fully-lazy unstored
+            # plan for callers who can't afford the explode storage.
+            l_raw = l_raw.localCheckpoint(eager=False)
+        if same_side and max_candidate_pairs is not None:
+            r = l_raw.select(
+                "__blk", F.col("__lk").alias("__rk"), "__dk"
+            )
+        else:
+            r_in = right.select(
+                br.alias("__blk"), F.col(right_col).alias("__rk")
+            ).repartition(n_shuffle)
+            r = r_in.select(
+                "__blk", "__rk", F.explode(keys(F.col("__rk"))).alias("__dk")
+            )
+            if max_candidate_pairs is not None and not same_side:
+                r = r.localCheckpoint(eager=False)
+        if max_candidate_pairs is not None:
+            # guard the PRE-join frames (partial aggs combine map-side;
+            # the join-key exchange never runs for the guard)
             assert_blocked_join_budget(
                 l_raw,
                 None if same_side else r,

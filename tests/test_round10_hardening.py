@@ -136,6 +136,17 @@ class TestClosureByteBudgets:
             tuple(r) for r in sorted(routed.collect(), key=key)
         ]
 
+    def test_empty_corpus_returns_empty_not_crash(self, spark):
+        """rows==0 must route to the crossJoin path: np.stack([]) in the
+        GEMM branch raises ValueError."""
+        corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        _, queries = self._mk(spark)
+        out = sim.brute_force_topk(
+            corpus, queries, k=3, max_collected_queries=2, **KW
+        )
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine", "rk"]
+
     def test_quantized_topk_respects_query_byte_budget(self, spark):
         corpus, queries = self._mk(spark)
         kw = dict(k=4, **KW)

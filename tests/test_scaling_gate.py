@@ -97,3 +97,83 @@ class TestScalingGate:
             "scaling/LADDER.json is stale — regenerate with "
             "tools/scaling_report.py <rungs> --write-summary scaling/LADDER.json"
         )
+
+
+SWEEP = os.path.join(REPO, "scaling", "SWEEP.json")
+
+
+def _committed_sweeps() -> list[str]:
+    """The newest committed FULL-REGISTRY sweep rungs (r9 verdict item 2:
+    the 280-query sweeps were the instrument that caught q61/q160/q176/
+    q250/q90/q230, but only the headline ladder was gated — a future
+    round could silently re-introduce a non-headline scale defect)."""
+    paths = glob.glob(os.path.join(REPO, "scaling", "sweep_sf*_r*.json"))
+    assert paths, "no committed sweep rungs under scaling/"
+    rounds = {p.rsplit("_r", 1)[1].split(".json")[0] for p in paths}
+    newest = max(rounds, key=int)
+    return sorted(p for p in paths if p.endswith(f"_r{newest}.json"))
+
+
+class TestSweepGate:
+    """Same gate machinery as the headline ladder, applied to the
+    full-registry sf0.1→sf1 sweeps and their accepted summary
+    ``scaling/SWEEP.json`` — every registered query now has a gated
+    scaling exponent, not just the ~40 headliners."""
+
+    def test_committed_sweep_within_accepted_summary(self):
+        rungs = _committed_sweeps()
+        assert len(rungs) >= 2, f"need >=2 sweep rungs: {rungs}"
+        _, rows = build_rows([load(p) for p in rungs], floor=1.0)
+        with open(SWEEP) as f:
+            baseline = json.load(f)
+        violations = gate(rows, baseline)
+        assert not violations, "\n".join(violations)
+
+    def test_sweep_covers_every_registered_query(self):
+        """A query missing from the sweep has NO gated exponent — the
+        exact blind spot the r9 verdict called out. Fenced exact
+        baselines (q27/q211 raise their pair fence at sf1) may run only
+        the low rung; they must still appear there."""
+        import __spark_entry__ as entry_mod
+
+        rungs = _committed_sweeps()
+        runs = [load(p) for p in rungs]
+        seen = set().union(*[set(qs) for _, qs in runs])
+        missing = set(entry_mod.queries()) - seen
+        assert not missing, f"queries with no sweep rung at all: {sorted(missing)}"
+
+    def test_sweep_gate_is_red_on_worsened_artifact(self):
+        """The sweep gate must actually FIRE (same synthetic-worsening
+        probe as the ladder gate test)."""
+        rungs = _committed_sweeps()
+        runs = [load(p) for p in rungs]
+        with open(SWEEP) as f:
+            baseline = json.load(f)
+        scaled = [
+            n for n, b in baseline.items()
+            if b["exponent"] is not None
+            and b["label"].startswith(("sublinear", "linear"))
+        ]
+        assert scaled, baseline
+        victim = scaled[0]
+        sf_top = max(sf for sf, qs in runs if victim in qs)
+        worsened = [
+            (sf, {**qs, **({victim: qs[victim] * 8.0}
+                           if sf == sf_top and victim in qs else {})})
+            for sf, qs in runs
+        ]
+        _, rows = build_rows(worsened, floor=1.0)
+        violations = gate(rows, baseline)
+        assert any(victim in v and "exponent" in v for v in violations), violations
+
+    def test_sweep_summary_matches_committed_rungs(self):
+        rungs = _committed_sweeps()
+        _, rows = build_rows([load(p) for p in rungs], floor=1.0)
+        want = summarize(rows, 0.0)
+        with open(SWEEP) as f:
+            got = json.load(f)
+        assert got == json.loads(json.dumps(want)), (
+            "scaling/SWEEP.json is stale — regenerate with "
+            "tools/scaling_report.py <sweep rungs> --write-summary "
+            "scaling/SWEEP.json"
+        )
