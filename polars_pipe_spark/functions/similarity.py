@@ -1353,23 +1353,18 @@ def _sq_l2_sql(vec: str, offset: int, cw: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def pq_encode(
+def pq_encode_expr(
     df: DataFrame,
     vec_col: str,
     codebooks: list[list[list[float]]],
 ) -> DataFrame:
-    """Product-quantization encoding: split each vector into
-    ``m = len(codebooks)`` subvectors and store, per subspace, the index
-    of the nearest codeword (squared L2, ties to the lowest index) —
-    the memory layout behind billion-vector ANN (an m-byte code replaces
-    a 4·d-byte vector).
-
-    ``codebooks[s][j]`` is codeword ``j`` of subspace ``s`` (a
-    driver-known, bounded m×k×dsub table — train it on a sample or pin
-    it from stored centroids). It is inlined as LITERALS, so encoding is
-    a mapper-only projection: no join, no shuffle, no broadcast wait —
-    the 100 TB encode pass is embarrassingly parallel and whole-stage
-    codegen'd. Appends ``pq_code`` (array<int>, one code per subspace).
+    """Expression form of :func:`pq_encode` (the cross-engine reference
+    the kernel is parity-tested against — same SQL text any engine can
+    evaluate). The argmin runs as struct-min over ``zip_with`` pairs —
+    a higher-order function Spark evaluates INTERPRETED per element, so
+    this form costs ~0.8 ms/row at m=8, k=16, d=64 (38 s for the 50k-row
+    sf1 encode): correct, portable, and the slow path. Use
+    :func:`pq_encode` (numpy twin, bit-identical) for data-sized work.
 
     Argmin ties break to the first (lowest) codeword index on any
     engine (struct-min over (distance, index) pairs — field-ordered
@@ -1398,6 +1393,88 @@ def pq_encode(
             f" (d, i) -> struct(d, i))).i AS INT)"
         )
     return df.withColumn("pq_code", F.expr("array(" + ", ".join(codes) + ")"))
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into
+    ``m = len(codebooks)`` subvectors and store, per subspace, the index
+    of the nearest codeword (squared L2, ties to the lowest index) —
+    the memory layout behind billion-vector ANN (an m-byte code replaces
+    a 4·d-byte vector).
+
+    ``codebooks[s][j]`` is codeword ``j`` of subspace ``s`` (a
+    driver-known, bounded m×k×dsub table — train it on a sample or pin
+    it from stored centroids), carried in the kernel closure, so
+    encoding is a mapper-only projection: no join, no shuffle, no
+    broadcast wait — the 100 TB encode pass is embarrassingly parallel
+    and works unchanged on a STREAMING frame (stateless ``mapInPandas``,
+    q184). Appends ``pq_code`` (array<int>, one code per subspace).
+
+    r10 kernel (found by the sweep: the expression form's zip_with/
+    array_min argmin is an interpreted HOF — 38 s for the 50k-row sf1
+    encode, linear but with a ~0.8 ms/row constant that a 100 TB encode
+    pass cannot pay): numpy twin of :func:`pq_encode_expr`, bit-exact by
+    construction — float32 elements widen to the same doubles as
+    ``CAST(... AS DOUBLE)``, each (x−c)² term is formed identically and
+    summed in the same left-to-right order (``np.cumsum`` fold, not
+    pairwise ``sum``), NaN distances sort largest like Spark's double
+    total order, and ``np.argmin`` breaks ties to the first index like
+    the struct-min. Parity is test-pinned against the expression form.
+
+    Contract: vectors must be non-null with ≥ m·dsub elements (raises
+    ``ValueError`` naming the width otherwise — the expression form
+    would silently emit null codes).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    # per-subspace arrays: k may differ between subspaces (ragged)
+    Cs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    need = m * dsub
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pq_code", T.ArrayType(T.IntegerType()))]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf[vec_col].to_numpy()
+            if any(v is None for v in vals):
+                raise ValueError(
+                    f"pq_encode: null vector in {vec_col!r} (codes would "
+                    "be undefined) — filter or impute first"
+                )
+            V = np.stack(vals).astype(np.float64)
+            if V.shape[1] < need:
+                raise ValueError(
+                    f"pq_encode: vectors have {V.shape[1]} dims, need >= "
+                    f"{need} (m={m} x dsub={dsub})"
+                )
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                S = V[:, s * dsub : (s + 1) * dsub]
+                diff = S[:, None, :] - Cs[s][None, :, :]
+                # left-to-right fold over dsub, matching the expression's
+                # explicit addition chain (np.sum is pairwise — close but
+                # not bit-identical)
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                codes[:, s] = np.argmin(
+                    np.where(np.isnan(d), np.inf, d), axis=1
+                )
+            out = pdf.copy()
+            out["pq_code"] = list(codes)
+            yield out
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def pq_topk(
