@@ -1496,10 +1496,11 @@ def pq_topk(
     that follows) scores against the (tiny) encoded code column — the
     corpus' full vectors are NOT read by the scoring pass (that is the
     point of PQ: at 100 TB the scan touches m bytes per vector, not
-    4·d). Codewords come from the same inlined literal
-    table as :func:`pq_encode`; the per-pair sum explodes the m codes
-    and reduces with map-side partials; the final top-k is a per-query
-    rank window over candidates (ties by neighbor id).
+    4·d). Corpus codes come from :func:`pq_encode` (r10: the Arrow
+    kernel, bit-identical to the :func:`pq_encode_expr` reference); the
+    per-pair sum explodes the m codes and reduces with map-side
+    partials; the final top-k is a per-query rank window over
+    candidates (ties by neighbor id).
     """
     from pyspark.sql import Window
 
