@@ -8712,6 +8712,63 @@ def _q282_wav_float_decode(spark, sf):
     )
 
 
+def _q283_g711_decode(spark, sf):
+    """G.711 telephony-audio decode (r10, the last easy audio format
+    tag): per document a companded byte stream b_i = (doc_id·7 + i·3)
+    mod 256 (n = 40 + doc_id mod 25, 8 kHz) is wrapped as a µ-law WAV
+    (format tag 7) for even doc_ids and A-law (tag 6) for odd, then
+    decoded by functions/multimodal.py::decode_wav — the published
+    BIAS=0x84 µ-law and segment-shifted A-law expansion tables, exact
+    integer RMS. The ORACLE states both expansions in closed integer
+    SQL form over the same construction (~b = 255−b, xor-85, segment
+    CASE) — an independent-engine decode of every byte."""
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_wav_g711,
+        extract_wav_features,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads, laws = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 40 + did % 25
+                bs = bytes((did * 7 + i * 3) % 256 for i in range(n))
+                law = "ulaw" if did % 2 == 0 else "alaw"
+                payloads.append(encode_wav_g711(bs, 8000, law))
+                laws.append(law)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "law": laws}
+            )
+
+    media = docs.mapInPandas(
+        make, "doc_id long, payload binary, law string"
+    ).select(
+        "doc_id",
+        "law",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("audio/wav")
+        ).alias("media"),
+    )
+    return extract_wav_features(media).select(
+        "doc_id",
+        # law is a pure function of doc_id — no join back onto the
+        # mapInPandas frame (which would evaluate the synth twice)
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -8999,6 +9056,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q280_png_full_matrix": _q280_png_full_matrix,
     "q281_adpcm_decode": _q281_adpcm_decode,
     "q282_wav_float_decode": _q282_wav_float_decode,
+    "q283_g711_decode": _q283_g711_decode,
 }
 
 
@@ -14945,6 +15003,46 @@ _ORACLES["q282_wav_float_decode"] = """
            ROUND(sqrt(CAST(list_sum(list_transform(v, x -> x * x))
                            AS DOUBLE) / 16384.0 / n), 6) AS rms
     FROM w
+"""
+
+# q283: both G.711 expansions in closed integer SQL form — ~b = 255-b
+# for the u-law complement, xor(b,85) for A-law, segment CASE, exact
+# integer sum of squares.
+_ORACLES["q283_g711_decode"] = """
+    WITH w AS (
+      SELECT doc_id, 40 + doc_id % 25 AS n,
+             list_transform(range(0, 40 + doc_id % 25), i ->
+               (doc_id * 7 + i * 3) % 256) AS bs
+      FROM documents
+    ), dec AS (
+      SELECT doc_id, n,
+             CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+             list_transform(bs, b ->
+               CASE WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN (255 - b) >= 128
+                      THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                                  * (1 << (((255 - b) // 16) % 8)))
+                      ELSE ((((255 - b) % 16) * 8 + 132)
+                            * (1 << (((255 - b) // 16) % 8))) - 132
+                 END
+               ELSE
+                 CASE WHEN (xor(b, 85) // 128) % 2 = 1 THEN 1 ELSE -1 END *
+                 CASE ((xor(b, 85) // 16) % 8)
+                   WHEN 0 THEN (xor(b, 85) % 16) * 16 + 8
+                   WHEN 1 THEN (xor(b, 85) % 16) * 16 + 264
+                   ELSE ((xor(b, 85) % 16) * 16 + 264)
+                        * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                 END
+               END) AS s
+      FROM w
+    )
+    SELECT doc_id, law,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+           ROUND(sqrt(CAST(list_sum(list_transform(s, x -> x * x))
+                           AS DOUBLE) / n), 6) AS rms
+    FROM dec
 """
 
 # q279: the progressive (SOF2) transmission of the SAME coefficients —

@@ -1893,6 +1893,46 @@ def encode_wav_float(samples, sample_rate: int = 8000, bits: int = 32) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_g711(payload_bytes: bytes, sample_rate: int = 8000, law: str = "ulaw") -> bytes:
+    """RIFF/WAVE wrapper for already-companded G.711 bytes (format tag 7
+    = µ-law, 6 = A-law, 8-bit mono). The companded byte stream IS the
+    sample data, so synthesis needs no encoder — the analytic-oracle
+    pattern writes analytic bytes directly."""
+    import struct
+
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(payload_bytes))
+        + b"data" + struct.pack("<I", len(payload_bytes)) + payload_bytes
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ulaw_to_linear(b: int) -> int:
+    """G.711 µ-law expansion (the published BIAS=0x84 table every
+    implementation ships — e.g. ITU-T G.191 reference code): one byte →
+    a 16-bit-range linear sample in ±32124."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_to_linear(b: int) -> int:
+    """G.711 A-law expansion (published table, ±32256 range)."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
 def _ima_wav_wrap(
     blocks: bytes, n_samples: int, sample_rate: int, block_align: int
 ) -> bytes:
@@ -2066,8 +2106,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
       step/index tables, shift-form diff, int16 clamp — then the exact
       integer RMS of the reconstructed samples; the ``fact`` chunk
       truncates final-block padding.
+    - **G.711 µ-law / A-law 8-bit** (formats 7 / 6): the published
+      expansion tables (BIAS=0x84 µ-law, segment-shifted A-law), exact
+      integer RMS of the expanded samples.
 
-    Anything else (mp3=85, a-law=6, …) raises ``NotImplementedError``
+    Anything else (mp3=85, …) raises ``NotImplementedError``
     NAMING the format tag (the documented codec seam, like the
     arithmetic-coded frame types on the JPEG side)."""
     import struct
@@ -2115,6 +2158,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         n = len(f)
         sumsq_f = float(np.cumsum(f * f)[-1]) if n else 0.0
         rms = math.sqrt(sumsq_f / n) if n else 0.0
+    elif audio_format in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+        expand = _alaw_to_linear if audio_format == 6 else _ulaw_to_linear
+        pcm = data if fact_n is None else data[:fact_n]
+        n = len(pcm)
+        sumsq = sum(expand(b) ** 2 for b in pcm)
+        rms = math.sqrt(sumsq / n) if n else 0.0
     elif audio_format == 0x11 and bits == 4:  # IMA ADPCM
         if block_align < 4:
             raise ValueError(f"IMA ADPCM block_align {block_align} < 4")

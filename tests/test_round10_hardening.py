@@ -336,6 +336,34 @@ class TestAudioSeamClosure:
         want = math.sqrt(sum(s * s for s in wave) / len(wave))
         assert abs(rms - want) / want < 0.05  # lossy, but close
 
+    def test_g711_reference_points(self):
+        """Published G.711 expansion-table anchors (ITU-T G.191
+        reference code values)."""
+        from polars_pipe_spark.functions.multimodal import (
+            _alaw_to_linear, _ulaw_to_linear,
+        )
+
+        assert _ulaw_to_linear(0xFF) == 0
+        assert _ulaw_to_linear(0x00) == -32124
+        assert _ulaw_to_linear(0x80) == 32124
+        assert _alaw_to_linear(0x55) == -8
+        assert _alaw_to_linear(0xD5) == 8
+        assert _alaw_to_linear(0xAA) == 32256
+        assert _alaw_to_linear(0x2A) == -32256
+
+    def test_g711_wav_roundtrip_both_laws(self):
+        import math
+
+        from polars_pipe_spark.functions.multimodal import (
+            _alaw_to_linear, _ulaw_to_linear, decode_wav, encode_wav_g711,
+        )
+
+        bs = bytes((11 * 7 + i * 3) % 256 for i in range(50))
+        for law, expand in (("ulaw", _ulaw_to_linear), ("alaw", _alaw_to_linear)):
+            rate, n, dur, rms = decode_wav(encode_wav_g711(bs, 8000, law))
+            assert (rate, n, dur) == (8000, 50, 6)
+            assert rms == math.sqrt(sum(expand(b) ** 2 for b in bs) / 50)
+
     def test_unsupported_format_names_the_tag(self):
         import struct
 
