@@ -2173,9 +2173,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float]:
         rms = math.sqrt(sumsq / n) if n else 0.0
     else:
         raise NotImplementedError(
-            "WAV decoder supports PCM-16 (fmt 1), IEEE float 32/64 (fmt 3) "
-            f"and IMA ADPCM (fmt 17) mono; got format tag={audio_format}, "
-            f"bits={bits}"
+            "WAV decoder supports PCM-16 (fmt 1), IEEE float 32/64 (fmt 3), "
+            "G.711 u-law/A-law (fmt 7/6) and IMA ADPCM (fmt 17) mono; got "
+            f"format tag={audio_format}, bits={bits}"
         )
     duration_ms = (n * 1000) // sample_rate
     return sample_rate, n, int(duration_ms), rms

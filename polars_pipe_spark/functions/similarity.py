@@ -343,12 +343,48 @@ def bucket_pairs_cosine(
 
 
 def _rows_dim(rows, field: str) -> int:
-    """Vector width of the first non-null vector among collected rows."""
+    """Vector width of the first non-null vector among collected rows.
+
+    Contract (r11, from ADVICE): the byte budgets built on this probe
+    (``_corpus_fits_closure``, the query-side ``rows × dim × 8`` bound)
+    assume a NON-NULL, UNIFORM-WIDTH vector column — the probe reads dim
+    from one row. Violations are caught where the rows are actually
+    materialized (:func:`_stack_vectors`) with a named error instead of
+    an opaque ``np.stack`` shape failure."""
     for r in rows:
         v = r[field]
         if v is not None:
             return len(v)
     return 0
+
+
+def _stack_vectors(values, col: str):
+    """``np.stack`` with the dense-vector contract made diagnosable:
+    every vector must be non-null and all widths equal. The byte-budget
+    probes (:func:`_rows_dim`, :func:`_corpus_fits_closure`) read dim
+    from a SINGLE row, so a ragged or null vector column would pass the
+    budget and only fail later inside ``np.stack``/broadcast with an
+    opaque shape error — raise a named ValueError at the
+    materialization site instead (r11 ADVICE fix)."""
+    import numpy as np  # noqa: PLC0415
+
+    vals = list(values)
+    widths = set()
+    for v in vals:
+        if v is None:
+            raise ValueError(
+                f"{col}: null vector in a dense-vector kernel — the "
+                "closure/GEMM paths require non-null uniform-width "
+                "arrays; filter nulls or impute before calling"
+            )
+        widths.add(len(v))
+    if len(widths) > 1:
+        raise ValueError(
+            f"{col}: ragged vector widths {sorted(widths)[:5]} — the "
+            "closure/GEMM paths require uniform-width arrays (the byte "
+            "budget probed dim from one row and cannot see raggedness)"
+        )
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
 
 
 def _corpus_fits_closure(c: DataFrame, max_rows: int, max_bytes: int) -> bool:
@@ -456,7 +492,7 @@ def brute_force_topk(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+                C = _stack_vectors(pdf["cv"].to_numpy(), "cv")
                 na = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
                 nb_ids = pdf["neighbor_id"].to_numpy()
                 frames = []
@@ -480,7 +516,7 @@ def brute_force_topk(
         import numpy as np  # noqa: PLC0415
 
         crows = c.collect()
-        C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+        C = _stack_vectors((r["cv"] for r in crows), "cv")
         cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
         cids = np.array([r["neighbor_id"] for r in crows])
         carry_vals = {cc: [r[cc] for r in crows] for cc in carry_cols}
@@ -503,7 +539,7 @@ def brute_force_topk(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                Qa = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+                Qa = _stack_vectors(pdf["qv"].to_numpy(), "qv")
                 qna = np.sqrt(np.cumsum(Qa * Qa, axis=1)[:, -1])
                 qids_a = pdf["query_id"].to_numpy()
                 sel_q, sel_c = [], []
@@ -976,8 +1012,7 @@ def quantized_topk(
             for pdf in batches:
                 if not len(pdf):
                     continue
-                arrs = pdf[vec_col].to_numpy()
-                mat = np.stack(arrs)
+                mat = _stack_vectors(pdf[vec_col].to_numpy(), vec_col)
                 # quantize + reconstruct, expression operation order:
                 # codes = floor((x - mn)/rng*255 + 0.5) (int-valued),
                 # cv = mn + (codes * rng)/255

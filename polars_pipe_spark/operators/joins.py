@@ -327,6 +327,18 @@ def fuzzy_join(
     corpus, low-entropy block) raises a diagnosable ValueError with the
     pair estimate instead of silently hanging a task for 30+ minutes
     (the q61/q160 failure class).
+
+    Eagerness note (r11, from ADVICE): with ``max_candidate_pairs``
+    set (the default), the guard aggregate runs Spark jobs at CALL
+    time — not at the first action on the result — and the exploded
+    deletion-key frames are ``localCheckpoint(eager=False)``-ed so the
+    guard and the join share one materialization. Lineage truncation
+    is a fault-tolerance tradeoff: after executor loss the checkpointed
+    blocks are NOT recomputed from source and the job fails instead
+    (acceptable on a single-app cluster where the caller retries the
+    action; pass ``max_candidate_pairs=None`` to keep the fully-lazy,
+    recomputable plan at the cost of re-running the deletion-key UDF
+    per consumer).
     """
     bl = F.col(block_left) if isinstance(block_left, str) else block_left
     br = F.col(block_right) if isinstance(block_right, str) else block_right
