@@ -8797,6 +8797,55 @@ def _q283_g711_decode(spark, sf):
     )
 
 
+def _q284_mjpeg_avi_decode(spark, sf):
+    """MJPEG-in-AVI video decode (r11 — the last multimodal modality
+    without a real decoder, r10 verdict task 2): per document an AVI
+    with n = 2 + did%3 frames, each an 8x8 solid-gray baseline JPEG
+    with EVEN value v_f = 2·((did + 17f) % 128) at quality 50 — the
+    q277 construction, whose lossy pipeline round-trips the gray level
+    BIT-EXACTLY (DC quant 16 divides 8·(v−128)) — wrapped by
+    functions/multimodal.py::encode_avi_mjpeg and decoded for REAL by
+    decode_avi_mjpeg → decode_jpeg per frame (RIFF walk + Huffman +
+    dequant + IDCT). One row per frame. The ORACLE is the closed form
+    64000·v_f/(255000·64) over generate_series — ground truth, not a
+    second decoder."""
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415
+
+    from polars_pipe_spark.functions.multimodal import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+        extract_video_frames,
+        pack_media,
+    )
+
+    docs = _t_par(spark, sf, "documents").select("doc_id")
+
+    def make(it):
+        for pdf in it:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(2 + did % 3):
+                    v = 2 * ((did + 17 * f) % 128)
+                    px = np.full((8, 8, 3), v, dtype="uint8")
+                    frames.append(encode_jpeg(8, 8, px, quality=50))
+                payloads.append(encode_avi_mjpeg(frames, 8, 8, fps=12))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(make, "doc_id long, payload binary").select(
+        "doc_id",
+        pack_media(
+            F.col("payload"), F.lit(None).cast("string"), F.lit("video/x-msvideo")
+        ).alias("media"),
+    )
+    return extract_video_frames(media).select(
+        "doc_id", "n_frames", "fps", "frame_idx", "width", "height",
+        "mean_luma",  # exact double: int luma sum / one division (q277)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9085,6 +9134,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q281_adpcm_decode": _q281_adpcm_decode,
     "q282_wav_float_decode": _q282_wav_float_decode,
     "q283_g711_decode": _q283_g711_decode,
+    "q284_mjpeg_avi_decode": _q284_mjpeg_avi_decode,
 }
 
 
@@ -15093,6 +15143,23 @@ _ORACLES["q277_jpeg_decode"] = """
            CAST(64000 * (2 * (doc_id % 128)) AS DOUBLE) / (255000.0 * 64)
              AS mean_luma
     FROM documents
+"""
+
+# q284: per-frame rows of the MJPEG-in-AVI decode — same even-gray
+# quality-50 bit-exact round-trip as q277, so the oracle is the closed
+# form over a generate_series frame explosion (ground truth, not a
+# second decoder).
+_ORACLES["q284_mjpeg_avi_decode"] = """
+    SELECT d.doc_id,
+           CAST(2 + d.doc_id % 3 AS INT) AS n_frames,
+           CAST(12 AS INT) AS fps,
+           CAST(f.f AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(64000 * (2 * ((d.doc_id + 17 * f.f) % 128)) AS DOUBLE)
+             / (255000.0 * 64) AS mean_luma
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(0, 1 + d.doc_id % 3)) AS f) f
 """
 
 

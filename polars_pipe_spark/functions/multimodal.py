@@ -23,9 +23,13 @@ batch iterator, bounded memory, no driver involvement). Two decode tiers:
   un-filters, chunk CRCs verified; r6 task 3, r8 item 4, closed in r9)
   — **JPEG** baseline sequential AND progressive (T.81 Annex G:
   spectral selection, successive approximation, EOB runs) with restart
-  intervals (DRI/RSTn), and RIFF/PCM-16 **WAV** (plus the byte-level
-  audio featurizer). These run the full payload→samples/pixels→features
-  path with numpy only — no PIL/opencv/soundfile.
+  intervals (DRI/RSTn), RIFF **WAV** (PCM-16 / IEEE-float / IMA-ADPCM /
+  G.711 µ-law+A-law, plus the byte-level audio featurizer), and — r11,
+  closing the video seam — **MJPEG-in-AVI**: the RIFF chunk walker
+  composed with the baseline JPEG decoder, one decoded (width, height,
+  mean_luma) row per frame. These run the full
+  payload→samples/pixels/frames→features path with numpy only — no
+  PIL/opencv/soundfile/ffmpeg.
 - **Stubbed compressed codecs**: mp3/ogg and the arithmetic-coded /
   lossless / 12-bit JPEG frame types genuinely need codec libraries
   (not in this container); those payloads raise a clear
@@ -2427,3 +2431,274 @@ def extract_wav_features(
             )
 
     return flat.mapInPandas(batches, schema=WAV_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free video codec (AVI / MJPEG)
+# ---------------------------------------------------------------------------
+# Reference parity note: the reference engine treats video as opaque
+# bytes with sampled-frame metadata; this closes the r10 verdict item
+# "video is the one multimodal modality without a real decoder" by
+# composing the two codecs the repo already has — the RIFF chunk walk
+# (decode_wav above) and the baseline JPEG decoder (decode_jpeg) — per
+# the public Microsoft AVI RIFF spec (MainAVIHeader / AVISTREAMHEADER /
+# BITMAPINFOHEADER layouts) and MJPEG's "every frame is a standalone
+# baseline JPEG" convention.
+
+
+def encode_avi_mjpeg(
+    frames_jpeg: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 12,
+) -> bytes:
+    """Minimal spec-conforming AVI writer for MJPEG streams: RIFF
+    'AVI ' { LIST hdrl { avih, LIST strl { strh('vids'/'MJPG'),
+    strf(BITMAPINFOHEADER, biCompression='MJPG') } }, LIST movi
+    { '00dc' <jpeg> ... }, idx1 }. Each element of ``frames_jpeg`` must
+    be a complete baseline JPEG (SOI..EOI). Test/synthesis helper — lets
+    the real video decode path run without ffmpeg."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    n = len(frames_jpeg)
+    max_frame = max((len(f) for f in frames_jpeg), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_frame * fps,       # dwMaxBytesPerSec (advisory)
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags = AVIF_HASINDEX
+        n, 0, 1,               # totalFrames, initialFrames, streams
+        max_frame,             # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,            # dwReserved[4]
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG",
+        0, 0, 0, 0,            # flags, priority, language, initialFrames
+        1, fps,                # dwScale, dwRate  (rate/scale = fps)
+        0, n,                  # dwStart, dwLength (frames)
+        max_frame,             # dwSuggestedBufferSize
+        0xFFFFFFFF, 0,         # dwQuality (-1 = default), dwSampleSize
+        0, 0, width, height,   # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b"".join(chunk(b"00dc", f) for f in frames_jpeg)
+    movi = lst(b"movi", movi_frames)
+    # idx1 offsets are relative to the start of the movi LIST data
+    # (i.e. the 'movi' fourcc itself is at offset 0 by the common
+    # convention, so the first '00dc' header sits at offset 4)
+    idx_entries, off = [], 4
+    for f in frames_jpeg:
+        idx_entries.append(struct.pack("<4sII I".replace(" ", ""), b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, int, list[float]]:
+    """Decode an MJPEG AVI to ``(width, height, fps, n_frames,
+    [per-frame mean_luma])`` — REAL decode: every '00dc'/'00db' movi
+    chunk runs through :func:`decode_jpeg` (baseline + progressive,
+    restart intervals), so the luma numbers come from actual Huffman +
+    dequant + IDCT, not header metadata.
+
+    Container contract (named seams, like the WAV/JPEG sides):
+    - non-AVI RIFF or non-RIFF payloads raise NotImplementedError
+      naming the magic;
+    - a 'vids' stream whose handler/biCompression is anything but
+      MJPG/mjpg (e.g. XVID, DIB ) raises NotImplementedError NAMING the
+      fourCC — entropy-coded inter-frame codecs are the permanent
+      external-lib seam (COVERAGE.md frontier note);
+    - non-video streams (auds/txts) are tolerated and their chunks
+      ('01wb', …) skipped; only stream 0 may be video;
+    - frame dimensions are taken from each decoded JPEG (the AVI header
+      is advisory); a frame that is not a JPEG raises ValueError.
+
+    fps is returned as ``round(dwRate / dwScale)`` from the stream
+    header (integer fps by construction in this repo's writer)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError(
+            f"no dependency-free video decoder for magic "
+            f"{payload[:4]!r}/{payload[8:12]!r} (AVI RIFF only)"
+        )
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", buf, pos + 4)
+            yield cid, pos + 8, min(pos + 8 + clen, end)
+            pos = pos + 8 + clen + (clen & 1)
+
+    fps = 0
+    n_declared = None
+    vids_seen = False
+    lumas: list[float] = []
+    dims: tuple[int, int] | None = None
+
+    def parse_strl(buf: bytes, pos: int, end: int, stream_idx: int):
+        nonlocal fps, vids_seen
+        fcc_type = fcc_handler = None
+        bi_comp = None
+        for cid, b, e in walk(buf, pos, end):
+            if cid == b"strh":
+                fcc_type = buf[b : b + 4]
+                fcc_handler = buf[b + 4 : b + 8]
+                scale, rate = struct.unpack_from("<II", buf, b + 20)
+                if fcc_type == b"vids" and scale:
+                    fps = round(rate / scale)
+            elif cid == b"strf" and fcc_type == b"vids" and e - b >= 20:
+                bi_comp = buf[b + 16 : b + 20]
+        if fcc_type == b"vids":
+            if stream_idx != 0:
+                raise NotImplementedError(
+                    "AVI decoder supports a single video stream at "
+                    f"index 0 (found vids at stream {stream_idx})"
+                )
+            handler = (fcc_handler or b"").strip(b"\x00 ").upper()
+            comp = (bi_comp or b"").strip(b"\x00 ").upper()
+            if handler not in (b"MJPG", b"") or comp not in (b"MJPG", b""):
+                bad = handler if handler not in (b"MJPG", b"") else comp
+                raise NotImplementedError(
+                    f"AVI video codec {bad!r} is not supported — MJPEG "
+                    "(fourCC 'MJPG') only; inter-frame codecs are the "
+                    "external-library seam"
+                )
+            if handler == b"" and comp == b"":
+                raise NotImplementedError(
+                    "AVI vids stream declares no handler/biCompression "
+                    "fourCC — cannot confirm MJPEG"
+                )
+            vids_seen = True
+
+    def parse_hdrl(buf: bytes, pos: int, end: int):
+        nonlocal n_declared
+        stream_idx = 0
+        for cid, b, e in walk(buf, pos, end):
+            if cid == b"avih":
+                n_declared = struct.unpack_from("<I", buf, b + 16)[0]
+            elif cid == b"LIST" and buf[b : b + 4] == b"strl":
+                parse_strl(buf, b + 4, e, stream_idx)
+                stream_idx += 1
+
+    def parse_movi(buf: bytes, pos: int, end: int):
+        nonlocal dims
+        for cid, b, e in walk(buf, pos, end):
+            if cid == b"LIST" and buf[b : b + 4] == b"rec ":
+                parse_movi(buf, b + 4, e)
+            elif cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+                frame = buf[b:e]
+                if frame[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        f"MJPEG frame {len(lumas)} does not start with a "
+                        f"JPEG SOI marker (got {frame[:2]!r})"
+                    )
+                w, h, _nch, luma = decode_jpeg(frame)
+                if dims is None:
+                    dims = (w, h)
+                elif dims != (w, h):
+                    raise ValueError(
+                        f"MJPEG frame {len(lumas)} dimensions {w}x{h} != "
+                        f"stream dimensions {dims[0]}x{dims[1]}"
+                    )
+                lumas.append(luma)
+            # other streams' chunks ('01wb' audio, ...) skip silently
+
+    saw_movi = False
+    for cid, b, e in walk(payload, 12, len(payload)):
+        if cid == b"LIST":
+            sub = payload[b : b + 4]
+            if sub == b"hdrl":
+                parse_hdrl(payload, b + 4, e)
+            elif sub == b"movi":
+                saw_movi = True
+                parse_movi(payload, b + 4, e)
+    if not saw_movi:
+        raise NotImplementedError("AVI missing movi LIST (no frame data)")
+    if not vids_seen:
+        raise NotImplementedError("AVI missing a vids stream header")
+    if n_declared is not None and n_declared != len(lumas):
+        raise ValueError(
+            f"AVI header declares {n_declared} frames but movi carries "
+            f"{len(lumas)}"
+        )
+    w, h = dims if dims is not None else (0, 0)
+    return w, h, fps, len(lumas), lumas
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id long, content_hash string, n_frames int, fps int, "
+    "frame_idx int, width int, height int, mean_luma double"
+)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL video decode + per-frame feature rows over ``mapInPandas``
+    (the r11 twin of :func:`extract_image_features` with
+    ``use_fake_decoder=False`` — :func:`sample_frames` remains the
+    metadata-only plumbing stub). One output row per decoded frame:
+    ``(doc_id, content_hash, n_frames, fps, frame_idx, width, height,
+    mean_luma)``.
+
+    Scale shape: Arrow-batched, no driver involvement, flat columns
+    selected JVM-side so column pruning reaches the parquet scan; the
+    per-payload loop is inherent (variable-size container parse) while
+    the pixel math inside each JPEG frame is numpy. Frames explode
+    rows ~n_frames×, which is fine distributed — the explosion happens
+    inside the task that already holds the payload bytes."""
+    flat = df.select(
+        F.col(id_col),
+        F.col(f"{media_col}.content_hash").alias("content_hash"),
+        F.col(f"{media_col}.payload").alias("payload"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes, nfs, fpss, idxs, ws, hs, ls = [], [], [], [], [], [], [], []
+            for did, ch, p in zip(
+                pdf[id_col], pdf["content_hash"], pdf["payload"]
+            ):
+                w, h, fps, n, lumas = decode_avi_mjpeg(bytes(p))
+                for i, luma in enumerate(lumas):
+                    ids.append(did)
+                    hashes.append(ch)
+                    nfs.append(n)
+                    fpss.append(fps)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    ls.append(luma)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "content_hash": pd.Series(hashes, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "fps": pd.Series(fpss, dtype="int32"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(ls, dtype="float64"),
+                }
+            )
+
+    return flat.mapInPandas(batches, schema=VIDEO_FRAMES_SCHEMA)

@@ -997,3 +997,136 @@ class TestWavCodec:
         out = {r.doc_id: r for r in mm.extract_wav_features(df).collect()}
         assert out[1].n_samples == 8 and out[1].rms == 100.0
         assert out[2].sample_rate == 4000 and out[2].n_samples == 10
+
+
+class TestMjpegAvi:
+    """r11: the video seam closed — RIFF walker + baseline-JPEG decoder
+    composed into a real MJPEG-in-AVI decode (r10 verdict task 2)."""
+
+    def test_roundtrip_solid_gray_exact(self):
+        import numpy as np
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg)
+
+        frames, expect = [], []
+        for f in range(4):
+            v = 2 * ((7 + 17 * f) % 128)  # even gray, q50 → bit-exact
+            frames.append(
+                encode_jpeg(8, 8, np.full((8, 8, 3), v, dtype="uint8"), quality=50)
+            )
+            expect.append(64000 * v / (255000.0 * 64))
+        w, h, fps, n, lumas = decode_avi_mjpeg(encode_avi_mjpeg(frames, 8, 8, fps=12))
+        assert (w, h, fps, n) == (8, 8, 12, 4)
+        assert lumas == expect
+
+    def test_frames_match_standalone_jpeg_decode(self):
+        import numpy as np
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_avi_mjpeg, decode_jpeg, encode_avi_mjpeg, encode_jpeg)
+
+        rng = np.random.RandomState(11)
+        frames = [
+            encode_jpeg(16, 8, rng.randint(0, 256, (8, 16, 3)).astype("uint8"),
+                        quality=q)
+            for q in (50, 75, 90)
+        ]
+        w, h, fps, n, lumas = decode_avi_mjpeg(encode_avi_mjpeg(frames, 16, 8, fps=25))
+        assert (w, h, n) == (16, 8, 3)
+        assert lumas == [decode_jpeg(f)[3] for f in frames]
+
+    def test_non_mjpeg_fourcc_raises_named(self):
+        import numpy as np
+        import pytest
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg)
+
+        avi = encode_avi_mjpeg(
+            [encode_jpeg(8, 8, np.zeros((8, 8, 3), dtype="uint8"))], 8, 8
+        )
+        with pytest.raises(NotImplementedError, match="XVID"):
+            decode_avi_mjpeg(avi.replace(b"MJPG", b"XVID"))
+
+    def test_non_avi_riff_raises_named(self):
+        import pytest
+
+        from polars_pipe_spark.functions.multimodal import decode_avi_mjpeg
+
+        with pytest.raises(NotImplementedError, match="AVI RIFF only"):
+            decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_header_frame_count_mismatch_raises(self):
+        import numpy as np
+        import pytest
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_avi_mjpeg, encode_avi_mjpeg, encode_jpeg)
+
+        jf = encode_jpeg(8, 8, np.zeros((8, 8, 3), dtype="uint8"))
+        avi = bytearray(encode_avi_mjpeg([jf, jf], 8, 8))
+        # dwTotalFrames lives at avih body offset 16; avih body starts at
+        # RIFF(12) + LIST hdr(8) + 'hdrl'(4) + avih hdr(8) = 32
+        avi[32 + 16 : 32 + 20] = (5).to_bytes(4, "little")
+        with pytest.raises(ValueError, match="declares 5 frames"):
+            decode_avi_mjpeg(bytes(avi))
+
+    def test_extract_video_frames_distributed(self, spark):
+        import numpy as np
+
+        from polars_pipe_spark.functions.multimodal import (
+            encode_avi_mjpeg, encode_jpeg, extract_video_frames, pack_media)
+        from pyspark.sql import functions as F
+
+        rows = []
+        for did in range(6):
+            frames = [
+                encode_jpeg(8, 8, np.full((8, 8, 3), 2 * ((did + 17 * f) % 128),
+                                          dtype="uint8"), quality=50)
+                for f in range(2 + did % 3)
+            ]
+            rows.append((did, encode_avi_mjpeg(frames, 8, 8, fps=12)))
+        df = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+            "doc_id",
+            pack_media(F.col("payload"), F.lit(None).cast("string"),
+                       F.lit("video/x-msvideo")).alias("media"),
+        )
+        out = extract_video_frames(df).collect()
+        assert len(out) == sum(2 + d % 3 for d in range(6))
+        for r in out:
+            v = 2 * ((r.doc_id + 17 * r.frame_idx) % 128)
+            assert r.width == 8 and r.height == 8 and r.fps == 12
+            assert r.n_frames == 2 + r.doc_id % 3
+            assert r.mean_luma == 64000 * v / (255000.0 * 64)
+
+    def test_interleaved_audio_chunks_are_skipped(self):
+        """AVIs commonly interleave '01wb' audio chunks in movi; the
+        video decoder must skip non-stream-0 chunks, not choke."""
+        import struct
+
+        import numpy as np
+
+        from polars_pipe_spark.functions.multimodal import (
+            decode_avi_mjpeg, decode_jpeg, encode_avi_mjpeg, encode_jpeg)
+
+        jf = encode_jpeg(8, 8, np.full((8, 8, 3), 100, dtype="uint8"), quality=50)
+        avi = encode_avi_mjpeg([jf, jf], 8, 8, fps=12)
+        # splice an '01wb' chunk right after the first '00dc' frame
+        movi_at = avi.find(b"LIST", 12)
+        while avi[movi_at + 8 : movi_at + 12] != b"movi":
+            movi_at = avi.find(b"LIST", movi_at + 4)
+        first_dc = avi.find(b"00dc", movi_at)
+        (flen,) = struct.unpack_from("<I", avi, first_dc + 4)
+        splice_at = first_dc + 8 + flen + (flen & 1)
+        audio = b"01wb" + struct.pack("<I", 6) + b"\x01\x02\x03\x04\x05\x06"
+        out = avi[:splice_at] + audio + avi[splice_at:]
+        # grow the two enclosing sizes: movi LIST and RIFF
+        out = bytearray(out)
+        (msz,) = struct.unpack_from("<I", out, movi_at + 4)
+        struct.pack_into("<I", out, movi_at + 4, msz + len(audio))
+        (rsz,) = struct.unpack_from("<I", out, 4)
+        struct.pack_into("<I", out, 4, rsz + len(audio))
+        w, h, fps, n, lumas = decode_avi_mjpeg(bytes(out))
+        assert (w, h, n) == (8, 8, 2)
+        assert lumas == [decode_jpeg(jf)[3]] * 2
