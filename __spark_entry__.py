@@ -1398,17 +1398,35 @@ def _q58_tfidf(spark, sf):
 def _q59_label_centroids(spark, sf):
     """Per-label embedding centroids in long format (label, dim, mean):
     posexplode + decimal-exact element sums — the distributed way to
-    average vectors without driver collection."""
+    average vectors without driver collection.
+
+    r11 fix (found by the first full-registry sf0.1 oracle run): the old
+    `round(sum/count, 6)` hit a genuine 7th-decimal .5 tie at sf0.1
+    (label 9, dim 6: mean exactly 0.0032135), where Spark's
+    BigDecimal-HALF_UP-on-the-exact-binary-double and DuckDB's
+    multiply-by-1e6-then-round disagree about which side of the tie the
+    double sits on. The mean is now rounded in EXACT integer micro
+    space on both sides — S = sum×1e6 (exact: the addends are
+    decimal(12,6)), half-away-from-zero via the closed integer form
+    sign(S)·((2|S| + n) div (2n)) — so no engine ever rounds a double.
+    All operands stay < 2^53, so the long division is exact."""
     emb = _t(spark, sf, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     ).withColumn("vd", F.round(F.col("v").cast("double"), 6).cast("decimal(12,6)"))
-    return (
-        exploded.groupBy("label", "dim")
-        .agg(
-            F.round(F.sum("vd").cast("double") / F.count(F.lit(1)), 6).alias("mean_val"),
-            F.count(F.lit(1)).alias("n_vecs"),
-        )
+    s_micro = (F.sum("vd") * F.lit(1_000_000)).cast("decimal(28,0)").cast("long")
+    n = F.count(F.lit(1))
+    agg = exploded.groupBy("label", "dim").agg(
+        s_micro.alias("s_micro"), n.alias("n_vecs")
+    )
+    abs_s = F.abs(F.col("s_micro"))
+    micro = F.floor((2 * abs_s + F.col("n_vecs")) / (2 * F.col("n_vecs"))).cast("long")
+    signed = F.when(F.col("s_micro") < 0, -micro).otherwise(micro)
+    return agg.select(
+        "label",
+        "dim",
+        (signed.cast("double") / F.lit(1_000_000.0)).alias("mean_val"),
+        "n_vecs",
     )
 
 
@@ -6976,10 +6994,15 @@ def _q251_simhash_banded(spark, sf):
     """Hamming-space LSH (Manku et al., WWW'07 — Google's web-dedup
     banding) over the q26 SimHash column: 16-bit signatures split into 4
     bit-bands, candidates from exact band equality, verified at hamming
-    ≤ 3. Pigeonhole makes this blocking LOSSLESS (3 flipped bits damage
-    ≤ 3 of 4 bands, so one band always survives — recall 1.0, which the
-    ORACLE exploits by checking against the brute-force all-pairs hamming
-    join; equality of the two sets IS the recall proof at this scale).
+    ≤ 3. Pigeonhole makes the blocking LOSSLESS while no band bucket
+    hits the max_band_members=1000 cap (3 flipped bits damage ≤ 3 of 4
+    bands, so one band always survives). The ORACLE replays the FULL
+    documented contract — banding, per-bucket cap, candidates through
+    surviving buckets only, hamming verify — in SQL (r11 fix: the old
+    brute-force oracle equals this only in the unsaturated regime;
+    sf0.1's densest 4-bit-band buckets exceed the cap and are dropped
+    per the partial-drop contract). In the sf0.01 artifact no bucket
+    saturates, so the oracle there IS the brute-force recall proof.
     functions/dedup.py::simhash_near_dups; band-bucket cap shared with
     the minhash path."""
     from polars_pipe_spark.functions.dedup import simhash_near_dups
@@ -10539,16 +10562,28 @@ _ORACLES["q58_tfidf"] = """
     FROM scored QUALIFY rk <= 3
 """
 
+# r11: mean rounded in exact integer micro space (see _q59's docstring —
+# a real 7th-decimal .5 tie at sf0.1 made engine double-rounds diverge);
+# sign(S)·((2|S| + n) // (2n)) is half-away-from-zero with no double
+# arithmetic until the final exact /1e6.
 _ORACLES["q59_label_centroids"] = """
     WITH e AS (
       SELECT label, i - 1 AS dim,
              CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(12,6)) AS vd
       FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+    ), a AS (
+      SELECT label, dim,
+             CAST(SUM(vd) * 1000000 AS BIGINT) AS s_micro,
+             COUNT(*) AS n_vecs
+      FROM e GROUP BY label, dim
     )
     SELECT label, CAST(dim AS INT) AS dim,
-           ROUND(CAST(SUM(vd) AS DOUBLE) / COUNT(*), 6) AS mean_val,
-           COUNT(*) AS n_vecs
-    FROM e GROUP BY label, dim
+           CAST(CASE WHEN s_micro < 0
+                THEN -((2 * (-s_micro) + n_vecs) // (2 * n_vecs))
+                ELSE (2 * s_micro + n_vecs) // (2 * n_vecs) END AS DOUBLE)
+             / 1000000.0 AS mean_val,
+           n_vecs
+    FROM a
 """
 
 _ORACLES["q60_trailing_window"] = """
@@ -14114,13 +14149,45 @@ _ORACLES["q250_cdc_chunking"] = f"""
 # q26 signature derivation — banding is lossless at hamming ≤ 3 < 4
 # bands (pigeonhole), so the blocked set must EQUAL the exhaustive set;
 # any missing pair is a recall bug, any extra a banding bug.
+# r11 (found by the first full-registry sf0.1 oracle run — the exact
+# wrong-answer-at-scale class this rung exists for): the old oracle was
+# the brute-force all-pairs hamming join, which equals the banded result
+# ONLY while no band bucket exceeds the max_band_members=1000 cap. At
+# sf0.01 (500 docs / 16 values per 4-bit band) no bucket saturates and
+# the two coincide — the green artifact hid the divergence. At sf0.1
+# (5000 docs) the densest buckets exceed the cap, _cap_band_buckets
+# drops them (the DOCUMENTED partial-drop contract: a WARNING, recall
+# guarantee void for dropped members), and Spark correctly emits fewer
+# pairs (1.18M vs 1.57M). The oracle now replays the FULL contract in
+# SQL — banding, the per-bucket cap, candidate pairs through surviving
+# buckets only, hamming verify — so it checks what the function
+# promises at every corpus size; the brute-force equality remains true
+# (and artifact-checked) in the unsaturated sf0.01 regime, where the
+# cap filter keeps every bucket.
 _ORACLES["q251_simhash_banded"] = f"""
-    WITH sig AS ({_ORACLES["q26_simhash"]})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT)
-             AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    WITH sig AS ({_ORACLES["q26_simhash"]}),
+    band AS (
+      SELECT doc_id, simhash16, bn.b AS band_no,
+             (simhash16 >> (bn.b * 4)) & 15 AS band_val
+      FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS b) bn
+    ),
+    keep AS (
+      SELECT band_no, band_val
+      FROM band GROUP BY band_no, band_val
+      HAVING COUNT(*) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash16 AS sa, b.simhash16 AS sb
+      FROM band a
+      JOIN keep k ON k.band_no = a.band_no AND k.band_val = a.band_val
+      JOIN band b ON b.band_no = a.band_no AND b.band_val = a.band_val
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
