@@ -136,3 +136,96 @@ class TestTParProbe:
 
         df = spark.range(4)  # no input files at all
         assert entry._estimated_scan_splits(spark, df) == 0
+
+
+class TestQ59MicroRounding:
+    """r11: the sf0.1 oracle rung caught a real 7th-decimal .5 tie in
+    q59's round(sum/count, 6) where Spark and DuckDB double-rounds
+    disagree; the mean is now rounded in exact integer micro space
+    (half-away-from-zero closed form) on both sides."""
+
+    def test_exact_tie_rounds_away_from_zero(self, spark):
+        # reproduce the sf0.1 label-9/dim-6 situation exactly:
+        # sum(vd) = 0.616992, n = 192 -> mean = 0.0032135 precisely,
+        # a .5 tie at the 7th decimal. Half-away-from-zero => 0.003214.
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(0, i, v) for i, v in enumerate([0.003214] * 96 + [0.003213] * 96)],
+            "label int, idx int, v double",
+        )
+        # 96*0.003214 + 96*0.003213 = 0.616992 over n=192
+        agg = (
+            df.withColumn("vd", F.col("v").cast("decimal(12,6)"))
+            .groupBy("label")
+            .agg(
+                (F.sum("vd") * F.lit(1_000_000)).cast("decimal(28,0)").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                (
+                    F.floor((2 * F.abs(F.col("s")) + F.col("n")) / (2 * F.col("n")))
+                    .cast("long")
+                    .cast("double")
+                    / F.lit(1_000_000.0)
+                ).alias("mean_val")
+            )
+            .first()
+        )
+        assert agg["mean_val"] == 0.003214
+
+    def test_q59_negative_means_are_signed_correctly(self, spark):
+        import __spark_entry__ as entry
+
+        out = entry.queries()["q59_label_centroids"](
+            spark, "/root/testdata/sf0.001"
+        ).toPandas()
+        assert (out["mean_val"] < 0).any() and (out["mean_val"] > 0).any()
+        # every mean is an exact micro multiple (the integer-space contract)
+        import numpy as np
+
+        micros = out["mean_val"].to_numpy() * 1e6
+        assert np.allclose(micros, np.round(micros), atol=1e-6)
+
+
+class TestQ251CapContract:
+    """r11: simhash_near_dups' documented partial-drop contract (bands
+    over max_band_members are dropped; pairs survive only through
+    un-capped shared bands) — the semantics the q251 oracle now replays
+    in SQL after the sf0.1 rung exposed the brute-force oracle's
+    unsaturated-regime-only validity."""
+
+    def test_capped_bucket_drops_only_unreachable_pairs(self, spark):
+        from polars_pipe_spark.functions import dedup as dd
+
+        # Three identical docs (their shared band buckets have 3
+        # members, over the cap of 2) plus distinct filler docs that
+        # keep OTHER buckets under the cap (so the collapse guard —
+        # which fires only when EVERY bucket caps — stays quiet and the
+        # partial-drop path runs). The triple's pairs must disappear
+        # under the cap and reappear with the cap lifted.
+        filler = [
+            (10, "zebra quokka xylophone"), (11, "umbrella raincoat puddle"),
+            (12, "quantum flux capacitor"), (13, "mountain river estuary"),
+            (14, "violin cello orchestra"), (15, "pepper nutmeg clove"),
+        ]
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "alpha beta gamma delta"), *filler],
+            "doc_id long, text string",
+        )
+        capped = dd.simhash_near_dups(
+            docs, "text", "doc_id", bits=16, n_bands=4, max_hamming=3,
+            max_band_members=2,
+        ).collect()
+        uncapped = dd.simhash_near_dups(
+            docs, "text", "doc_id", bits=16, n_bands=4, max_hamming=3,
+            max_band_members=None,
+        ).collect()
+        assert len(uncapped) >= len(capped)
+        got_capped = {(r.id_a, r.id_b) for r in capped}
+        got_full = {(r.id_a, r.id_b) for r in uncapped}
+        # identical-triple pairs exist in the uncapped run
+        assert {(1, 2), (1, 3), (2, 3)} <= got_full
+        # and are gone once every shared band bucket exceeds the cap
+        assert not ({(1, 2), (1, 3), (2, 3)} & got_capped)
