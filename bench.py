@@ -181,14 +181,23 @@ def main() -> None:
     }
     line = json.dumps(payload)
     print(line)
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "scaling", "bench_latest.json"
+    # bench_latest.json is the driver-comparable headline artifact: only
+    # the DEFAULT configuration may overwrite it (r11 — a ladder rung and
+    # an isolated single-query probe both silently clobbered it with
+    # non-comparable numbers; sweep/ladder runs already land in their own
+    # scaling/*_r{N}.json files via shell redirection).
+    is_default_run = (
+        sf_dir == "/root/testdata/sf0.1" and not sel and not skip
     )
-    try:
-        with open(full_path, "w") as f:
-            f.write(line + "\n")
-    except OSError as e:  # read-only checkout: the printed line still stands
-        sys.stderr.write(f"bench: could not write {full_path}: {e}\n")
+    if is_default_run:
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scaling", "bench_latest.json"
+        )
+        try:
+            with open(full_path, "w") as f:
+                f.write(line + "\n")
+        except OSError as e:  # read-only checkout: the printed line still stands
+            sys.stderr.write(f"bench: could not write {full_path}: {e}\n")
 
 
 if __name__ == "__main__":
