@@ -20,6 +20,7 @@ Determinism policy for oracle parity:
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 import pandas as pd
@@ -52,12 +53,31 @@ def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
     which built the Java RDD graph per table read (r10 verdict nit) —
     this touches only ``inputFiles()`` (driver file listing, no job) and
     ``os.path.getsize``. Returns 0 (= "assume under-parallel") when a
-    size can't be read, which errs toward the cheap repartition."""
+    size can't be read, which errs toward the cheap repartition.
+
+    r12 (ADVICE nit): the packing constants are read from spark.conf
+    (with Spark's documented defaults) instead of hardcoded, so the
+    gate tracks any future spark.sql.files.* override in session.py;
+    and inputFiles() URIs are percent-decoded before getsize, so paths
+    with encodable characters don't spuriously force the repartition."""
     import math  # noqa: PLC0415
     import os  # noqa: PLC0415
+    from urllib.parse import unquote  # noqa: PLC0415
 
-    open_cost = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes default
-    max_pb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    def _conf_bytes(key: str, default: int) -> int:
+        raw = spark.conf.get(key, str(default))
+        try:
+            return int(raw)
+        except ValueError:
+            # suffixed forms like "128m"/"4MB" (Spark accepts both)
+            m = re.match(r"^(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+            if not m:
+                return default
+            mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3}[m.group(2)]
+            return int(m.group(1)) * mult
+
+    open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
+    max_pb = _conf_bytes("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
     total = 0
     files = df.inputFiles()
     if not files:
@@ -66,7 +86,7 @@ def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
         p = f[len("file://") :] if f.startswith("file://") else f
         p = p[len("file:") :] if p.startswith("file:") else p
         try:
-            total += os.path.getsize(p) + open_cost
+            total += os.path.getsize(unquote(p)) + open_cost
         except OSError:
             return 0
     par = spark.sparkContext.defaultParallelism
@@ -1409,7 +1429,13 @@ def _q59_label_centroids(spark, sf):
     space on both sides — S = sum×1e6 (exact: the addends are
     decimal(12,6)), half-away-from-zero via the closed integer form
     sign(S)·((2|S| + n) div (2n)) — so no engine ever rounds a double.
-    All operands stay < 2^53, so the long division is exact."""
+
+    r12 (ADVICE nit): the quotient uses Spark SQL's integral `div`
+    operator (exact BIGINT division, the same semantics as DuckDB's
+    `//`) rather than double `/` + floor — the double path was only
+    floor-safe while 1/(2n) exceeded the double ulp of the quotient,
+    i.e. up to ~2e9 rows per (label, dim) group. `div` has no such
+    bound: it is exact for all long operands."""
     emb = _t(spark, sf, "embeddings")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("dim", "v")
@@ -1419,8 +1445,7 @@ def _q59_label_centroids(spark, sf):
     agg = exploded.groupBy("label", "dim").agg(
         s_micro.alias("s_micro"), n.alias("n_vecs")
     )
-    abs_s = F.abs(F.col("s_micro"))
-    micro = F.floor((2 * abs_s + F.col("n_vecs")) / (2 * F.col("n_vecs"))).cast("long")
+    micro = F.expr("(2 * abs(s_micro) + n_vecs) div (2 * n_vecs)").cast("long")
     signed = F.when(F.col("s_micro") < 0, -micro).otherwise(micro)
     return agg.select(
         "label",
@@ -9442,7 +9467,33 @@ _SHINGLES3 = (
     "ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END"
 )
 
-_Q25_INNER = f"""
+def _q25_inner(max_band_members: int | None) -> str:
+    """Canonical minhash-LSH pair generation in DuckDB SQL, REPLAYING
+    the Spark side's band-bucket cap contract (r11 verdict task 2, the
+    q251 fix pattern generalized): ``minhash_near_dups`` /
+    ``minhash_lsh_candidates`` DROP band buckets with more than
+    ``max_band_members`` distinct members before the self-join
+    (functions/dedup.py::_cap_band_buckets), so a brute-force oracle is
+    only valid while no bucket saturates — exactly the class of silent
+    wrong-answer-at-scale that q251's sf0.1 run caught for simhash.
+    The capped CTE (``bc``/``kept``) makes every _Q25_BODY consumer's
+    oracle valid at ANY rung, binding cap or not.  ``None`` keeps the
+    uncapped body — used ONLY by q183, whose Spark side
+    (``incremental_near_dups``) deliberately runs uncapped (the batch
+    side is small by construction; see its docstring)."""
+    if max_band_members is None:
+        kept = "bands"
+        cap_ctes = ""
+    else:
+        kept = "kept"
+        cap_ctes = f"""
+    , bc AS (
+      SELECT band, COUNT(*) AS n_members FROM bands GROUP BY band
+    ), kept AS (
+      SELECT bands.doc_id, bands.band
+      FROM bands JOIN bc USING (band) WHERE bc.n_members <= {max_band_members}
+    )"""
+    return f"""
     WITH tok AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
     ), dsh AS (
@@ -9454,9 +9505,9 @@ _Q25_INNER = f"""
         concat_ws('|', '0', sig[1], sig[2]), concat_ws('|', '1', sig[3], sig[4]),
         concat_ws('|', '2', sig[5], sig[6]), concat_ws('|', '3', sig[7], sig[8])
       ]) AS band FROM sig
-    ), cand AS (
+    ){cap_ctes}, cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      FROM {kept} a JOIN {kept} b ON a.band = b.band AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
            round(CAST(len(list_filter(x.dsh, s -> list_contains(y.dsh, s))) AS DOUBLE)
@@ -9464,6 +9515,11 @@ _Q25_INNER = f"""
                     - len(list_filter(x.dsh, s -> list_contains(y.dsh, s)))), 6) AS jaccard
     FROM cand JOIN dsh x ON x.doc_id = id_a JOIN dsh y ON y.doc_id = id_b
 """
+
+
+# cap=1000 mirrors every minhash_near_dups call site's default
+_Q25_INNER = _q25_inner(1000)
+_Q25_INNER_NOCAP = _q25_inner(None)
 _ORACLES["q25_minhash_neardup"] = (
     "SELECT * FROM (" + _Q25_INNER + ") WHERE jaccard >= 0.2"
 )
@@ -13039,7 +13095,7 @@ _ORACLES["q182_dedup_savings"] = f"""
 # banding the corpus, so the candidate sets coincide.
 _ORACLES["q183_incremental_neardup"] = f"""
     WITH prs AS (
-      {_Q25_BODY}
+      SELECT * FROM ({_Q25_INNER_NOCAP}) WHERE jaccard >= 0.2
     ), stat AS (
       SELECT b.doc_id,
              CASE WHEN EXISTS (

@@ -6,6 +6,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Execution is measured with the noop sink (format("noop")) so timings
 reflect full distributed execution without driver-side collect overhead.
+
+r12 — regime-aware measurement (r11 verdict task 1):
+  * A fixed-work CALIBRATION PROBE (synthetic range scan + hash agg,
+    constant size, independent of sf) runs before and after the query
+    loop; both times land in the JSON line as ``calib_s: [pre, post]``.
+  * ``regime`` is derived from the probe vs the committed idle bound
+    ``CALIB_IDLE_BOUND_S`` (documented in BASELINE.md): "ok" when both
+    probes are at or under the bound, "degraded" otherwise.  A degraded
+    tag means host contention — per-query crossings in that run are
+    adjudicated by ``tools/noise_rule.py`` as crossed-degraded, not
+    treated as regressions (the q54/q23/q165 lesson, three rounds of
+    hand-ruling).
+  * The printed stdout line is kept SHORT (< 2 KB: the driver archives
+    a ~2 KB tail and a longer line truncates its head into unparseable
+    JSON — BENCH_r11.json ``parsed: null``).  Per-query spreads moved
+    OFF the line into the full payload, which is always written to
+    ``scaling/bench_last_run_full.json`` (any config, most recent
+    invocation) and, for default runs only, ``scaling/bench_latest.json``.
 """
 
 from __future__ import annotations
@@ -17,6 +35,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Idle bound for the calibration probe (seconds). Committed, not derived
+# (see BASELINE.md "Regime calibration"): the probe measured INSIDE an
+# idle-host bench session (where the JVM carries the query loop's GC
+# context) reads ~0.45-0.52 s best-of-2, vs ~0.31 s in a bare session —
+# the bound is calibrated against the in-context value. 0.75 ≈ 1.5x
+# in-context idle: ordinary jitter stays "ok" while the documented
+# slow-host regime (r11 driver run: trivial queries at 2-5x their idle
+# times) pushes the fixed-work probe well past it.
+CALIB_IDLE_BOUND_S = 0.75
 
 HEADLINE = [
     "q01_filter_pushdown",
@@ -69,6 +97,26 @@ HEADLINE = [
 ]
 
 
+def calibration_probe(spark) -> float:
+    """Fixed-work synthetic scan + hash-agg, constant size (48M rows,
+    32 splits), independent of sf_dir and of the query registry.  Wall
+    time of this job is a pure function of host conditions — the same
+    code, same data volume, same shuffle shape every run — so comparing
+    it with the committed idle bound separates 'this round's code got
+    slower' from 'the host was busy' without human judgment."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    t0 = time.time()
+    (
+        spark.range(0, 48_000_000, 1, 32)
+        .select((F.xxhash64("id") % 9973).alias("h"))
+        .groupBy((F.col("h") % 61).alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -116,6 +164,12 @@ def main() -> None:
     spark.range(1000).count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
+    # regime calibration, pre-loop: one DISCARDED probe (pays whole-stage
+    # codegen for the probe plan) then best-of-2 (min shrugs off a
+    # one-off GC spike — a busy HOST degrades both samples)
+    calibration_probe(spark)
+    calib_pre = min(calibration_probe(spark), calibration_probe(spark))
+
     # r5 protocol hardening (r4 VERDICT #5): FIXED query order (the
     # HEADLINE list order, every run), best-of-N with N=3 by default
     # (override with SPARK_GRAFT_BENCH_RUNS), and the per-query spread
@@ -161,43 +215,86 @@ def main() -> None:
             round(max(samples) - min(samples), 3) if samples[0] >= 0 else -1.0
         )
 
+    # regime calibration, post-loop: the same fixed-work probe — a run
+    # that STARTED idle but degraded mid-loop still gets tagged
+    calib_post = min(calibration_probe(spark), calibration_probe(spark))
+    regime = (
+        "ok"
+        if max(calib_pre, calib_post) <= CALIB_IDLE_BOUND_S
+        else "degraded"
+    )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # key order matters downstream: the driver archives only a ~2000-char
-    # TAIL of this line (r9 verdict item 6 — it used to truncate the
-    # first ~7 query medians). "spread" leads so truncation eats the
-    # redundant dict; queries/metric/value land in the preserved tail.
-    # The FULL line is also written to scaling/bench_latest.json so no
-    # judge ever has to reconstruct medians from a clipped artifact.
+    # The PRINTED line must stay under ~2 KB: the driver archives only a
+    # ~2 KB tail of stdout, and a longer line loses its head — the JSON
+    # becomes unparseable (BENCH_r11.json parsed:null was exactly this).
+    # So the line carries value + queries + calib/regime and NOT the
+    # per-query spread dict; the full payload (with spreads) is written
+    # to scaling/ sidecars below.
     payload = {
-        "spread": spreads,
-        "queries": timings,
-        **({"skipped": sorted(skip)} if skip else {}),
-        **({"fenced": fenced} if fenced else {}),
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
+        "queries": timings,
+        **({"skipped": sorted(skip)} if skip else {}),
+        **({"fenced": fenced} if fenced else {}),
         "runs": runs,
         "sf": sf,
+        "calib_s": [calib_pre, calib_post],
+        "calib_bound_s": CALIB_IDLE_BOUND_S,
+        "regime": regime,
     }
     line = json.dumps(payload)
+    if len(line) > 1900:
+        # keep the line parseable even if the headline list grows: drop
+        # per-query detail last (value/calib/regime always survive)
+        sys.stderr.write(
+            f"bench: line {len(line)}B exceeds driver tail budget; "
+            "full queries dict in scaling/bench_last_run_full.json\n"
+        )
+        slim = dict(payload)
+        slim["queries"] = {"_see": "scaling/bench_last_run_full.json"}
+        line = json.dumps(slim)
     print(line)
+
+    full_payload = dict(payload)
+    full_payload["spread"] = spreads
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+
+    def _write(path: str) -> None:
+        try:
+            with open(path, "w") as f:
+                f.write(json.dumps(full_payload) + "\n")
+        except OSError as e:  # read-only checkout: the printed line still stands
+            sys.stderr.write(f"bench: could not write {path}: {e}\n")
+
+    # every invocation records its full payload (spreads included) here —
+    # ladder/sweep rungs copy it aside if they want to keep it
+    _write(os.path.join(repo_dir, "scaling", "bench_last_run_full.json"))
+
     # bench_latest.json is the driver-comparable headline artifact: only
     # the DEFAULT configuration may overwrite it (r11 — a ladder rung and
     # an isolated single-query probe both silently clobbered it with
-    # non-comparable numbers; sweep/ladder runs already land in their own
-    # scaling/*_r{N}.json files via shell redirection).
+    # non-comparable numbers).  r12 (ADVICE nit): "default" now also
+    # requires the default run count and CPU config, and the sf_dir
+    # compare is normpath-ed so a trailing slash doesn't silently skip
+    # the write; non-default classification is logged to stderr.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    default_cpus = cpus_env is None or cpus_env == str(os.cpu_count() or 8)
     is_default_run = (
-        sf_dir == "/root/testdata/sf0.1" and not sel and not skip
+        os.path.normpath(sf_dir) == os.path.normpath("/root/testdata/sf0.1")
+        and not sel
+        and not skip
+        and runs == 3
+        and default_cpus
     )
     if is_default_run:
-        full_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "scaling", "bench_latest.json"
+        _write(os.path.join(repo_dir, "scaling", "bench_latest.json"))
+    else:
+        sys.stderr.write(
+            "bench: non-default run (sf_dir/sel/skip/runs/cpus differ) — "
+            "scaling/bench_latest.json NOT overwritten\n"
         )
-        try:
-            with open(full_path, "w") as f:
-                f.write(line + "\n")
-        except OSError as e:  # read-only checkout: the printed line still stands
-            sys.stderr.write(f"bench: could not write {full_path}: {e}\n")
 
 
 if __name__ == "__main__":

@@ -2561,7 +2561,16 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, int, int, list[float]]:
                 fcc_type = buf[b : b + 4]
                 fcc_handler = buf[b + 4 : b + 8]
                 scale, rate = struct.unpack_from("<II", buf, b + 20)
-                if fcc_type == b"vids" and scale:
+                if fcc_type == b"vids":
+                    if not scale:
+                        # r12 (ADVICE nit): a zero dwScale is a malformed
+                        # stream header — raise the named-seam error like
+                        # the rest of the container contract instead of
+                        # silently returning fps=0 rows.
+                        raise ValueError(
+                            "AVI vids strh has dwScale=0 — frame rate "
+                            f"undefined (dwRate={rate})"
+                        )
                     fps = round(rate / scale)
             elif cid == b"strf" and fcc_type == b"vids" and e - b >= 20:
                 bi_comp = buf[b + 16 : b + 20]

@@ -1,0 +1,134 @@
+"""Pin tools/noise_rule.py — the machine form of the bench noise rule
+(r11 verdict task 1: "the noise rule needs to be a tool, not a judgment
+call").  Synthetic worsened artifacts exercise every verdict branch."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from tools.noise_rule import evaluate  # noqa: E402
+
+BASELINE = {
+    "queries": {
+        "q_fast": 1.0,
+        "q_noisy": 1.0,
+        "q_regressed": 1.0,
+        "q_small_delta": 0.1,
+        "q_failed": 1.0,
+    }
+}
+
+
+def _current(regime: str) -> dict:
+    return {
+        "regime": regime,
+        "calib_s": [0.31, 0.33] if regime == "ok" else [0.9, 1.1],
+        "calib_bound_s": 0.5,
+        "queries": {
+            # not crossed: ratio 1.2 <= 1.3
+            "q_fast": 1.2,
+            # ratio 1.6 > 1.3 BUT delta 0.6 <= own spread 0.7 -> noise
+            "q_noisy": 1.6,
+            # ratio 2.0 AND delta 1.0 > spread 0.2 -> crossed
+            "q_regressed": 2.0,
+            # ratio 2.0 but delta 0.1 <= spread 0.15 -> noise
+            "q_small_delta": 0.2,
+            # failure sentinel
+            "q_failed": -1.0,
+            # present only in current
+            "q_new": 0.5,
+        },
+        "spread": {
+            "q_fast": 0.05,
+            "q_noisy": 0.7,
+            "q_regressed": 0.2,
+            "q_small_delta": 0.15,
+        },
+    }
+
+
+class TestNoiseRule:
+    def test_clean_regime_crossing_is_regression(self):
+        rep = evaluate(_current("ok"), BASELINE)
+        v = rep["verdicts"]
+        assert v["q_fast"]["verdict"] == "ok"
+        assert v["q_noisy"]["verdict"] == "ok"  # delta within own spread
+        assert v["q_small_delta"]["verdict"] == "ok"
+        assert v["q_regressed"]["verdict"] == "crossed"
+        assert v["q_failed"]["verdict"] == "failed"
+        assert v["q_new"]["verdict"] == "no-baseline"
+        assert rep["overall"] == "regressed"
+        assert rep["crossed"] == ["q_regressed"]
+
+    def test_degraded_regime_downgrades_crossings(self):
+        rep = evaluate(_current("degraded"), BASELINE)
+        assert rep["verdicts"]["q_regressed"]["verdict"] == "crossed-degraded"
+        assert rep["overall"] == "rerun-degraded"
+        assert rep["crossed"] == []
+        assert rep["crossed_degraded"] == ["q_regressed"]
+
+    def test_unknown_regime_treated_as_clean(self):
+        cur = _current("ok")
+        del cur["regime"]
+        rep = evaluate(cur, BASELINE)
+        assert rep["regime"] == "unknown"
+        assert rep["verdicts"]["q_regressed"]["verdict"] == "crossed"
+
+    def test_missing_spread_is_strictest(self):
+        # short driver line: no spread dict -> spread 0, so ratio>1.3
+        # with any positive delta crosses
+        cur = {"regime": "ok", "queries": {"q_noisy": 1.6}}
+        rep = evaluate(cur, BASELINE)
+        assert rep["verdicts"]["q_noisy"]["verdict"] == "crossed"
+
+    def test_all_ok(self):
+        cur = {"regime": "ok", "queries": {"q_fast": 1.05}}
+        rep = evaluate(cur, BASELINE)
+        assert rep["overall"] == "ok"
+
+    def test_cli_roundtrip(self, tmp_path):
+        cur_p = tmp_path / "cur.json"
+        base_p = tmp_path / "base.json"
+        out_p = tmp_path / "out.json"
+        cur_p.write_text(json.dumps(_current("degraded")))
+        base_p.write_text(json.dumps(BASELINE))
+        repo = Path(__file__).resolve().parents[1]
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(repo / "tools" / "noise_rule.py"),
+                str(cur_p),
+                str(base_p),
+                "--json",
+                str(out_p),
+            ],
+            capture_output=True,
+            text=True,
+        )
+        # rerun-degraded exits 0 (not evidence of a regression)
+        assert proc.returncode == 0, proc.stderr
+        rep = json.loads(out_p.read_text())
+        assert rep["overall"] == "rerun-degraded"
+
+    def test_cli_exit_1_on_clean_regression(self, tmp_path):
+        cur_p = tmp_path / "cur.json"
+        base_p = tmp_path / "base.json"
+        cur_p.write_text(json.dumps(_current("ok")))
+        base_p.write_text(json.dumps(BASELINE))
+        repo = Path(__file__).resolve().parents[1]
+        proc = subprocess.run(
+            [
+                sys.executable,
+                str(repo / "tools" / "noise_rule.py"),
+                str(cur_p),
+                str(base_p),
+            ],
+            capture_output=True,
+            text=True,
+        )
+        assert proc.returncode == 1
