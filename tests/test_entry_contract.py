@@ -107,3 +107,50 @@ def test_query_runs_and_is_stable(spark, name):
     assert n >= 0 and len(cols) > 0
     # schema stable across two invocations
     assert fn(spark, SF).columns == cols
+
+
+# the cap-sensitive family (r11 verdict task 4): queries whose Spark
+# side carries a cap/fence that could first BIND above sf0.1 — the
+# minhash band-cap family (DROP class, oracle replays the cap), the
+# uncapped-by-design incremental gate, the simhash banded pair set, the
+# fuzzy-join guard family (RAISE class), and the budgeted ANN paths
+# (FALLBACK class). See COVERAGE.md "Cap-contract table".
+CAP_SENSITIVE_FAMILY = {
+    "q25_minhash_neardup", "q63_dedup_clusters", "q73_dedup_apply",
+    "q144_quality_rep_dedup", "q175_cluster_split", "q201_lsh_precision",
+    "q234_dedup_survivorship", "q241_dup_graph_triangles", "q252_pagerank",
+    "q183_incremental_neardup", "q251_simhash_banded", "q26_simhash",
+    "q61_fuzzy_join", "q160_fuzzy_join", "q256_entity_resolution",
+    "q28_cosine_topk", "q168_pq_topk", "q236_semantic_dedup",
+}
+
+
+def test_cap_sensitive_family_green_at_sf1():
+    """r12 (r11 verdict task 4): the cap-sensitive family must be
+    oracle-green at sf1 — the rung where a cap that is slack at sf0.1
+    could first saturate (the q251 failure class one rung later). The
+    committed CORRECTNESS_SF1_r*.json must cover the family and be all
+    green. Regenerate with `SF_DIR=/tmp/pps_scale/sf1 python
+    tools/check_oracle.py --json CORRECTNESS_SF1_r<N>.json <family>`
+    (fixtures via `python tools/gen_testdata.py --sf 1 --out
+    /tmp/pps_scale/sf1`)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(root, "CORRECTNESS_SF1_r*.json"))
+    assert arts, "no CORRECTNESS_SF1 artifact committed (r12 contract)"
+    latest = max(arts, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    with open(latest) as f:
+        rows = json.load(f)
+    missing = CAP_SENSITIVE_FAMILY - set(rows)
+    assert not missing, f"{os.path.basename(latest)} missing family rows: {sorted(missing)}"
+    red = {
+        k: v
+        for k, v in rows.items()
+        if v.get("err") is not None
+        or not (v.get("rows_match") and v.get("hash_match", True))
+    }
+    assert not red, f"non-green rows in {os.path.basename(latest)}: {sorted(red)[:10]}"
