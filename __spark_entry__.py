@@ -486,11 +486,22 @@ def _q16_window_topk(spark, sf):
 
 def _q17_running_sum(spark, sf):
     """Cumulative window (C6): running quantity per supplier over time,
-    deterministic ordering by (shipdate, orderkey, linenumber)."""
+    deterministic ordering by (shipdate, orderkey, linenumber,
+    quantity).
+
+    r12: quantity joined the ordering key after the fresh sf0.1 oracle
+    artifact caught a REAL nondeterminism — the driver's dirty-data
+    generator emits duplicate (orderkey, linenumber) lineitem rows
+    (sf0.1: suppkey 707, 1998-04-26, order 45185 line 7 appears with
+    qty 16 AND 13), so the old ordering was not total and the two
+    engines could legally disagree on the tied rows' running sums
+    (r11's green was luck of the sort). With quantity as the final
+    key the output multiset is engine-independent: rows identical in
+    every ordered column contribute identical sums in any order."""
     li = _t(spark, sf, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return li.select(
@@ -5969,14 +5980,20 @@ def _q224_clamped_running_balance(spark, sf):
     CLOSED FORM with two ordered windows: with prefix sums S_t,
     b_t = S_t − min(0, min_{j≤t} S_j). Receipts (+qty on return-flagged
     lines) and issues (−qty) per supplier, totally ordered by
-    (shipdate, orderkey, linenumber); everything integer, both windows
-    partition by supplier — no recurrence, no UDF, no one-reducer
-    scan. Suppliers < 50 keep the output bounded."""
+    (shipdate, orderkey, linenumber, delta); everything integer, both
+    windows partition by supplier — no recurrence, no UDF, no
+    one-reducer scan. Suppliers < 50 keep the output bounded.
+
+    r12: delta joined the ordering key for the same reason as q17 —
+    the dirty-data generator emits duplicate (orderkey, linenumber)
+    rows, so an order that ignores the summed value is not total and
+    the clamped balance would be engine-order-dependent wherever such
+    a dup lands in the suppkey<50 slice at some rung."""
     li = _t_par(spark, sf, "lineitem").filter(F.col("l_suppkey") < 50)
     qty = F.round(F.col("l_quantity")).cast("long")
     delta = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "delta"
     ).rowsBetween(Window.unboundedPreceding, 0)
     staged = li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
@@ -8894,6 +8911,22 @@ def _q284_mjpeg_avi_decode(spark, sf):
     )
 
 
+def _q285_band_cap_report(spark, sf):
+    """LSH band-cap saturation observability (r12 — the q251 lesson as
+    a first-class query): per minhash band index, bucket count,
+    over-cap bucket count at the production cap (1000), the (id, band)
+    rows a capped candidate run would drop, and the largest bucket.
+    The operational pre-flight for every banded-dedup recall claim at a
+    new scale. No reference parity cite — extension surface
+    (functions/dedup.py::band_cap_report)."""
+    from polars_pipe_spark.functions.dedup import band_cap_report
+
+    return band_cap_report(
+        _t_par(spark, sf, "documents"), "text", "doc_id",
+        shingle_k=3, sig_k=8, n_bands=4, max_band_members=1000,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9183,6 +9216,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q282_wav_float_decode": _q282_wav_float_decode,
     "q283_g711_decode": _q283_g711_decode,
     "q284_mjpeg_avi_decode": _q284_mjpeg_avi_decode,
+    "q285_band_cap_report": _q285_band_cap_report,
 }
 
 
@@ -9343,7 +9377,8 @@ _ORACLES: dict[str, str] = {
     "q17_running_sum": """
         SELECT l_suppkey, l_orderkey, l_linenumber,
                SUM(l_quantity) OVER (PARTITION BY l_suppkey
-                                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                     ORDER BY l_shipdate, l_orderkey,
+                                              l_linenumber, l_quantity
                                      ROWS UNBOUNDED PRECEDING) AS running_qty
         FROM lineitem
     """,
@@ -9906,7 +9941,8 @@ _ORACLES["q224_clamped_running_balance"] = """
     s1 AS (
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, delta,
              SUM(delta) OVER (PARTITION BY l_suppkey
-                              ORDER BY l_shipdate, l_orderkey, l_linenumber
+                              ORDER BY l_shipdate, l_orderkey,
+                                       l_linenumber, delta
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS s
       FROM d
@@ -9915,7 +9951,7 @@ _ORACLES["q224_clamped_running_balance"] = """
       SELECT l_suppkey, l_orderkey, l_linenumber, delta, s,
              MIN(LEAST(s, 0)) OVER (PARTITION BY l_suppkey
                                     ORDER BY l_shipdate, l_orderkey,
-                                             l_linenumber
+                                             l_linenumber, delta
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS runmin
       FROM s1
@@ -15283,6 +15319,34 @@ _ORACLES["q284_mjpeg_avi_decode"] = """
              / (255000.0 * 64) AS mean_luma
     FROM documents d,
          LATERAL (SELECT unnest(generate_series(0, 1 + d.doc_id % 3)) AS f) f
+"""
+
+# q285: the band-cap saturation report — replays the exact minhash
+# banding (same tok/dsh/sig/bands CTEs as _q25_inner) then aggregates
+# bucket-size stats per band index at the production cap of 1000.
+_ORACLES["q285_band_cap_report"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), dsh AS (
+      SELECT doc_id, list_distinct({_SHINGLES3}) AS dsh FROM tok
+    ), sig AS (
+      SELECT doc_id, (list_sort(list_transform(dsh, s -> md5(s))))[1:8] AS sig FROM dsh
+    ), bands AS (
+      SELECT DISTINCT doc_id, unnest([
+        concat_ws('|', '0', sig[1], sig[2]), concat_ws('|', '1', sig[3], sig[4]),
+        concat_ws('|', '2', sig[5], sig[6]), concat_ws('|', '3', sig[7], sig[8])
+      ]) AS band FROM sig
+    ), bc AS (
+      SELECT band, COUNT(*) AS n_members FROM bands GROUP BY band
+    )
+    SELECT CAST(string_split(band, '|')[1] AS BIGINT) AS band_idx,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN n_members > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap,
+           CAST(SUM(CASE WHEN n_members > 1000 THEN n_members ELSE 0 END) AS BIGINT)
+             AS rows_dropped,
+           CAST(MAX(n_members) AS BIGINT) AS max_members
+    FROM bc GROUP BY 1
 """
 
 

@@ -221,6 +221,60 @@ def minhash_lsh_candidates(
     )
 
 
+def band_cap_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    sig_k: int = 8,
+    n_bands: int = 4,
+    max_band_members: int = 1000,
+) -> DataFrame:
+    """LSH band-cap saturation report — the at-scale observability the
+    q251 episode proved necessary (r12): per band index, how many
+    distinct buckets exist, how many exceed ``max_band_members`` (and
+    would be DROPPED by :func:`_cap_band_buckets` in the candidate
+    path), how many (id, band) rows those drops cover, and the largest
+    bucket. Run this BEFORE trusting any recall claim from the banded
+    dedup family at a new scale: a nonzero ``n_over_cap`` means the
+    lossless-recall guarantee is void for the dropped members, and a
+    brute-force oracle for that corpus is invalid (the exact failure
+    class the r11 sf0.1 artifact caught for q251).
+
+    One extra shuffle over the banding pipeline (band-keyed partial
+    count, then a ``n_bands``-row aggregate) — O(corpus) at any scale,
+    never pairwise.
+
+    Output: (band_idx, n_buckets, n_over_cap, rows_dropped,
+    max_members), one row per band index.
+    """
+    rows_per_band = sig_k // n_bands
+    sig_df = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, shingle_k, sig_k).alias("sig"),
+    )
+    banded = sig_df.select(
+        "id",
+        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band"),
+    ).distinct()
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_members"))
+    over = F.col("n_members") > max_band_members
+    return (
+        counts.withColumn(
+            "band_idx", F.split(F.col("band"), "\\|").getItem(0).cast("long")
+        )
+        .groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(over.cast("long")).alias("n_over_cap"),
+            F.sum(F.when(over, F.col("n_members")).otherwise(0)).alias(
+                "rows_dropped"
+            ),
+            F.max("n_members").alias("max_members"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -155,3 +155,72 @@ class TestPqTopkQueryFence:
                 emb, emb, "embedding", "vec_id", "vec_id",
                 codebooks=codebooks, k=2, max_queries=8,
             ).collect()
+
+
+class TestBandCapReport:
+    """q285's kernel: the saturation report counts exactly the buckets
+    _cap_band_buckets would drop."""
+
+    def test_report_counts_binding_buckets(self, spark):
+        from polars_pipe_spark.functions.dedup import band_cap_report
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon zeta"),
+            (4, "alpha beta gamma delta epsilon zeta"),
+            (5, "one two three four five six seven eight"),
+            (6, "totally different words in this document here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = {
+            r.band_idx: r
+            for r in band_cap_report(
+                df, "text", "doc_id", shingle_k=3, sig_k=8, n_bands=4,
+                max_band_members=3,
+            ).collect()
+        }
+        assert set(rep) == {0, 1, 2, 3}
+        for b, r in rep.items():
+            # the identical quad shares a bucket in every band (short
+            # signatures additionally collapse other docs into the
+            # trailing bands' bucket — the same contract
+            # _cap_band_buckets sees), so each band carries exactly one
+            # over-cap bucket of >= 4 members
+            assert r.n_over_cap == 1, (b, r)
+            assert r.max_members >= 4, (b, r)
+            # single over-cap bucket -> rows_dropped == its size
+            assert r.rows_dropped == r.max_members, (b, r)
+            assert 1 <= r.n_buckets <= 3, (b, r)
+
+    def test_report_all_clear_when_cap_slack(self, spark):
+        from polars_pipe_spark.functions.dedup import band_cap_report
+
+        df = spark.createDataFrame(
+            [(i, f"unique words document number {i} here") for i in range(6)],
+            "doc_id long, text string",
+        )
+        rep = band_cap_report(
+            df, "text", "doc_id", max_band_members=1000
+        ).collect()
+        assert all(r.n_over_cap == 0 and r.rows_dropped == 0 for r in rep)
+
+
+class TestCommittedBenchSelfAdjudication:
+    """The committed headline artifact must machine-adjudicate green
+    against the committed baseline — the per-round hand-ruling this
+    round's tooling retires. A 'regressed' verdict here means a genuine
+    clean-regime crossing is sitting in the repo's own artifact."""
+
+    def test_bench_latest_vs_baseline(self):
+        import json
+
+        from tools.noise_rule import evaluate
+
+        root = Path(__file__).resolve().parents[1]
+        with open(root / "scaling" / "bench_latest.json") as f:
+            current = json.load(f)
+        with open(root / "BENCH_LOCAL_r5.json") as f:
+            baseline = json.load(f)
+        report = evaluate(current, baseline)
+        assert report["overall"] in ("ok", "rerun-degraded"), report["crossed"]

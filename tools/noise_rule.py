@@ -69,7 +69,9 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
         else:
             ratio = cur / base
             delta = cur - base
-            spread = spreads.get(name, 0.0)
+            # `or 0.0` also covers an explicit null spread (a value
+            # merged from another run without its spread measurement)
+            spread = spreads.get(name) or 0.0
             entry.update(
                 ratio=round(ratio, 3), delta=round(delta, 3), spread=spread
             )
