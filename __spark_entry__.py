@@ -69,11 +69,24 @@ def _estimated_scan_splits(spark: SparkSession, df: DataFrame) -> int:
         try:
             return int(raw)
         except ValueError:
-            # suffixed forms like "128m"/"4MB" (Spark accepts both)
-            m = re.match(r"^(\d+)\s*([kmg]?)b?$", raw.strip().lower())
+            # suffixed forms like "128m"/"4MB"/"1t" — the full unit set
+            # Spark's byteStringAs accepts (b/k/m/g/t/p, optional 'b').
+            # An unparseable value falls back to the DEFAULT, which can
+            # under-estimate max_split and mis-gate — so it is logged,
+            # not silent (r12 review finding).
+            m = re.match(r"^(\d+)\s*([kmgtp]?)b?$", raw.strip().lower())
             if not m:
+                import sys  # noqa: PLC0415
+
+                sys.stderr.write(
+                    f"_estimated_scan_splits: cannot parse {key}={raw!r}; "
+                    f"using default {default}\n"
+                )
                 return default
-            mult = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3}[m.group(2)]
+            mult = {
+                "": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+                "t": 1024**4, "p": 1024**5,
+            }[m.group(2)]
             return int(m.group(1)) * mult
 
     open_cost = _conf_bytes("spark.sql.files.openCostInBytes", 4 * 1024 * 1024)
@@ -5988,18 +6001,27 @@ def _q224_clamped_running_balance(spark, sf):
     the dirty-data generator emits duplicate (orderkey, linenumber)
     rows, so an order that ignores the summed value is not total and
     the clamped balance would be engine-order-dependent wherever such
-    a dup lands in the suppkey<50 slice at some rung."""
+    a dup lands in the suppkey<50 slice at some rung. The SECOND window
+    (runmin) additionally orders by the prefix sum ``s`` itself: two
+    FULLY identical rows still receive distinct s values from the first
+    window (whichever comes first gets the smaller prefix), and a
+    separate sort that ignores s could order them either way across
+    engines — with s as the last key, the runmin frame over tied rows
+    is a deterministic multiset (r12 review finding)."""
     li = _t_par(spark, sf, "lineitem").filter(F.col("l_suppkey") < 50)
     qty = F.round(F.col("l_quantity")).cast("long")
     delta = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
     w = Window.partitionBy("l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber", "delta"
     ).rowsBetween(Window.unboundedPreceding, 0)
+    w2 = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "delta", "s"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     staged = li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
         delta.alias("delta"),
     ).withColumn("s", F.sum("delta").over(w)).withColumn(
-        "runmin", F.min(F.least(F.col("s"), F.lit(0))).over(w)
+        "runmin", F.min(F.least(F.col("s"), F.lit(0))).over(w2)
     )
     return staged.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "delta",
@@ -9951,7 +9973,7 @@ _ORACLES["q224_clamped_running_balance"] = """
       SELECT l_suppkey, l_orderkey, l_linenumber, delta, s,
              MIN(LEAST(s, 0)) OVER (PARTITION BY l_suppkey
                                     ORDER BY l_shipdate, l_orderkey,
-                                             l_linenumber, delta
+                                             l_linenumber, delta, s
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS runmin
       FROM s1

@@ -178,6 +178,38 @@ def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    sig_k: int,
+    n_bands: int,
+) -> DataFrame:
+    """The distinct ``(id, band)`` frame shared by candidate generation
+    (:func:`minhash_lsh_candidates`) and the saturation report
+    (:func:`band_cap_report`) — ONE definition so the report always
+    audits exactly the banding the candidate path runs (r12 review
+    finding: a drifted copy would make ``n_over_cap`` disagree with
+    what :func:`_cap_band_buckets` actually drops).
+
+    The signature is materialised as a column BEFORE banding: the band
+    expression references the signature 2×sig_k times, and inlining it
+    would re-run the whole shingle+md5+sort pipeline once per reference
+    (no CSE through F.get). The explode (Generate) node keeps the
+    projects from collapsing back together — signature runs once per
+    row."""
+    rows_per_band = sig_k // n_bands
+    sig_df = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, shingle_k, sig_k).alias("sig"),
+    )
+    return sig_df.select(
+        "id",
+        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band"),
+    ).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -190,22 +222,7 @@ def minhash_lsh_candidates(
     """Candidate near-dup pairs: docs sharing at least one LSH band.
     Returns (id_a, id_b) with id_a < id_b, distinct. Band buckets larger
     than ``max_band_members`` are dropped (see :func:`_cap_band_buckets`)."""
-    rows_per_band = sig_k // n_bands
-    # Materialise the signature as a column BEFORE banding: the band
-    # expression references the signature 2×sig_k times, and inlining it
-    # would re-run the whole shingle+md5+sort pipeline once per reference
-    # (no CSE through F.get). The explode (Generate) node below keeps the
-    # projects from collapsing back together — signature runs once per row.
-    sig_df = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, shingle_k, sig_k).alias("sig"),
-    )
-    banded = (
-        sig_df.select(
-            "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
-        )
-        .distinct()
-    )
+    banded = _minhash_banded(df, text_col, id_col, shingle_k, sig_k, n_bands)
     # NOT persisted despite the guardrail adding a third read of the
     # banding pipeline: measured at sf0.1 (best-of-3, same session),
     # recompute beats the columnar-cache write for this frame —
@@ -248,15 +265,7 @@ def band_cap_report(
     Output: (band_idx, n_buckets, n_over_cap, rows_dropped,
     max_members), one row per band index.
     """
-    rows_per_band = sig_k // n_bands
-    sig_df = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, shingle_k, sig_k).alias("sig"),
-    )
-    banded = sig_df.select(
-        "id",
-        F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band"),
-    ).distinct()
+    banded = _minhash_banded(df, text_col, id_col, shingle_k, sig_k, n_bands)
     counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_members"))
     over = F.col("n_members") > max_band_members
     return (

@@ -154,3 +154,65 @@ def test_cap_sensitive_family_green_at_sf1():
         or not (v.get("rows_match") and v.get("hash_match", True))
     }
     assert not red, f"non-green rows in {os.path.basename(latest)}: {sorted(red)[:10]}"
+
+
+# the DROP-class subset whose caps/pair mass the plain sf1 fixture
+# cannot exercise (gen_testdata's corpus has ~no near-dups at sf1, so
+# their sf1 rows are 0-row matches — vacuously green, r12 review
+# finding 4)
+DUP_MASS_FAMILY = {
+    "q25_minhash_neardup", "q63_dedup_clusters", "q73_dedup_apply",
+    "q144_quality_rep_dedup", "q175_cluster_split", "q201_lsh_precision",
+    "q234_dedup_survivorship", "q241_dup_graph_triangles", "q252_pagerank",
+    "q183_incremental_neardup", "q251_simhash_banded", "q26_simhash",
+    "q285_band_cap_report",
+}
+
+# members whose outputs must be NON-EMPTY on the dup-mass fixture for
+# the rung to mean anything (q201/q234/q241/q252/q285 are aggregates —
+# 1-row outputs are already meaningful)
+DUP_MASS_NONZERO = {
+    "q25_minhash_neardup", "q63_dedup_clusters", "q73_dedup_apply",
+    "q183_incremental_neardup", "q251_simhash_banded", "q26_simhash",
+}
+
+
+def test_dup_mass_family_green_and_nonvacuous():
+    """r12 (review finding 4): the plain sf1 rung is VACUOUS for the
+    minhash pair family (0-row matches), and the band cap can never
+    bind on a corpus with no colliding buckets. The dup-mass fixture
+    (tools/gen_dupmass.py: sf1 base + a 1500-copy identical cluster
+    that SATURATES every band bucket past the production cap of 1000 +
+    engineered near-dup clusters) makes the cap BIND at rung scale; the
+    committed CORRECTNESS_SF1DUP_r*.json must be all green AND the
+    designated members must have produced rows. Regenerate with
+    `python tools/gen_dupmass.py /tmp/pps_scale/sf1 /tmp/pps_scale/sf1dup`
+    then `SF_DIR=/tmp/pps_scale/sf1dup python tools/check_oracle.py
+    --json CORRECTNESS_SF1DUP_r<N>.json <family>`."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = glob.glob(os.path.join(root, "CORRECTNESS_SF1DUP_r*.json"))
+    assert arts, "no CORRECTNESS_SF1DUP artifact committed (r12 contract)"
+    latest = max(arts, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)))
+    with open(latest) as f:
+        rows = json.load(f)
+    missing = DUP_MASS_FAMILY - set(rows)
+    assert not missing, f"{os.path.basename(latest)} missing rows: {sorted(missing)}"
+    red = {
+        k: v
+        for k, v in rows.items()
+        if v.get("err") is not None
+        or not (v.get("rows_match") and v.get("hash_match", True))
+    }
+    assert not red, f"non-green rows in {os.path.basename(latest)}: {sorted(red)[:10]}"
+    vacuous = {
+        k for k in DUP_MASS_NONZERO if not rows[k].get("spark_rows")
+    }
+    assert not vacuous, (
+        f"dup-mass rung is vacuous for {sorted(vacuous)} — the fixture "
+        "no longer produces pair mass; regenerate with gen_dupmass.py"
+    )

@@ -19,7 +19,6 @@ BASELINE = {
         "q_noisy": 1.0,
         "q_regressed": 1.0,
         "q_small_delta": 0.1,
-        "q_failed": 1.0,
     }
 }
 
@@ -38,8 +37,6 @@ def _current(regime: str) -> dict:
             "q_regressed": 2.0,
             # ratio 2.0 but delta 0.1 <= spread 0.15 -> noise
             "q_small_delta": 0.2,
-            # failure sentinel
-            "q_failed": -1.0,
             # present only in current
             "q_new": 0.5,
         },
@@ -60,10 +57,34 @@ class TestNoiseRule:
         assert v["q_noisy"]["verdict"] == "ok"  # delta within own spread
         assert v["q_small_delta"]["verdict"] == "ok"
         assert v["q_regressed"]["verdict"] == "crossed"
-        assert v["q_failed"]["verdict"] == "failed"
         assert v["q_new"]["verdict"] == "no-baseline"
         assert rep["overall"] == "regressed"
         assert rep["crossed"] == ["q_regressed"]
+
+    def test_failed_query_means_broken(self):
+        cur = _current("ok")
+        cur["queries"]["q_fast"] = -1.0
+        rep = evaluate(cur, BASELINE)
+        assert rep["verdicts"]["q_fast"]["verdict"] == "failed"
+        assert rep["overall"] == "broken"
+        assert rep["failed"] == ["q_fast"]
+
+    def test_vanished_baseline_query_means_broken(self):
+        cur = _current("ok")
+        del cur["queries"]["q_noisy"]
+        # keep the run otherwise clean so 'broken' is attributable
+        cur["queries"]["q_regressed"] = 1.0
+        rep = evaluate(cur, BASELINE)
+        assert rep["verdicts"]["q_noisy"]["verdict"] == "missing-from-current"
+        assert rep["overall"] == "broken"
+        assert rep["missing_from_current"] == ["q_noisy"]
+
+    def test_all_failed_run_never_adjudicates_ok(self):
+        # the code-review scenario: every query crashed -> must not be
+        # green (was overall='ok' before the r12 'broken' tier)
+        cur = {"regime": "ok", "queries": {k: -1.0 for k in BASELINE["queries"]}}
+        rep = evaluate(cur, BASELINE)
+        assert rep["overall"] == "broken"
 
     def test_degraded_regime_downgrades_crossings(self):
         rep = evaluate(_current("degraded"), BASELINE)
@@ -87,7 +108,10 @@ class TestNoiseRule:
         assert rep["verdicts"]["q_noisy"]["verdict"] == "crossed"
 
     def test_all_ok(self):
-        cur = {"regime": "ok", "queries": {"q_fast": 1.05}}
+        cur = {
+            "regime": "ok",
+            "queries": {k: v * 1.05 for k, v in BASELINE["queries"].items()},
+        }
         rep = evaluate(cur, BASELINE)
         assert rep["overall"] == "ok"
 
@@ -132,3 +156,23 @@ class TestNoiseRule:
             text=True,
         )
         assert proc.returncode == 1
+
+
+def test_committed_bench_line_fits_driver_tail_budget():
+    """The stdout line bench.py prints is the full payload MINUS spread
+    (bench.py moves spreads to the sidecar). It must stay under ~1.9 KB:
+    the driver archives a ~2 KB tail of stdout and a longer line loses
+    its head, making the JSON unparseable (BENCH_r11.json parsed:null).
+    bench.py self-slims past 1900 B, but slimming drops the per-query
+    dict from the driver artifact — this test fails FIRST, at commit
+    time, when headline growth approaches the budget."""
+    import json
+
+    repo = Path(__file__).resolve().parents[1]
+    with open(repo / "scaling" / "bench_latest.json") as f:
+        payload = json.load(f)
+    line = json.dumps({k: v for k, v in payload.items() if k != "spread"})
+    assert len(line) <= 1900, (
+        f"printed bench line would be {len(line)}B (> 1900): trim the "
+        "HEADLINE list or move more fields to the sidecar"
+    )

@@ -23,13 +23,20 @@ calibration probe (see bench.py:calibration_probe / CALIB_IDLE_BOUND_S):
                             host before treating as a regression
       failed              — current timing is the -1 failure sentinel
       no-baseline         — query absent from the baseline artifact
+      missing-from-current — baseline query absent from the current run
+                            (vanished/fenced/renamed — never silently ok)
 
     overall:
-      ok                  — nothing crossed
+      ok                  — nothing crossed, nothing broken
+      broken              — >=1 failed or missing-from-current: the
+                            benchmark itself is not evidence; fix the
+                            run before reading any timing out of it
       regressed           — >=1 "crossed" in a clean regime
       rerun-degraded      — crossings exist but ALL are in a degraded
                             regime: the artifact is not evidence of a
                             regression; re-bench idle
+
+    exit code: 0 for ok / rerun-degraded, 1 for regressed / broken.
 
 Usage:
     python tools/noise_rule.py CURRENT.json BASELINE.json [--json OUT]
@@ -58,12 +65,24 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
     spreads = current.get("spread") or {}
     regime = current.get("regime", "unknown")
     verdicts: dict[str, dict] = {}
-    crossed, crossed_degraded = [], []
-    for name, cur in (current.get("queries") or {}).items():
+    crossed, crossed_degraded, failed, missing = [], [], [], []
+    cur_queries = current.get("queries") or {}
+    # a baseline query absent from the current run is itself a red flag
+    # (vanished/fenced/renamed) — it must not adjudicate silently green
+    for name in (baseline.get("queries") or {}):
+        if name not in cur_queries:
+            verdicts[name] = {
+                "current": None,
+                "baseline": baseline["queries"][name],
+                "verdict": "missing-from-current",
+            }
+            missing.append(name)
+    for name, cur in cur_queries.items():
         base = (baseline.get("queries") or {}).get(name)
         entry: dict = {"current": cur, "baseline": base}
         if not isinstance(cur, (int, float)) or cur < 0:
             entry["verdict"] = "failed"
+            failed.append(name)
         elif not isinstance(base, (int, float)) or base <= 0:
             entry["verdict"] = "no-baseline"
         else:
@@ -85,7 +104,12 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
             else:
                 entry["verdict"] = "ok"
         verdicts[name] = entry
-    if crossed:
+    # failed/missing outrank everything: a broken benchmark is not
+    # evidence of anything, least of all "ok" (a run whose queries all
+    # crash must never exit green)
+    if failed or missing:
+        overall = "broken"
+    elif crossed:
         overall = "regressed"
     elif crossed_degraded:
         overall = "rerun-degraded"
@@ -99,6 +123,8 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
         "overall": overall,
         "crossed": sorted(crossed),
         "crossed_degraded": sorted(crossed_degraded),
+        "failed": sorted(failed),
+        "missing_from_current": sorted(missing),
         "verdicts": verdicts,
     }
 
@@ -112,6 +138,9 @@ def main(argv: list[str]) -> int:
     out_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.stderr.write("--json requires an output path\n")
+            return 2
         out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if not a.startswith("--")]
@@ -124,7 +153,7 @@ def main(argv: list[str]) -> int:
     if out_path:
         with open(out_path, "w") as f:
             f.write(line + "\n")
-    return 0 if report["overall"] != "regressed" else 1
+    return 0 if report["overall"] not in ("regressed", "broken") else 1
 
 
 if __name__ == "__main__":
