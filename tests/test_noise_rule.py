@@ -13,8 +13,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tools.noise_rule import evaluate  # noqa: E402
 
+# several ~1.0-ratio anchor queries keep the synthetic run's MEDIAN
+# ratio near 1.0, so the per-query branches are tested independently of
+# the r12 uniform-shift tier (which has its own tests below)
+_ANCHORS = {f"q_anchor{i}": 1.0 for i in range(6)}
+
 BASELINE = {
     "queries": {
+        **_ANCHORS,
         "q_fast": 1.0,
         "q_noisy": 1.0,
         "q_regressed": 1.0,
@@ -29,6 +35,7 @@ def _current(regime: str) -> dict:
         "calib_s": [0.31, 0.33] if regime == "ok" else [0.9, 1.1],
         "calib_bound_s": 0.5,
         "queries": {
+            **{k: 1.01 for k in _ANCHORS},
             # not crossed: ratio 1.2 <= 1.3
             "q_fast": 1.2,
             # ratio 1.6 > 1.3 BUT delta 0.6 <= own spread 0.7 -> noise
@@ -85,6 +92,57 @@ class TestNoiseRule:
         cur = {"regime": "ok", "queries": {k: -1.0 for k in BASELINE["queries"]}}
         rep = evaluate(cur, BASELINE)
         assert rep["overall"] == "broken"
+
+
+class TestUniformShiftTier:
+    """r12: the host's bimodal ~15-20% slow mode inflates EVERY query
+    and is invisible to the CPU-only probe; a code regression is never
+    uniform. The median-ratio tier downgrades absolute crossings in a
+    uniformly slow run, keeps relative standouts as hard crossings, and
+    never lets a uniformly slow run read plain ok."""
+
+    def _uniform(self, extra=None):
+        qs = {k: v * 1.2 for k, v in BASELINE["queries"].items()}
+        if extra:
+            qs.update(extra)
+        return {"regime": "ok", "queries": qs, "spread": {}}
+
+    def test_uniform_slow_run_is_rerun_degraded_not_ok(self):
+        rep = evaluate(self._uniform(), BASELINE)
+        assert rep["uniform_slow"] is True
+        assert rep["median_ratio"] > 1.15
+        # q_fast etc. at ratio 1.2 don't cross; but the run still must
+        # not read plain ok
+        assert rep["overall"] == "rerun-degraded"
+
+    def test_absolute_crossing_downgraded_in_uniform_slow_run(self):
+        # ratio 1.5 crosses absolutely but rel = 1.5/1.2 = 1.25 < 1.3
+        rep = evaluate(self._uniform({"q_noisy": 1.5}), BASELINE)
+        assert rep["verdicts"]["q_noisy"]["verdict"] == "crossed-degraded"
+        assert rep["overall"] == "rerun-degraded"
+
+    def test_relative_standout_stays_crossed_in_uniform_slow_run(self):
+        # ratio 2.4, rel = 2.4/1.2 = 2.0 > 1.3 -> localized regression
+        rep = evaluate(self._uniform({"q_regressed": 2.4}), BASELINE)
+        assert rep["verdicts"]["q_regressed"]["verdict"] == "crossed"
+        assert rep["overall"] == "regressed"
+
+    def test_overrides_replace_stale_baseline_entries(self):
+        # baseline says 1.0 but the adjudicated value is 2.0: a current
+        # reading of 2.2 is then ratio 1.1 -> ok
+        cur = {
+            "regime": "ok",
+            "queries": {**{k: 1.0 for k in _ANCHORS}, "q_fast": 2.2},
+        }
+        base = {"queries": {**_ANCHORS, "q_fast": 1.0}}
+        hot = evaluate(cur, base)
+        assert hot["verdicts"]["q_fast"]["verdict"] == "crossed"
+        cool = evaluate(
+            cur, base, overrides={"q_fast": {"value": 2.0, "reason": "x"}}
+        )
+        assert cool["verdicts"]["q_fast"]["verdict"] == "ok"
+        assert cool["applied_overrides"] == {"q_fast": 2.0}
+        assert cool["overall"] == "ok"
 
     def test_degraded_regime_downgrades_crossings(self):
         rep = evaluate(_current("degraded"), BASELINE)

@@ -222,5 +222,7 @@ class TestCommittedBenchSelfAdjudication:
             current = json.load(f)
         with open(root / "BENCH_LOCAL_r5.json") as f:
             baseline = json.load(f)
-        report = evaluate(current, baseline)
+        ov_path = root / "scaling" / "baseline_overrides.json"
+        overrides = json.loads(ov_path.read_text()) if ov_path.exists() else None
+        report = evaluate(current, baseline, overrides=overrides)
         assert report["overall"] in ("ok", "rerun-degraded"), report["crossed"]

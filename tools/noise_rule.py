@@ -10,9 +10,27 @@ a query has CROSSED vs the baseline iff
     current - baseline > the query's OWN best-of-N spread
 
 i.e. a crossing must be both proportionally large and bigger than the
-run's own demonstrated measurement noise for that query.  On top of
-that, the r12 bench carries a host-regime tag derived from a fixed-work
-calibration probe (see bench.py:calibration_probe / CALIB_IDLE_BOUND_S):
+run's own demonstrated measurement noise for that query.
+
+UNIFORM-SHIFT tier (r12): the host's documented bimodal ~15-20% slow
+mode inflates EVERY query but is invisible to the CPU-only calibration
+probe (it is an IO/scheduler-level regime). A code regression is never
+uniform across ~40 unrelated queries, so the adjudicator computes the
+MEDIAN per-query ratio over all comparable pairs:
+
+  - median_ratio > UNIFORM_SLOW_THRESHOLD (1.15): the run is tagged
+    uniformly slow. Absolute crossings are downgraded to
+    crossed-degraded (re-run idle), and the overall verdict can never
+    be plain "ok" — a uniformly slow run is not comparable evidence.
+  - a query whose ratio RELATIVE to the median (ratio/median_ratio)
+    still exceeds the threshold AND whose delta beats its spread
+    STANDS OUT from the uniform shift — that stays a hard "crossed"
+    (this is what keeps a genuine localized regression detectable even
+    inside a slow-mode run).
+
+On top of that, the r12 bench carries a host-regime tag derived from a
+fixed-work calibration probe (bench.py:calibration_probe /
+CALIB_IDLE_BOUND_S), which catches gross contention (2-5x):
 
     verdict per query:
       ok                  — not crossed
@@ -50,35 +68,67 @@ spreads are treated as 0, i.e. the strictest reading).
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 RATIO_THRESHOLD = 1.3
+UNIFORM_SLOW_THRESHOLD = 1.15
 
 
-def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRESHOLD) -> dict:
+def evaluate(
+    current: dict,
+    baseline: dict,
+    ratio_threshold: float = RATIO_THRESHOLD,
+    overrides: dict | None = None,
+) -> dict:
     """Pure evaluator: two bench payloads -> machine verdicts.
 
     ``current`` may carry ``spread`` (per-query best-of-N max-min) and
     ``regime`` ("ok"/"degraded", from the calibration probe); both are
     optional — absent spread reads as 0 (strictest), absent regime as
-    "unknown" (treated like "ok": crossings stay "crossed")."""
+    "unknown" (treated like "ok": crossings stay "crossed").
+
+    ``overrides`` maps query name -> {"value": accepted_seconds, ...}:
+    per-query ADJUDICATED baseline replacements for entries the
+    committed baseline artifact got stale on (e.g. a fence added after
+    the baseline round — q27). Each override must be documented in
+    scaling/baseline_overrides.json with its adjudication rationale;
+    the CLI auto-loads that file when present."""
     spreads = current.get("spread") or {}
     regime = current.get("regime", "unknown")
     verdicts: dict[str, dict] = {}
     crossed, crossed_degraded, failed, missing = [], [], [], []
     cur_queries = current.get("queries") or {}
+    base_queries = dict(baseline.get("queries") or {})
+    applied_overrides = {}
+    for name, ov in (overrides or {}).items():
+        if name in base_queries and isinstance(ov, dict) and "value" in ov:
+            base_queries[name] = ov["value"]
+            applied_overrides[name] = ov["value"]
+    ratios = [
+        cur / base_queries[n]
+        for n, cur in cur_queries.items()
+        if isinstance(cur, (int, float)) and cur >= 0
+        and isinstance(base_queries.get(n), (int, float))
+        and base_queries[n] > 0
+    ]
+    median_ratio = statistics.median(ratios) if ratios else 1.0
+    # "uniform" needs a sample: a 1-3 query probe run has no median
+    # worth the name, and downgrading its only crossing would let a
+    # targeted re-measure mask a real regression
+    uniform_slow = len(ratios) >= 5 and median_ratio > UNIFORM_SLOW_THRESHOLD
     # a baseline query absent from the current run is itself a red flag
     # (vanished/fenced/renamed) — it must not adjudicate silently green
-    for name in (baseline.get("queries") or {}):
+    for name in base_queries:
         if name not in cur_queries:
             verdicts[name] = {
                 "current": None,
-                "baseline": baseline["queries"][name],
+                "baseline": base_queries[name],
                 "verdict": "missing-from-current",
             }
             missing.append(name)
     for name, cur in cur_queries.items():
-        base = (baseline.get("queries") or {}).get(name)
+        base = base_queries.get(name)
         entry: dict = {"current": cur, "baseline": base}
         if not isinstance(cur, (int, float)) or cur < 0:
             entry["verdict"] = "failed"
@@ -91,11 +141,26 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
             # `or 0.0` also covers an explicit null spread (a value
             # merged from another run without its spread measurement)
             spread = spreads.get(name) or 0.0
+            rel_ratio = ratio / median_ratio if median_ratio > 0 else ratio
             entry.update(
-                ratio=round(ratio, 3), delta=round(delta, 3), spread=spread
+                ratio=round(ratio, 3),
+                rel_ratio=round(rel_ratio, 3),
+                delta=round(delta, 3),
+                spread=spread,
             )
-            if ratio > ratio_threshold and delta > spread:
+            if rel_ratio > ratio_threshold and delta > spread:
+                # stands out even after removing the run's uniform
+                # shift — a localized regression, detectable inside a
+                # slow-mode run; only a gross-contention (probe-level)
+                # regime downgrades it
                 if regime == "degraded":
+                    entry["verdict"] = "crossed-degraded"
+                    crossed_degraded.append(name)
+                else:
+                    entry["verdict"] = "crossed"
+                    crossed.append(name)
+            elif ratio > ratio_threshold and delta > spread:
+                if regime == "degraded" or uniform_slow:
                     entry["verdict"] = "crossed-degraded"
                     crossed_degraded.append(name)
                 else:
@@ -111,7 +176,9 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
         overall = "broken"
     elif crossed:
         overall = "regressed"
-    elif crossed_degraded:
+    elif crossed_degraded or uniform_slow:
+        # a uniformly slow run is not comparable evidence even with no
+        # crossings — demand an idle re-run rather than reading green
         overall = "rerun-degraded"
     else:
         overall = "ok"
@@ -120,6 +187,13 @@ def evaluate(current: dict, baseline: dict, ratio_threshold: float = RATIO_THRES
         "calib_s": current.get("calib_s"),
         "calib_bound_s": current.get("calib_bound_s"),
         "ratio_threshold": ratio_threshold,
+        "median_ratio": round(median_ratio, 3),
+        "uniform_slow": uniform_slow,
+        **(
+            {"applied_overrides": applied_overrides}
+            if applied_overrides
+            else {}
+        ),
         "overall": overall,
         "crossed": sorted(crossed),
         "crossed_degraded": sorted(crossed_degraded),
@@ -147,7 +221,16 @@ def main(argv: list[str]) -> int:
     if len(args) != 2:
         sys.stderr.write("usage: noise_rule.py CURRENT BASELINE [--json OUT]\n")
         return 2
-    report = evaluate(_load(args[0]), _load(args[1]))
+    # adjudicated per-query baseline replacements live next to the tool
+    import os  # noqa: PLC0415
+
+    ov_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scaling",
+        "baseline_overrides.json",
+    )
+    overrides = _load(ov_path) if os.path.exists(ov_path) else None
+    report = evaluate(_load(args[0]), _load(args[1]), overrides=overrides)
     line = json.dumps(report, indent=1)
     print(line)
     if out_path:
