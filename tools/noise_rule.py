@@ -18,7 +18,7 @@ probe (it is an IO/scheduler-level regime). A code regression is never
 uniform across ~40 unrelated queries, so the adjudicator computes the
 MEDIAN per-query ratio over all comparable pairs:
 
-  - median_ratio > UNIFORM_SLOW_THRESHOLD (1.15): the run is tagged
+  - median_ratio > UNIFORM_SLOW_THRESHOLD (1.10): the run is tagged
     uniformly slow. Absolute crossings are downgraded to
     crossed-degraded (re-run idle), and the overall verdict can never
     be plain "ok" — a uniformly slow run is not comparable evidence.
@@ -72,7 +72,12 @@ import statistics
 import sys
 
 RATIO_THRESHOLD = 1.3
-UNIFORM_SLOW_THRESHOLD = 1.15
+# Calibrated on six same-code default runs in one r12 day: fast-mode
+# medians 0.94-1.01, slow-mode 1.13-1.18 (BASELINE.md "Uniform-shift
+# tier") — 1.10 sits in the gap. A >10% genuinely-uniform code
+# regression would read rerun-degraded forever (never ok), which still
+# demands investigation rather than passing green.
+UNIFORM_SLOW_THRESHOLD = 1.10
 
 
 def evaluate(
