@@ -6002,12 +6002,18 @@ def _q224_clamped_running_balance(spark, sf):
     rows, so an order that ignores the summed value is not total and
     the clamped balance would be engine-order-dependent wherever such
     a dup lands in the suppkey<50 slice at some rung. The SECOND window
-    (runmin) additionally orders by the prefix sum ``s`` itself: two
-    FULLY identical rows still receive distinct s values from the first
-    window (whichever comes first gets the smaller prefix), and a
-    separate sort that ignores s could order them either way across
-    engines — with s as the last key, the runmin frame over tied rows
-    is a deterministic multiset (r12 review finding)."""
+    (runmin) additionally orders by ``s * sign(delta)``: two FULLY
+    identical rows still receive distinct s values from the first
+    window, and the runmin window must visit them in the SAME order
+    the prefix sum was accumulated — for delta>0 that order is s
+    ascending, for delta<0 it is s DESCENDING (s decreases within the
+    tied group), so the reconstruction key is s*sign(delta) ascending.
+    Plain ascending s (the r12 form) reversed the visit order for
+    negative-delta duplicates and broke the Lindley closed form: three
+    identical delta=-10 rows yielded balances {0,10,20} where the
+    recurrence gives {0,0,0} under any valid tie order (r12 advisor
+    finding; the oracle mirrored the bug so parity stayed green).
+    delta=0 duplicates have equal s, so the residual tie is harmless."""
     li = _t_par(spark, sf, "lineitem").filter(F.col("l_suppkey") < 50)
     qty = F.round(F.col("l_quantity")).cast("long")
     delta = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
@@ -6015,7 +6021,8 @@ def _q224_clamped_running_balance(spark, sf):
         "l_shipdate", "l_orderkey", "l_linenumber", "delta"
     ).rowsBetween(Window.unboundedPreceding, 0)
     w2 = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber", "delta", "s"
+        F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("delta"), (F.col("s") * F.signum("delta")).asc()
     ).rowsBetween(Window.unboundedPreceding, 0)
     staged = li.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
@@ -9973,7 +9980,8 @@ _ORACLES["q224_clamped_running_balance"] = """
       SELECT l_suppkey, l_orderkey, l_linenumber, delta, s,
              MIN(LEAST(s, 0)) OVER (PARTITION BY l_suppkey
                                     ORDER BY l_shipdate, l_orderkey,
-                                             l_linenumber, delta, s
+                                             l_linenumber, delta,
+                                             s * SIGN(delta)
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) AS runmin
       FROM s1

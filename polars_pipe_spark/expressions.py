@@ -346,6 +346,35 @@ def _shift_fn(col: str, n: int = 1, order_by: str | list[str] = None, partition_
     return F.lag(F.col(col), n).over(w)
 
 
+def _ranking_fn(rank_f: Callable[[], Column], name: str) -> Callable[..., Column]:
+    """rank/row_number over an EXPLICIT order key. r12 verdict: these
+    accepted order_by=None silently (ordering by the value column) while
+    shift raised — an inconsistency in the one registry whose contract is
+    "explicit order or refuse". Pass order_by=<the value column> to get
+    the old behavior, spelled out."""
+
+    def fn(
+        col: str,
+        order_by: str | list[str] | None = None,
+        partition_by: str | list[str] | None = None,
+    ) -> Column:
+        if order_by is None:
+            raise ValueError(
+                f"{name} requires order_by (Spark has no implicit row "
+                f"order); pass order_by={col!r} to rank by the value "
+                "column itself"
+            )
+        order = [order_by] if isinstance(order_by, str) else list(order_by)
+        if partition_by:
+            part = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            w = Window.partitionBy(*part).orderBy(*order)
+        else:
+            w = Window.partitionBy().orderBy(*order)
+        return rank_f().over(w)
+
+    return fn
+
+
 CUMULATIVE_FNS: dict[str, Callable[..., Column]] = {
     "cum_sum": _cum_fn(F.sum),
     "cum_min": _cum_fn(F.min),
@@ -354,16 +383,8 @@ CUMULATIVE_FNS: dict[str, Callable[..., Column]] = {
     "shift": _shift_fn,
     "diff": lambda col, order_by, partition_by=None: F.col(col)
     - _shift_fn(col, 1, order_by, partition_by),
-    "rank": lambda col, order_by=None, partition_by=None: F.rank().over(
-        (Window.partitionBy(*(partition_by if isinstance(partition_by, list) else [partition_by]))
-         if partition_by else Window.partitionBy())
-        .orderBy(F.col(col))
-    ),
-    "row_number": lambda col, order_by=None, partition_by=None: F.row_number().over(
-        (Window.partitionBy(*(partition_by if isinstance(partition_by, list) else [partition_by]))
-         if partition_by else Window.partitionBy())
-        .orderBy(F.col(col))
-    ),
+    "rank": _ranking_fn(F.rank, "rank"),
+    "row_number": _ranking_fn(F.row_number, "row_number"),
 }
 
 CUSTOM_DERIVE_FNS: dict[str, Callable[..., Column]] = {

@@ -77,12 +77,30 @@ def cluster_aware_split(
     return train_test_split(with_cluster, "cluster_id", test_fraction, split_col)
 
 
+def _check_global_window(
+    part_col: str | None, allow_global_window: bool, fn: str
+) -> None:
+    """Refuse the single-partition global-window default (r12 verdict
+    task 4a): ``part_col=None`` plans ALL rows through one window task —
+    correct on a laptop frame, a one-reducer wall at corpus scale. The
+    caller must say ``allow_global_window=True`` out loud, mirroring the
+    cumulative registry's mandatory ``order_by`` contract."""
+    if part_col is None and not allow_global_window:
+        raise ValueError(
+            f"{fn}: part_col=None plans a SINGLE-PARTITION global window "
+            "(every row through one task). Pass part_col to pack per "
+            "group in parallel, or allow_global_window=True to accept "
+            "the one-reducer plan on a small frame."
+        )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
     id_col: str,
     bin_tokens: int = 2048,
     part_col: str | None = None,
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Greedy context-window packing: assign each document a bin id so
     consecutive documents fill ~bin_tokens-token training sequences.
@@ -94,12 +112,16 @@ def pack_sequences(
     the bin where it starts.
 
     Scale: ALWAYS pass ``part_col`` on big data — the window then
-    partitions by it (per-source packing, parallel); a None part_col is a
-    single-partition global window, only for small frames. One shuffle,
-    no UDFs. Oracle-expressible as a SQL window.
+    partitions by it (per-source packing, parallel). A None part_col is
+    a SINGLE-PARTITION global window and is refused unless
+    ``allow_global_window=True`` (r12 verdict: the scale-killer must not
+    be one default away — same contract as the cumulative registry's
+    mandatory order_by). One shuffle, no UDFs. Oracle-expressible as a
+    SQL window.
     """
     from pyspark.sql import Window
 
+    _check_global_window(part_col, allow_global_window, "pack_sequences")
     if part_col is None:
         w = Window.orderBy(id_col)
         part_exprs = []
@@ -123,6 +145,7 @@ def pack_attention_bins(
     id_col: str,
     bin_tokens: int = 2048,
     part_col: str | None = None,
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Tokenizer-aware sequence packing with cross-document attention-mask
     boundaries: one row per packed training sequence (bin) carrying the
@@ -143,10 +166,12 @@ def pack_attention_bins(
     ``part_col`` on big data — a None part_col is a single-partition
     global window) plus one groupBy whose groups hold ~``bin_tokens``
     tokens of documents by construction, so the collected boundary list
-    is bounded regardless of corpus size.
+    is bounded regardless of corpus size. A None part_col is refused
+    unless ``allow_global_window=True``.
     """
     from pyspark.sql import Window
 
+    _check_global_window(part_col, allow_global_window, "pack_attention_bins")
     if part_col is None:
         w = Window.orderBy(id_col)
         keys = []
@@ -202,6 +227,7 @@ def packed_texts(
     bin_tokens: int = 2048,
     part_col: str | None = None,
     sep: str = " ",
+    allow_global_window: bool = False,
 ) -> DataFrame:
     """Materialise the training sequences that :func:`pack_sequences`
     assigns: one row per bin with the documents' text concatenated in
@@ -215,6 +241,7 @@ def packed_texts(
     """
     from pyspark.sql import Window
 
+    _check_global_window(part_col, allow_global_window, "packed_texts")
     # pack_sequences projects away the text column, so recompute the bin
     # assignment here over the full row instead of joining back (one
     # window pass — same single shuffle as pack_sequences itself).

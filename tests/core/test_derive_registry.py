@@ -8,7 +8,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from polars_pipe_spark.expressions import ALL_DERIVE_FNS, SCALAR_FNS
+from polars_pipe_spark.expressions import ALL_DERIVE_FNS, CUMULATIVE_FNS, SCALAR_FNS
 
 
 def one(spark, schema, row, expr):
@@ -62,3 +62,60 @@ class TestRegistryBreadth:
     def test_every_name_is_callable(self):
         for name, fn in ALL_DERIVE_FNS.items():
             assert callable(fn), name
+
+
+class TestExplicitOrderContract:
+    """r13 (verdict task 4): the ordered-window registry's contract is
+    'explicit order or refuse' — rank/row_number must raise like shift
+    does, and the pack_* family must refuse the single-partition global
+    window unless asked out loud."""
+
+    def test_rank_requires_order_by(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="order_by"):
+            CUMULATIVE_FNS["rank"](col="v")
+        with pytest.raises(ValueError, match="order_by"):
+            CUMULATIVE_FNS["row_number"](col="v")
+
+    def test_rank_with_explicit_order(self, spark):
+        df = spark.createDataFrame([(3,), (1,), (2,)], "v long")
+        got = sorted(
+            (r.v, r.rnk)
+            for r in df.select(
+                "v", CUMULATIVE_FNS["rank"](col="v", order_by="v").alias("rnk")
+            ).collect()
+        )
+        assert got == [(1, 1), (2, 2), (3, 3)]
+
+    def test_pack_refuses_global_window(self, spark):
+        import pytest
+
+        from polars_pipe_spark.functions.sampling import (
+            pack_attention_bins,
+            pack_sequences,
+            packed_texts,
+        )
+
+        df = spark.createDataFrame([("d1", "x", 10)], "doc_id string, text string, n_tok long")
+        for call in (
+            lambda: pack_sequences(df, "n_tok", "doc_id"),
+            lambda: pack_attention_bins(df, "n_tok", "doc_id"),
+            lambda: packed_texts(df, "text", "n_tok", "doc_id"),
+        ):
+            with pytest.raises(ValueError, match="global window"):
+                call()
+
+    def test_pack_global_window_opt_in(self, spark):
+        from polars_pipe_spark.functions.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [("a", 100), ("b", 500), ("c", 100)], "doc_id string, n_tok long"
+        )
+        got = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(
+                df, "n_tok", "doc_id", bin_tokens=512, allow_global_window=True
+            ).collect()
+        }
+        assert got == {"a": 0, "b": 0, "c": 1}

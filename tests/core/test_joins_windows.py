@@ -361,3 +361,57 @@ class TestAsofDirectionTolerance:
         left, right = self.frames(spark)
         with pytest.raises(ValueError, match="direction"):
             asof_join(left, right, "k", "ts", "rts", ["v"], direction="sideways")
+
+
+def test_clamped_balance_duplicate_negative_rows(spark, tmp_path):
+    """r13 (advisor medium): the runmin window must visit tied identical
+    rows in the SAME order the prefix sum accumulated — s*sign(delta)
+    ascending. Plain ascending s reversed the visit order for
+    negative-delta duplicates: three identical delta=-10 rows read
+    balances {0,10,20} instead of the recurrence's {0,0,0}. Drives the
+    real q224 query over a tiny lineitem parquet and checks the full
+    multiset against the sequential Lindley recurrence."""
+    import datetime
+
+    from __spark_entry__ import _q224_clamped_running_balance
+
+    d = datetime.date(1995, 1, 1)
+    # suppkey 1: three FULLY identical negative rows, then a receipt.
+    # suppkey 2: identical positive dups then identical negative dups.
+    rows = [
+        (1, 100, 1, d, "N", 10.0),
+        (1, 100, 1, d, "N", 10.0),
+        (1, 100, 1, d, "N", 10.0),
+        (1, 200, 1, datetime.date(1995, 2, 1), "R", 7.0),
+        (2, 300, 1, d, "R", 5.0),
+        (2, 300, 1, d, "R", 5.0),
+        (2, 300, 2, d, "N", 8.0),
+        (2, 300, 2, d, "N", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_suppkey long, l_orderkey long, l_linenumber long, "
+        "l_shipdate date, l_returnflag string, l_quantity double",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = sorted(
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber, r.delta, r.balance)
+        for r in _q224_clamped_running_balance(spark, str(tmp_path)).collect()
+    )
+
+    # sequential recurrence over the query's total order (ties are
+    # identical rows, so any tie order yields the same multiset)
+    expected = []
+    for supp in (1, 2):
+        b = 0
+        ordered = sorted(
+            (r for r in rows if r[0] == supp),
+            key=lambda r: (r[3], r[1], r[2],
+                           round(r[5]) if r[4] == "R" else -round(r[5])),
+        )
+        for (sk, ok, ln, _, rf, q) in ordered:
+            delta = round(q) if rf == "R" else -round(q)
+            b = max(0, b + delta)
+            expected.append((sk, ok, ln, delta, b))
+    assert got == sorted(expected)

@@ -234,3 +234,58 @@ def test_committed_bench_line_fits_driver_tail_budget():
         f"printed bench line would be {len(line)}B (> 1900): trim the "
         "HEADLINE list or move more fields to the sidecar"
     )
+
+
+class TestR13AdviceFixes:
+    """r12 ADVICE: the relative tier must not fire on uniformly FAST
+    runs, and a slim '_see' driver line must error at the sidecar path
+    instead of adjudicating every query missing."""
+
+    def test_uniform_fast_run_does_not_inflate_rel_ratio(self):
+        # median 0.8 (uniformly fast); one query at absolute ratio 1.25
+        # never crossed the documented rule — dividing by the sub-1
+        # median would read rel 1.56 and flag it
+        base = {"queries": {**{f"a{i}": 1.0 for i in range(6)}, "q_x": 1.0}}
+        cur = {
+            "regime": "ok",
+            "queries": {**{f"a{i}": 0.8 for i in range(6)}, "q_x": 1.25},
+            "spread": {"q_x": 0.01},
+        }
+        report = evaluate(cur, base)
+        assert report["median_ratio"] < 1.0
+        assert report["verdicts"]["q_x"]["verdict"] == "ok"
+        assert report["overall"] == "ok"
+
+    def test_rel_tier_still_fires_in_uniform_slow_run(self):
+        # the normalisation floor must not weaken the standout rule:
+        # median 1.15 (uniform slow), one query at 1.6 — rel 1.39 > 1.3
+        base = {"queries": {**{f"a{i}": 1.0 for i in range(6)}, "q_x": 1.0}}
+        cur = {
+            "regime": "ok",
+            "queries": {**{f"a{i}": 1.15 for i in range(6)}, "q_x": 1.6},
+            "spread": {"q_x": 0.01},
+        }
+        report = evaluate(cur, base)
+        assert report["uniform_slow"]
+        assert report["verdicts"]["q_x"]["verdict"] == "crossed"
+
+    def test_slim_see_line_refused_with_sidecar_path(self):
+        import pytest
+
+        cur = {"regime": "ok", "queries": {"_see": "scaling/bench_last_run_full.json"}}
+        with pytest.raises(ValueError, match="bench_last_run_full"):
+            evaluate(cur, BASELINE)
+
+    def test_cli_slim_line_exits_2(self, tmp_path):
+        cur = tmp_path / "cur.json"
+        base = tmp_path / "base.json"
+        cur.write_text(json.dumps({"queries": {"_see": "scaling/x.json"}}))
+        base.write_text(json.dumps(BASELINE))
+        proc = subprocess.run(
+            [sys.executable, "tools/noise_rule.py", str(cur), str(base)],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(__file__).resolve().parents[1]),
+        )
+        assert proc.returncode == 2
+        assert "sidecar" in proc.stderr

@@ -104,6 +104,17 @@ def evaluate(
     verdicts: dict[str, dict] = {}
     crossed, crossed_degraded, failed, missing = [], [], [], []
     cur_queries = current.get("queries") or {}
+    # bench.py replaces the queries dict with {"_see": <sidecar>} when
+    # the printed line exceeds the driver tail budget; adjudicating that
+    # slim line would mark every baseline query missing-from-current and
+    # read "broken" for the wrong reason (r12 ADVICE). Refuse loudly and
+    # point at the full sidecar instead.
+    if "_see" in cur_queries:
+        raise ValueError(
+            "current payload is the slim driver line (queries replaced "
+            f"by a pointer) — adjudicate the full sidecar instead: "
+            f"{cur_queries['_see']}"
+        )
     base_queries = dict(baseline.get("queries") or {})
     applied_overrides = {}
     for name, ov in (overrides or {}).items():
@@ -146,7 +157,12 @@ def evaluate(
             # `or 0.0` also covers an explicit null spread (a value
             # merged from another run without its spread measurement)
             spread = spreads.get(name) or 0.0
-            rel_ratio = ratio / median_ratio if median_ratio > 0 else ratio
+            # the relative tier exists to see THROUGH a uniform slow
+            # shift; normalising by a sub-1 median would instead inflate
+            # ratios on uniformly FAST runs and flag queries that never
+            # crossed the absolute rule (r12 ADVICE) — so the divisor
+            # never drops below 1
+            rel_ratio = ratio / max(median_ratio, 1.0)
             entry.update(
                 ratio=round(ratio, 3),
                 rel_ratio=round(rel_ratio, 3),
@@ -235,7 +251,11 @@ def main(argv: list[str]) -> int:
         "baseline_overrides.json",
     )
     overrides = _load(ov_path) if os.path.exists(ov_path) else None
-    report = evaluate(_load(args[0]), _load(args[1]), overrides=overrides)
+    try:
+        report = evaluate(_load(args[0]), _load(args[1]), overrides=overrides)
+    except ValueError as e:
+        sys.stderr.write(f"noise_rule: {e}\n")
+        return 2
     line = json.dumps(report, indent=1)
     print(line)
     if out_path:
