@@ -46,6 +46,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # times) pushes the fixed-work probe well past it.
 CALIB_IDLE_BOUND_S = 0.75
 
+# Idle bound for the IO/scheduler-shaped probe (seconds). The CPU probe
+# above is provably blind to the host's dominant noise mode: r12's
+# afternoon runs sat at 1.13-1.18x with CLEAN CPU probes because the
+# ~15-20% slow mode lives at the IO/scheduler level (file opens, task
+# dispatch, page-cache reads), which a synthetic range scan never
+# touches.  This probe scans a fixed ~190 MB 256-file parquet fixture
+# (generated once, deterministic content — see ensure_io_probe_fixture)
+# through the real parquet reader: 256 file opens + footer parses,
+# ~32 scheduled multi-file scan tasks, a small shuffle.  Calibration basis
+# (BASELINE.md "IO-shaped probe"): in-context idle best-of-2 reads
+# ~0.55-0.65 s; the bound is ~1.5x that, same margin policy as
+# CALIB_IDLE_BOUND_S.
+IO_CALIB_IDLE_BOUND_S = 1.0
+
+# fixture spec — bump IO_PROBE_VERSION if any knob changes so stale
+# fixtures regenerate instead of silently measuring different work
+IO_PROBE_VERSION = 1
+IO_PROBE_FILES = 256
+IO_PROBE_ROWS = 12_000_000
+
 HEADLINE = [
     "q01_filter_pushdown",
     "q05_derive_arith",
@@ -117,6 +137,74 @@ def calibration_probe(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def ensure_io_probe_fixture(spark, repo_dir: str) -> str:
+    """Generate (once) the fixed parquet fixture the IO probe scans.
+
+    NOT committed to git (~190 MB would bloat every clone for a
+    host-local measurement aid); instead the spec is pinned here and the
+    content is a pure function of it — xxhash64 over spark.range, 256
+    equal partitions, snappy — so a regenerated fixture is the same
+    logical work.  High-entropy values keep parquet from compressing the
+    scan away (~16 B/row on disk).  A spec.json marker guards against a
+    stale fixture silently measuring different work."""
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    fixture = os.path.join(repo_dir, "scaling", "io_probe_fixture")
+    # the marker lives BESIDE the dir — anything non-parquet inside it
+    # would fail the probe's scan
+    spec_path = fixture + ".spec.json"
+    spec = {
+        "version": IO_PROBE_VERSION,
+        "files": IO_PROBE_FILES,
+        "rows": IO_PROBE_ROWS,
+    }
+    if os.path.exists(spec_path):
+        try:
+            with open(spec_path) as f:
+                if json.load(f) == spec:
+                    return fixture
+        except (OSError, ValueError):
+            pass
+        sys.stderr.write("bench: io probe fixture stale — regenerating\n")
+    if os.path.exists(fixture):
+        shutil.rmtree(fixture)
+    (
+        spark.range(0, IO_PROBE_ROWS, 1, IO_PROBE_FILES)
+        .select(
+            F.xxhash64("id").alias("h1"),
+            F.xxhash64("id", F.lit(1)).alias("h2"),
+        )
+        .write.mode("overwrite")
+        .parquet(fixture)
+    )
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    return fixture
+
+
+def io_calibration_probe(spark, fixture: str) -> float:
+    """Fixed-work parquet scan + small agg over the committed-spec
+    fixture: 256 file opens, ~32 multi-file scan tasks, one narrow shuffle.  The
+    fixture stays in the OS page cache after first touch — deliberate:
+    the probe then measures file-open/footer/task-dispatch latency and
+    page-cache read throughput (the layer the r12 slow mode lives at)
+    rather than uncontrolled disk-cold variance."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    spark.catalog.clearCache()
+    t0 = time.time()
+    (
+        spark.read.parquet(fixture)
+        .groupBy((F.col("h1") % 61).alias("b"))
+        # modded sum: raw-hash SUM overflows long under ANSI mode
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("h2") % 100003).alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -170,6 +258,17 @@ def main() -> None:
     calibration_probe(spark)
     calib_pre = min(calibration_probe(spark), calibration_probe(spark))
 
+    # IO/scheduler-shaped probe, same discard + best-of-2 protocol (r12
+    # verdict task 1: the CPU probe is blind to the documented
+    # IO/scheduler slow mode; this one senses it per-run, baseline-free)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    io_fixture = ensure_io_probe_fixture(spark, repo_dir)
+    io_calibration_probe(spark, io_fixture)
+    io_calib_pre = min(
+        io_calibration_probe(spark, io_fixture),
+        io_calibration_probe(spark, io_fixture),
+    )
+
     # r5 protocol hardening (r4 VERDICT #5): FIXED query order (the
     # HEADLINE list order, every run), best-of-N with N=3 by default
     # (override with SPARK_GRAFT_BENCH_RUNS), and the per-query spread
@@ -215,13 +314,20 @@ def main() -> None:
             round(max(samples) - min(samples), 3) if samples[0] >= 0 else -1.0
         )
 
-    # regime calibration, post-loop: the same fixed-work probe — a run
+    # regime calibration, post-loop: the same fixed-work probes — a run
     # that STARTED idle but degraded mid-loop still gets tagged
     calib_post = min(calibration_probe(spark), calibration_probe(spark))
-    regime = (
-        "ok"
-        if max(calib_pre, calib_post) <= CALIB_IDLE_BOUND_S
-        else "degraded"
+    io_calib_post = min(
+        io_calibration_probe(spark, io_fixture),
+        io_calibration_probe(spark, io_fixture),
+    )
+    cpu_ok = max(calib_pre, calib_post) <= CALIB_IDLE_BOUND_S
+    io_ok = max(io_calib_pre, io_calib_post) <= IO_CALIB_IDLE_BOUND_S
+    regime = "ok" if (cpu_ok and io_ok) else "degraded"
+    # which probe(s) crossed — an IO-only degradation is the documented
+    # afternoon slow mode, a CPU-only one is gross compute contention
+    regime_src = [] if regime == "ok" else (
+        (["cpu"] if not cpu_ok else []) + (["io"] if not io_ok else [])
     )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -242,7 +348,10 @@ def main() -> None:
         "sf": sf,
         "calib_s": [calib_pre, calib_post],
         "calib_bound_s": CALIB_IDLE_BOUND_S,
+        "io_calib_s": [io_calib_pre, io_calib_post],
+        "io_calib_bound_s": IO_CALIB_IDLE_BOUND_S,
         "regime": regime,
+        **({"regime_src": regime_src} if regime_src else {}),
     }
     line = json.dumps(payload)
     if len(line) > 1900:
@@ -259,7 +368,6 @@ def main() -> None:
 
     full_payload = dict(payload)
     full_payload["spread"] = spreads
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
 
     def _write(path: str) -> None:
         try:
@@ -288,8 +396,16 @@ def main() -> None:
         and runs == 3
         and default_cpus
     )
-    if is_default_run:
+    # r13 bench policy (BASELINE.md): the driver-comparable artifact must
+    # carry a clean regime from BOTH probes — a degraded-regime run is
+    # sidecar-only evidence, never the committed headline
+    if is_default_run and regime == "ok":
         _write(os.path.join(repo_dir, "scaling", "bench_latest.json"))
+    elif is_default_run:
+        sys.stderr.write(
+            f"bench: regime={regime} (src={regime_src}) — degraded run is "
+            "sidecar-only; scaling/bench_latest.json NOT overwritten\n"
+        )
     else:
         sys.stderr.write(
             "bench: non-default run (sf_dir/sel/skip/runs/cpus differ) — "

@@ -289,3 +289,20 @@ class TestR13AdviceFixes:
         )
         assert proc.returncode == 2
         assert "sidecar" in proc.stderr
+
+
+def test_committed_bench_latest_carries_clean_regime():
+    """r13 bench policy (BASELINE.md): the driver-comparable artifact
+    scaling/bench_latest.json must carry regime "ok" from BOTH probes —
+    bench.py refuses to overwrite it from a degraded run, so a committed
+    degraded artifact means the guard was bypassed."""
+    import bench
+
+    p = Path(__file__).resolve().parents[1] / "scaling" / "bench_latest.json"
+    with open(p) as f:
+        d = json.load(f)
+    assert d["regime"] == "ok"
+    assert max(d["calib_s"]) <= bench.CALIB_IDLE_BOUND_S
+    assert "io_calib_s" in d, "bench_latest predates the IO probe — re-run bench.py"
+    assert max(d["io_calib_s"]) <= bench.IO_CALIB_IDLE_BOUND_S
+    assert d["io_calib_bound_s"] == bench.IO_CALIB_IDLE_BOUND_S

@@ -98,3 +98,79 @@ class TestFullSweep:
         q = set(entry.queries())
         stale = (set(BOUNDED_GLOBAL_WINDOW) | set(MULTI_SCAN_OK)) - q
         assert not stale, f"exempted queries no longer registered: {stale}"
+
+
+class TestStructuralBoundedWindow:
+    """r13 (verdict task 5): the bounded-global-window convention is now
+    enforced by plan structure — a partition-less Window must have a
+    limit/top-k or aggregate beneath it in its own input subtree, name
+    whitelist or not."""
+
+    def test_synthetic_violation_flagged(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tools.plan_sweep import unbounded_global_windows
+
+        # raw-scan global window: nothing bounds the frame
+        df = spark.range(1000).withColumn(
+            "s", F.sum("id").over(Window.orderBy("id"))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert any("UNBOUNDED global window" in f for f in unbounded_global_windows(plan))
+
+    def test_limit_bounded_window_passes(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tools.plan_sweep import unbounded_global_windows
+
+        # the q54 shape: top-k first, then rank over exactly k rows
+        df = (
+            spark.range(1000)
+            .orderBy(F.col("id").desc())
+            .limit(20)
+            .withColumn("r", F.rank().over(Window.orderBy(F.col("id").desc())))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert unbounded_global_windows(plan) == []
+
+    def test_agg_bounded_window_passes(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tools.plan_sweep import unbounded_global_windows
+
+        # the q117 shape: aggregate to group grain, then cumulative
+        df = (
+            spark.range(1000)
+            .groupBy((F.col("id") % 7).alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("cum", F.sum("n").over(Window.orderBy("day")))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert unbounded_global_windows(plan) == []
+
+    def test_sweep_rejects_declared_but_unbounded(self, spark, tmp_path, monkeypatch):
+        """A stale BOUNDED_GLOBAL_WINDOW declaration must not ride: the
+        structural check runs regardless of the name table."""
+        import __spark_entry__ as entry
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from tools import plan_sweep
+
+        def bad_query(spark_, sf_dir_):
+            return spark_.range(1000).withColumn(
+                "s", F.sum("id").over(Window.orderBy("id"))
+            )
+
+        monkeypatch.setattr(
+            entry, "queries", lambda: {"q999_bad": bad_query}
+        )
+        monkeypatch.setitem(
+            plan_sweep.BOUNDED_GLOBAL_WINDOW, "q999_bad", "stale claim"
+        )
+        results = plan_sweep.sweep(spark, SF_DIR, ["q999_bad"])
+        assert "q999_bad" in results
+        assert any("UNBOUNDED" in f for f in results["q999_bad"])

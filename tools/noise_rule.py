@@ -207,6 +207,16 @@ def evaluate(
         "regime": regime,
         "calib_s": current.get("calib_s"),
         "calib_bound_s": current.get("calib_bound_s"),
+        # r13: the IO/scheduler probe (bench.py io_calibration_probe)
+        # folds into `regime` at bench time; carried through so an
+        # adjudication shows WHICH probe degraded the run
+        "io_calib_s": current.get("io_calib_s"),
+        "io_calib_bound_s": current.get("io_calib_bound_s"),
+        **(
+            {"regime_src": current["regime_src"]}
+            if current.get("regime_src")
+            else {}
+        ),
         "ratio_threshold": ratio_threshold,
         "median_ratio": round(median_ratio, 3),
         "uniform_slow": uniform_slow,

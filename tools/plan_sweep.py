@@ -288,6 +288,61 @@ def find_multi_scans(plan: str) -> list[str]:
     ]
 
 
+# Nodes that bound the frame a global window runs over: an explicit
+# limit/top-k, or an aggregation that reduces the corpus to its group
+# domain (the day-grain / per-source shapes). r12 verdict task 5: the
+# bounded-global-window convention was comment-guarded per query; this
+# enforces it by STRUCTURE — every partition-less Window must sit above
+# one of these in its own input subtree, whitelisted name or not.
+_BOUNDING_NODES = re.compile(
+    r"^(TakeOrderedAndProject|GlobalLimit|CollectLimit|LocalLimit|"
+    r"HashAggregate|SortAggregate|ObjectHashAggregate)\b"
+)
+
+
+def _plan_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, node-text) pairs using the printed indent structure."""
+    out: list[tuple[int, str]] = []
+    for raw in plan.splitlines():
+        m = re.match(r"^([\s:+|-]*)(\*?\(\d+\)\s*)?([A-Za-z].*)$", raw)
+        if m:
+            out.append((len(m.group(1)) + len(m.group(2) or ""), m.group(3)))
+    return out
+
+
+def _is_global_window(line: str) -> bool:
+    name = line.split(" ", 1)[0].split("[", 1)[0]
+    if name != "Window":
+        return False
+    tail = _bracket_groups(line)[1:]
+    return not any(g and not re.search(r"\b(ASC|DESC)\b", g) for g in tail)
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Partition-less Window nodes with NO bounding node beneath them.
+
+    A global window is structurally safe only when its input subtree
+    contains a limit/top-k or an aggregate (frame already reduced to a
+    bounded domain before the single-reducer window). Returns a finding
+    per violating node; an empty list means every global window in the
+    plan is bounded by construction."""
+    tree = _plan_tree(plan)
+    findings = []
+    for i, (depth, text) in enumerate(tree):
+        if not _is_global_window(text):
+            continue
+        subtree = []
+        for d2, t2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            subtree.append(t2)
+        if not any(_BOUNDING_NODES.match(t) for t in subtree):
+            findings.append(
+                f"UNBOUNDED global window (no limit/agg beneath): {text[:110]}"
+            )
+    return findings
+
+
 def find_antipatterns(plan: str) -> list[str]:
     findings = []
     for line in _node_lines(plan):
@@ -332,6 +387,10 @@ def sweep(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[
         bad = find_antipatterns(plan)
         if bad and name in BOUNDED_GLOBAL_WINDOW:
             bad = [b for b in bad if not b.startswith("global window")]
+        # structural check runs REGARDLESS of the name table: a declared
+        # exemption whose plan lost its bounding node (refactor erosion)
+        # must fail the sweep, not ride the stale declaration
+        bad += unbounded_global_windows(plan)
         if name not in MULTI_SCAN_OK:
             bad += find_multi_scans(plan)
         if bad:
