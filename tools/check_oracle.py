@@ -145,15 +145,29 @@ def main() -> int:
 
     spark = get_spark(app_name="oracle_check")
 
+    args = sys.argv[1:]
+    # --registry ladder: the full-fidelity TPC-H registry (r13), checked
+    # only on fixtures that carry the extension schema (partsupp,
+    # commit/receipt dates, shipmode, c_phone, p_container)
+    registry = "main"
+    if "--registry" in args:
+        i = args.index("--registry")
+        registry = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+
     con = duckdb.connect()
-    for t in TABLES:
+    extra = ["partsupp"] if os.path.exists(f"{sf_dir}/partsupp.parquet") else []
+    for t in TABLES + extra:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    args = sys.argv[1:]
+    if registry == "ladder":
+        queries = entry_mod.ladder_queries()
+        oracles = entry_mod.ladder_oracle_sql()
+    else:
+        queries = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
     json_path = None
     if "--json" in args:
         i = args.index("--json")
