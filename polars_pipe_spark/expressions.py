@@ -346,23 +346,36 @@ def _shift_fn(col: str, n: int = 1, order_by: str | list[str] = None, partition_
     return F.lag(F.col(col), n).over(w)
 
 
-def _ranking_fn(rank_f: Callable[[], Column], name: str) -> Callable[..., Column]:
+def _ranking_fn(
+    rank_f: Callable[[], Column],
+    name: str,
+    default_order_to_value: bool = False,
+) -> Callable[..., Column]:
     """rank/row_number over an EXPLICIT order key. r12 verdict: these
     accepted order_by=None silently (ordering by the value column) while
     shift raised — an inconsistency in the one registry whose contract is
-    "explicit order or refuse". Pass order_by=<the value column> to get
-    the old behavior, spelled out."""
+    "explicit order or refuse".
+
+    r14 (r13 ADVICE): the refusal split by determinism, not by name.
+    ``rank`` with ``order_by=None`` defaults to ordering by the VALUE
+    column — that is the reference's ``pl.Expr.rank()`` semantics
+    (reference registry exposes bare ``rank``), and it is deterministic:
+    equal values tie to equal ranks regardless of row order, so existing
+    reference configs keep working. ``row_number`` keeps the hard refusal:
+    its output genuinely depends on row order, which Spark does not have."""
 
     def fn(
         col: str,
         order_by: str | list[str] | None = None,
         partition_by: str | list[str] | None = None,
     ) -> Column:
+        if order_by is None and default_order_to_value:
+            order_by = col
         if order_by is None:
             raise ValueError(
                 f"{name} requires order_by (Spark has no implicit row "
-                f"order); pass order_by={col!r} to rank by the value "
-                "column itself"
+                f"order, and {name} output depends on it); rank by an "
+                "explicit column instead"
             )
         order = [order_by] if isinstance(order_by, str) else list(order_by)
         if partition_by:
@@ -383,7 +396,7 @@ CUMULATIVE_FNS: dict[str, Callable[..., Column]] = {
     "shift": _shift_fn,
     "diff": lambda col, order_by, partition_by=None: F.col(col)
     - _shift_fn(col, 1, order_by, partition_by),
-    "rank": _ranking_fn(F.rank, "rank"),
+    "rank": _ranking_fn(F.rank, "rank", default_order_to_value=True),
     "row_number": _ranking_fn(F.row_number, "row_number"),
 }
 

@@ -46,6 +46,28 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # Bound Python worker memory (r13 verdict task 2 — retires the
+        # q33 sf10 worker-crash watch in SCALING.md). The watch named
+        # spark.python.worker.memory, but that knob only sets the spill
+        # threshold for RDD-side aggregation, which this engine never
+        # uses; the conf that actually BOUNDS an Arrow/pandas worker is
+        # spark.executor.pyspark.memory: the JVM exports it as
+        # PYSPARK_EXECUTOR_MEMORY_MB and every worker process applies it
+        # as its own RLIMIT_AS (pyspark/worker_util.py:setup_memory_limits),
+        # so a runaway mapInPandas kernel dies with a Python MemoryError
+        # in ITS task instead of OOM-killing the shared JVM/host mid-sweep.
+        # 4g per worker is ~8x the largest declared vectorised seam
+        # (codec batches and ANN/PQ numpy kernels peak at a few hundred
+        # MB per Arrow batch) while 32 concurrent workers stay within the
+        # 128 GiB host even in the worst case.
+        .config(
+            "spark.executor.pyspark.memory",
+            os.environ.get("SPARK_GRAFT_PYSPARK_WORKER_MEM", "4g"),
+        )
+        # reuse (the default, pinned explicitly): workers persist across
+        # tasks, so the rlimit above is the per-worker lifetime ceiling
+        # and Pandas-UDF stages don't pay a fork+import per task.
+        .config("spark.python.worker.reuse", "true")
         # files.maxPartitionBytes left at 128 MiB default: right for both
         # local parquet and a 100 TB scan (splittable row groups).
     )

@@ -70,13 +70,26 @@ class TestExplicitOrderContract:
     does, and the pack_* family must refuse the single-partition global
     window unless asked out loud."""
 
-    def test_rank_requires_order_by(self):
+    def test_row_number_requires_order_by(self):
         import pytest
 
         with pytest.raises(ValueError, match="order_by"):
-            CUMULATIVE_FNS["rank"](col="v")
-        with pytest.raises(ValueError, match="order_by"):
             CUMULATIVE_FNS["row_number"](col="v")
+
+    def test_rank_defaults_to_value_order(self, spark):
+        """r14 (r13 ADVICE): bare ``rank`` is the reference's
+        ``pl.Expr.rank()`` — deterministic (equal values, equal ranks)
+        with no order key, so it defaults to ordering by the value
+        column instead of refusing; reference configs using bare
+        'rank' keep working."""
+        df = spark.createDataFrame([(3,), (1,), (2,), (2,)], "v long")
+        got = sorted(
+            (r.v, r.rnk)
+            for r in df.select(
+                "v", CUMULATIVE_FNS["rank"](col="v").alias("rnk")
+            ).collect()
+        )
+        assert got == [(1, 1), (2, 2), (2, 2), (3, 4)]
 
     def test_rank_with_explicit_order(self, spark):
         df = spark.createDataFrame([(3,), (1,), (2,)], "v long")

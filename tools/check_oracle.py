@@ -152,8 +152,38 @@ def main() -> int:
     registry = "main"
     if "--registry" in args:
         i = args.index("--registry")
+        if i + 1 >= len(args):
+            print(
+                "usage: check_oracle.py [query ...] [--registry main|ladder]"
+                " [--json PATH]",
+                file=sys.stderr,
+            )
+            return 2
         registry = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    if registry not in ("main", "ladder"):
+        print(f"unknown --registry {registry!r} (main|ladder)", file=sys.stderr)
+        return 2
+    if registry == "ladder":
+        # fail fast with a real message instead of a downstream DuckDB
+        # missing-table error (r13 ADVICE): the ladder queries need the
+        # extended generator schema, which driver fixtures don't carry
+        needed = [f"{sf_dir}/partsupp.parquet"]
+        missing = [p for p in needed if not os.path.exists(p)]
+        if not missing:
+            import pyarrow.parquet as _pq
+            li_cols = set(_pq.read_schema(f"{sf_dir}/lineitem.parquet").names)
+            if not {"l_commitdate", "l_receiptdate", "l_shipmode"} <= li_cols:
+                missing.append(f"{sf_dir}/lineitem.parquet extension columns")
+        if missing:
+            print(
+                f"--registry ladder needs the EXTENDED schema, but {sf_dir} "
+                f"lacks: {missing}. Generate a full-schema fixture with "
+                "`python tools/gen_testdata.py --sf <sf> --out <dir>` "
+                "(driver fixtures under /root/testdata never carry it).",
+                file=sys.stderr,
+            )
+            return 2
 
     con = duckdb.connect()
     extra = ["partsupp"] if os.path.exists(f"{sf_dir}/partsupp.parquet") else []

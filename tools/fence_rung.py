@@ -193,6 +193,9 @@ def main(argv: list[str]) -> int:
     out_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: fence_rung.py [--json PATH]", file=sys.stderr)
+            return 2
         out_path = argv[i + 1]
 
     from polars_pipe_spark import get_spark

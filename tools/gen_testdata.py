@@ -41,11 +41,17 @@ Driver-rung queries never touch these columns; the full-fidelity
 ladder registry (`__spark_entry__.ladder_queries()`) requires them and
 is oracle-checked only on fixtures from THIS generator.
 
-RNG-STREAM NOTE: the r13 columns advance the seed-42 RNG stream, so
-regenerated fixtures differ VALUE-wise (not distribution-wise) from
-r12-era fixtures, and o_custkey now skips every third customer.
-Regenerate ALL rungs of a ladder together — never mix r12-era and
-r13-era fixtures inside one exponent comparison.
+RNG-STREAM NOTE (r14, verdict task 5): every (table, column-family)
+draws from its OWN seeded stream (``zlib.crc32(f"{seed}/{table}/{col}")``),
+so adding a column or a table can never shift the values of existing
+ones again — the r13 schema extension advanced the old SHARED seed-42
+stream and silently changed every fixture value at the same sf, which
+forced regenerating all rungs of a ladder together.  The r14 stream
+split is itself one final value migration: r14-generated fixtures
+differ value-wise from r13-era files (same distributions); after it,
+``include_extensions=False`` provably yields byte-identical base
+columns (tests/test_round14_hardening.py pins this).  Still never mix
+generator eras inside one exponent comparison.
 
 Usage: python tools/gen_testdata.py --sf 0.001 --out /root/testdata/sf0.001
 """
@@ -55,6 +61,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -89,8 +96,20 @@ def _counts(sf: float) -> dict[str, int]:
     }
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> None:
-    rng = np.random.RandomState(seed)
+def generate(
+    sf: float, out_dir: str, seed: int = 42, include_extensions: bool = True
+) -> None:
+    """``include_extensions=False`` omits the r13 full-fidelity columns
+    (partsupp, lineitem commit/receipt/shipmode, c_phone, p_container);
+    with the per-column RNG streams the remaining columns are
+    value-identical either way — the property the r14 decoupling test
+    pins so future schema growth cannot shift existing fixtures."""
+
+    def r(table: str, col: str) -> np.random.RandomState:
+        return np.random.RandomState(
+            zlib.crc32(f"{seed}/{table}/{col}".encode()) & 0x7FFFFFFF
+        )
+
     n = _counts(sf)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -132,118 +151,125 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         {
             "s_suppkey": np.arange(1, k + 1, dtype="int64"),
             "s_name": [f"Supplier#{i:09d}" for i in range(1, k + 1)],
-            "s_nationkey": rng.randint(0, 25, k).astype("int32"),
-            "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, k), 2),
+            "s_nationkey": r("supplier", "nationkey").randint(0, 25, k).astype("int32"),
+            "s_acctbal": np.round(r("supplier", "acctbal").uniform(-999.99, 9999.99, k), 2),
         },
     )
     k = n["customer"]
-    write(
-        "customer",
-        pa.schema(
-            [
-                ("c_custkey", pa.int64()),
-                ("c_name", pa.string()),
-                ("c_nationkey", pa.int32()),
-                ("c_acctbal", pa.float64()),
-                ("c_mktsegment", pa.string()),
-                ("c_phone", pa.string()),
-            ]
-        ),
-        {
-            "c_custkey": np.arange(1, k + 1, dtype="int64"),
-            "c_name": [f"Customer#{i:09d}" for i in range(1, k + 1)],
-            "c_nationkey": (c_nat := rng.randint(0, 25, k).astype("int32")),
-            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, k), 2),
-            "c_mktsegment": [
-                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"][j]
-                for j in rng.randint(0, 5, k)
-            ],
-            # TPC-H contract: country code = nationkey + 10 (Q22's
-            # substring(c_phone, 1, 2) predicate depends on this)
-            "c_phone": [
-                f"{int(nk) + 10}-{a:03d}-{b:03d}-{c:04d}"
-                for nk, a, b, c in zip(
-                    c_nat,
-                    rng.randint(100, 1000, k),
-                    rng.randint(100, 1000, k),
-                    rng.randint(1000, 10000, k),
-                )
-            ],
-        },
-    )
+    c_nat = r("customer", "nationkey").randint(0, 25, k).astype("int32")
+    c_cols = {
+        "c_custkey": np.arange(1, k + 1, dtype="int64"),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, k + 1)],
+        "c_nationkey": c_nat,
+        "c_acctbal": np.round(r("customer", "acctbal").uniform(-999.99, 9999.99, k), 2),
+        "c_mktsegment": [
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"][j]
+            for j in r("customer", "mktsegment").randint(0, 5, k)
+        ],
+    }
+    c_fields = [
+        ("c_custkey", pa.int64()),
+        ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()),
+        ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]
+    if include_extensions:
+        # TPC-H contract: country code = nationkey + 10 (Q22's
+        # substring(c_phone, 1, 2) predicate depends on this)
+        ph = r("customer", "phone")
+        c_cols["c_phone"] = [
+            f"{int(nk) + 10}-{a:03d}-{b:03d}-{c:04d}"
+            for nk, a, b, c in zip(
+                c_nat,
+                ph.randint(100, 1000, k),
+                ph.randint(100, 1000, k),
+                ph.randint(1000, 10000, k),
+            )
+        ]
+        c_fields.append(("c_phone", pa.string()))
+    write("customer", pa.schema(c_fields), c_cols)
     k = n["part"]
-    write(
-        "part",
-        pa.schema(
-            [
-                ("p_partkey", pa.int64()),
-                ("p_name", pa.string()),
-                ("p_brand", pa.string()),
-                ("p_type", pa.string()),
-                ("p_size", pa.int32()),
-                ("p_retailprice", pa.float64()),
-                ("p_container", pa.string()),
-            ]
-        ),
-        {
-            "p_partkey": np.arange(1, k + 1, dtype="int64"),
-            "p_name": [
-                " ".join(rng.choice(VOCAB, 3)) for _ in range(k)
-            ],
-            "p_brand": [f"Brand#{j}" for j in rng.randint(11, 56, k)],
-            "p_type": [
-                f"{a} {b} {c}"
-                for a, b, c in zip(
-                    rng.choice(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"], k),
-                    rng.choice(["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"], k),
-                    rng.choice(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"], k),
-                )
-            ],
-            "p_size": rng.randint(1, 51, k).astype("int32"),
-            "p_retailprice": np.round(rng.uniform(900.0, 2100.0, k), 2),
-            "p_container": [
-                f"{a} {b}"
-                for a, b in zip(
-                    rng.choice(["SM", "MED", "LG", "JUMBO", "WRAP"], k),
-                    rng.choice(
-                        ["BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "CASE", "DRUM"], k
-                    ),
-                )
-            ],
-        },
-    )
-    # partsupp: 4 suppliers per part, TPC-H-style key spread so the same
-    # supplier never repeats within one part's 4 rows
-    kp = n["part"]
-    ns = n["supplier"]
-    ps_part = np.repeat(np.arange(1, kp + 1, dtype="int64"), 4)
-    ps_supp = np.array(
-        [((p - 1) + (i * ((ns // 4) + 1))) % ns + 1 for p in range(1, kp + 1) for i in range(4)],
-        dtype="int64",
-    )
-    kps = n["partsupp"]
-    write(
-        "partsupp",
-        pa.schema(
-            [
-                ("ps_partkey", pa.int64()),
-                ("ps_suppkey", pa.int64()),
-                ("ps_availqty", pa.int32()),
-                ("ps_supplycost", pa.float64()),
-            ]
-        ),
-        {
-            "ps_partkey": ps_part,
-            "ps_suppkey": ps_supp,
-            "ps_availqty": rng.randint(1, 10_000, kps).astype("int32"),
-            "ps_supplycost": np.round(rng.uniform(1.0, 1000.0, kps), 2),
-        },
-    )
+    p_type_r = r("part", "type")
+    p_cols = {
+        "p_partkey": np.arange(1, k + 1, dtype="int64"),
+        "p_name": [
+            " ".join(words) for words in r("part", "name").choice(VOCAB, (k, 3))
+        ],
+        "p_brand": [f"Brand#{j}" for j in r("part", "brand").randint(11, 56, k)],
+        "p_type": [
+            f"{a} {b} {c}"
+            for a, b, c in zip(
+                p_type_r.choice(["STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO"], k),
+                p_type_r.choice(["ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED"], k),
+                p_type_r.choice(["TIN", "NICKEL", "BRASS", "STEEL", "COPPER"], k),
+            )
+        ],
+        "p_size": r("part", "size").randint(1, 51, k).astype("int32"),
+        "p_retailprice": np.round(r("part", "retailprice").uniform(900.0, 2100.0, k), 2),
+    }
+    p_fields = [
+        ("p_partkey", pa.int64()),
+        ("p_name", pa.string()),
+        ("p_brand", pa.string()),
+        ("p_type", pa.string()),
+        ("p_size", pa.int32()),
+        ("p_retailprice", pa.float64()),
+    ]
+    if include_extensions:
+        pc = r("part", "container")
+        p_cols["p_container"] = [
+            f"{a} {b}"
+            for a, b in zip(
+                pc.choice(["SM", "MED", "LG", "JUMBO", "WRAP"], k),
+                pc.choice(
+                    ["BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "CASE", "DRUM"], k
+                ),
+            )
+        ]
+        p_fields.append(("p_container", pa.string()))
+    write("part", pa.schema(p_fields), p_cols)
+    if include_extensions:
+        # partsupp: 4 suppliers per part. Offsets {0, a, 2a, 3a} with
+        # a = ns//4: ns >= 10 gives 2 <= a and 3a < ns, so the four
+        # offsets are distinct mod ns and the same supplier never
+        # repeats within one part's rows (r13 ADVICE: the old step
+        # ns//4 + 1 collided whenever ns divided k*(ns//4 + 1), e.g.
+        # ns=12 → offsets 0,4,8,12≡0 — a duplicate (partkey, suppkey)
+        # pair that violates the TPC-H PK and fans out the Q9 join).
+        kp = n["part"]
+        ns = n["supplier"]
+        step = max(1, ns // 4)
+        ps_part = np.repeat(np.arange(1, kp + 1, dtype="int64"), 4)
+        ps_i = np.tile(np.arange(4, dtype="int64"), kp)
+        ps_supp = (ps_part - 1 + ps_i * step) % ns + 1
+        per_part = np.sort(ps_supp.reshape(kp, 4), axis=1)
+        assert (np.diff(per_part, axis=1) > 0).all(), (
+            "partsupp generator produced a duplicate (ps_partkey, ps_suppkey)"
+        )
+        kps = n["partsupp"]
+        write(
+            "partsupp",
+            pa.schema(
+                [
+                    ("ps_partkey", pa.int64()),
+                    ("ps_suppkey", pa.int64()),
+                    ("ps_availqty", pa.int32()),
+                    ("ps_supplycost", pa.float64()),
+                ]
+            ),
+            {
+                "ps_partkey": ps_part,
+                "ps_suppkey": ps_supp,
+                "ps_availqty": r("partsupp", "availqty").randint(1, 10_000, kps).astype("int32"),
+                "ps_supplycost": np.round(r("partsupp", "supplycost").uniform(1.0, 1000.0, kps), 2),
+            },
+        )
     k = n["orders"]
     base_us = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
     month_us = 30 * 86_400 * 1_000_000
     day_us = 86_400 * 1_000_000
-    o_dates = base_us + rng.randint(0, month_us, k)
+    o_dates = base_us + r("orders", "orderdate").randint(0, month_us, k)
     write(
         "orders",
         pa.schema(
@@ -264,62 +290,60 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
             # draw left ~e^-10 of customers orderless at sf0.1)
             "o_custkey": (
                 lambda j: (3 * (j // 2) + 1 + (j % 2)).astype("int64")
-            )(rng.randint(0, 2 * (n["customer"] // 3), k)),
-            "o_orderstatus": [["O", "F", "P"][j] for j in rng.randint(0, 3, k)],
-            "o_totalprice": np.round(rng.uniform(1000.0, 400_000.0, k), 2),
+            )(r("orders", "custkey").randint(0, 2 * (n["customer"] // 3), k)),
+            "o_orderstatus": [["O", "F", "P"][j] for j in r("orders", "orderstatus").randint(0, 3, k)],
+            "o_totalprice": np.round(r("orders", "totalprice").uniform(1000.0, 400_000.0, k), 2),
             "o_orderdate": o_dates.astype("datetime64[us]"),
-            "o_orderpriority": [PRIORITIES[j] for j in rng.randint(0, 5, k)],
+            "o_orderpriority": [PRIORITIES[j] for j in r("orders", "orderpriority").randint(0, 5, k)],
         },
     )
     k = n["lineitem"]
-    write(
-        "lineitem",
-        pa.schema(
-            [
-                ("l_orderkey", pa.int64()),
-                ("l_partkey", pa.int64()),
-                ("l_suppkey", pa.int64()),
-                ("l_linenumber", pa.int32()),
-                ("l_quantity", pa.float64()),
-                ("l_extendedprice", pa.float64()),
-                ("l_discount", pa.float64()),
-                ("l_tax", pa.float64()),
-                ("l_returnflag", pa.string()),
-                ("l_linestatus", pa.string()),
-                ("l_shipdate", pa.timestamp("us")),
-                ("l_commitdate", pa.timestamp("us")),
-                ("l_receiptdate", pa.timestamp("us")),
-                ("l_shipmode", pa.string()),
-            ]
-        ),
-        {
-            "l_orderkey": np.sort(rng.randint(1, n["orders"] + 1, k)).astype("int64"),
-            "l_partkey": rng.randint(1, n["part"] + 1, k).astype("int64"),
-            "l_suppkey": rng.randint(1, n["supplier"] + 1, k).astype("int64"),
-            "l_linenumber": (rng.randint(1, 8, k)).astype("int32"),
-            "l_quantity": rng.randint(1, 51, k).astype("float64"),
-            "l_extendedprice": np.round(rng.uniform(900.0, 105_000.0, k), 2),
-            "l_discount": np.round(rng.randint(0, 11, k) / 100.0, 2),
-            "l_tax": np.round(rng.randint(0, 9, k) / 100.0, 2),
-            "l_returnflag": [["R", "A", "N"][j] for j in rng.randint(0, 3, k)],
-            "l_linestatus": [["O", "F"][j] for j in rng.randint(0, 2, k)],
-            "l_shipdate": (ship_us := base_us + rng.randint(0, month_us, k)).astype(
-                "datetime64[us]"
-            ),
-            # commit = ship -15..+15 days, receipt = ship + 1..30 days:
-            # a realistic mix of on-time and late lines (receipt > commit)
-            "l_commitdate": (
-                ship_us + rng.randint(-15, 16, k) * day_us
-            ).astype("datetime64[us]"),
-            "l_receiptdate": (
-                ship_us + rng.randint(1, 31, k) * day_us
-            ).astype("datetime64[us]"),
-            "l_shipmode": [
-                ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"][j]
-                for j in rng.randint(0, 7, k)
-            ],
-        },
-    )
+    ship_us = base_us + r("lineitem", "shipdate").randint(0, month_us, k)
+    li_cols = {
+        "l_orderkey": np.sort(r("lineitem", "orderkey").randint(1, n["orders"] + 1, k)).astype("int64"),
+        "l_partkey": r("lineitem", "partkey").randint(1, n["part"] + 1, k).astype("int64"),
+        "l_suppkey": r("lineitem", "suppkey").randint(1, n["supplier"] + 1, k).astype("int64"),
+        "l_linenumber": (r("lineitem", "linenumber").randint(1, 8, k)).astype("int32"),
+        "l_quantity": r("lineitem", "quantity").randint(1, 51, k).astype("float64"),
+        "l_extendedprice": np.round(r("lineitem", "extendedprice").uniform(900.0, 105_000.0, k), 2),
+        "l_discount": np.round(r("lineitem", "discount").randint(0, 11, k) / 100.0, 2),
+        "l_tax": np.round(r("lineitem", "tax").randint(0, 9, k) / 100.0, 2),
+        "l_returnflag": [["R", "A", "N"][j] for j in r("lineitem", "returnflag").randint(0, 3, k)],
+        "l_linestatus": [["O", "F"][j] for j in r("lineitem", "linestatus").randint(0, 2, k)],
+        "l_shipdate": ship_us.astype("datetime64[us]"),
+    }
+    li_fields = [
+        ("l_orderkey", pa.int64()),
+        ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()),
+        ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()),
+        ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]
+    if include_extensions:
+        # commit = ship -15..+15 days, receipt = ship + 1..30 days:
+        # a realistic mix of on-time and late lines (receipt > commit)
+        li_cols["l_commitdate"] = (
+            ship_us + r("lineitem", "commitdate").randint(-15, 16, k) * day_us
+        ).astype("datetime64[us]")
+        li_cols["l_receiptdate"] = (
+            ship_us + r("lineitem", "receiptdate").randint(1, 31, k) * day_us
+        ).astype("datetime64[us]")
+        li_cols["l_shipmode"] = [
+            ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"][j]
+            for j in r("lineitem", "shipmode").randint(0, 7, k)
+        ]
+        li_fields += [
+            ("l_commitdate", pa.timestamp("us")),
+            ("l_receiptdate", pa.timestamp("us")),
+            ("l_shipmode", pa.string()),
+        ]
+    write("lineitem", pa.schema(li_fields), li_cols)
     k = n["events"]
     write(
         "events",
@@ -335,15 +359,16 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         ),
         {
             "event_id": np.arange(1, k + 1, dtype="int64"),
-            "ts": (base_us + rng.randint(0, month_us, k)).astype("datetime64[us]"),
-            "user_id": rng.randint(1, max(2, k // 10), k).astype("int64"),
-            "event_type": [EVENT_TYPES[j] for j in rng.randint(0, 5, k)],
-            "value": np.round(rng.uniform(0.0, 500.0, k), 4),
-            "props": [json.dumps({"k": int(j)}) for j in rng.randint(0, 100, k)],
+            "ts": (base_us + r("events", "ts").randint(0, month_us, k)).astype("datetime64[us]"),
+            "user_id": r("events", "user_id").randint(1, max(2, k // 10), k).astype("int64"),
+            "event_type": [EVENT_TYPES[j] for j in r("events", "event_type").randint(0, 5, k)],
+            "value": np.round(r("events", "value").uniform(0.0, 500.0, k), 4),
+            "props": [json.dumps({"k": int(j)}) for j in r("events", "props").randint(0, 100, k)],
         },
     )
     k = n["documents"]
-    lengths = rng.randint(10, 120, k)
+    lengths = r("documents", "len").randint(10, 120, k)
+    text_r = r("documents", "text")
     write(
         "documents",
         pa.schema(
@@ -357,9 +382,9 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         ),
         {
             "doc_id": np.arange(k, dtype="int64"),
-            "text": [" ".join(rng.choice(VOCAB, ln)) for ln in lengths],
-            "lang": [LANGS[j] for j in rng.randint(0, 5, k)],
-            "source": [f"src{j}" for j in rng.randint(0, 20, k)],
+            "text": [" ".join(text_r.choice(VOCAB, ln)) for ln in lengths],
+            "lang": [LANGS[j] for j in r("documents", "lang").randint(0, 5, k)],
+            "source": [f"src{j}" for j in r("documents", "source").randint(0, 20, k)],
             "n_chars": np.zeros(k, dtype="int64"),  # fixed up below
         },
     )
@@ -374,15 +399,15 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
 
     k = n["embeddings"]
-    lab = rng.randint(0, 10, k).astype("int32")
+    lab = r("embeddings", "label").randint(0, 10, k).astype("int32")
     # label-correlated clusters so ANN / clustering queries see structure.
     # sigma=2.0 (r8 fix, was 0.15): with near-zero noise ~10% of ALL
     # pairs had cosine >= 0.9, so any near-dup query's TRUE output was
     # quadratic in corpus size and the sf1 ladder measured output
     # volume, not operator scaling. sigma=2.0 matches the driver data's
     # regime (max pair cosine ~0.5, ~0.05-0.08% of pairs >= 0.4).
-    centers = rng.uniform(-1.0, 1.0, (10, 64))
-    vecs = (centers[lab] + rng.normal(0.0, 2.0, (k, 64))).astype("float32")
+    centers = r("embeddings", "centers").uniform(-1.0, 1.0, (10, 64))
+    vecs = (centers[lab] + r("embeddings", "noise").normal(0.0, 2.0, (k, 64))).astype("float32")
     write(
         "embeddings",
         pa.schema(
@@ -407,8 +432,14 @@ def main() -> int:
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--no-extensions",
+        action="store_true",
+        help="omit the r13 full-fidelity columns (partsupp, commit/receipt "
+        "dates, shipmode, c_phone, p_container) — driver-schema parity",
+    )
     args = ap.parse_args()
-    generate(args.sf, args.out, args.seed)
+    generate(args.sf, args.out, args.seed, include_extensions=not args.no_extensions)
     print(f"wrote fixtures for sf={args.sf} to {args.out}")
     return 0
 
