@@ -1666,14 +1666,27 @@ def kmeans_train_exact(
     verbatim).
 
     Shape per iteration: ONE aggregate job — assignment is a mapper-side
-    literal expression (the pq_encode pattern: centroids inline as
-    literals, no join, no shuffle of candidates) and the update reads
+    Arrow-vectorized numpy kernel with the centroids inlined as
+    constants (no join, no shuffle of candidates) and the update reads
     k rows of (count, d per-dimension sums, Σdist) back to the driver —
     the bounded k×d state that legitimately lives driver-side, exactly
     like ``exact_quantiles``' histogram. Init: the ``k`` lowest-id
     vectors (deterministic, reproducible; pass a pre-shuffled id space
     for a random-like seed). Empty clusters raise (k ≪ n upholds this;
     a production trainer would re-seed the empty slot).
+
+    r14 constant-factor note (r13 verdict task 4): the assignment used
+    to be a generated literal SQL expression — k×d squared-diff terms
+    per row. At k=4, d=64 that expression tree is far past the codegen
+    method limit, so Spark evaluated ~256 interpreted ``element_at``
+    subtrees per row per job: 142 s at sf10 (500k rows), pure
+    expression-interpreter cost (the r8 interpreted-HOF class). The
+    numpy kernel is the same exact int64 arithmetic — distances
+    ``((v-c)²).sum`` in int64 with an explicit overflow bound check,
+    argmin's first-match = the lowest-cluster tie-break the struct-min
+    gave — behind a declared pandas-UDF seam; ``base`` is persisted so
+    the ``iterations + 1`` jobs pay the parquet scan and the
+    (interpreted-HOF) micro-lattice transform once.
 
     Returns one row per cluster: ``cluster_id, n_vecs, mean_sse``
     (truncated per-member integer SSE in micro²-units) and the final
@@ -1710,6 +1723,10 @@ def kmeans_train_exact(
         n_bad = df.filter(bad).count()
         if n_bad:
             _raise_bad(n_bad)
+    # persisted: the seed scan + every iteration's aggregate + the final
+    # labeling all reuse the lattice frame (callers clear caches between
+    # queries — the established persist()-inside-a-query convention)
+    base = base.persist()
     seed = (
         base.filter(F.col("__vm").isNotNull()).orderBy("__id").limit(k).collect()
     )
@@ -1724,28 +1741,47 @@ def kmeans_train_exact(
         )
     centroids = [list(r["__vm"]) for r in seed]
 
-    def assign_expr(cents: list[list[int]]) -> str:
-        dists = []
-        for c in cents:
-            terms = " + ".join(
-                f"(element_at(__vm, {i + 1}) - ({int(c[i])}L))"
-                f" * (element_at(__vm, {i + 1}) - ({int(c[i])}L))"
-                for i in range(dim)
-            )
-            dists.append(f"({terms})")
-        arr = "array(" + ", ".join(dists) + ")"
-        # NULL __vm (a validation failure, not a vector) must yield a
-        # NULL assignment outright — relying on struct-comparison
-        # semantics over null distance fields would be fragile
-        return (
-            f"CASE WHEN __vm IS NULL THEN NULL ELSE "
-            f"array_min(zip_with({arr}, sequence(0, {len(cents) - 1}),"
-            f" (d, i) -> struct(d, i))) END"
-        )
+    def assign_col(cents: list[list[int]]) -> Column:
+        """struct<d, i> assignment column: exact int64 squared distance
+        to the nearest centroid, ties to the LOWEST cluster index
+        (np.argmin returns the first minimum — same tie-break as the
+        struct-min it replaces). NULL __vm (a validation failure, not a
+        vector) yields null d/i fields, which land in the null group of
+        the iteration-1 groupBy exactly as before."""
+        from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+
+        C = np.asarray(cents, dtype="int64")
+
+        @pandas_udf("struct<d: long, i: int>")
+        def _assign(vm: pd.Series) -> pd.DataFrame:
+            n = len(vm)
+            d_out = pd.Series([pd.NA] * n, dtype="Int64")
+            i_out = pd.Series([pd.NA] * n, dtype="Int32")
+            mask = vm.notna().to_numpy()
+            if mask.any():
+                V = np.stack(vm[mask].to_numpy()).astype("int64")
+                # exact-arithmetic guard: numpy int64 wraps silently on
+                # overflow (unlike the ANSI SQL path this replaced, which
+                # raised); bound the worst-case distance sum up front
+                m = int(max(np.abs(V).max(), np.abs(C).max(), 1))
+                if V.shape[1] * (2 * m) ** 2 > 2**63 - 1:
+                    raise ValueError(
+                        "kmeans_train_exact: lattice magnitude too large "
+                        "for exact int64 distances — lower `scale`"
+                    )
+                dists = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                idx = dists.argmin(axis=1)
+                d_out[mask] = dists[np.arange(len(idx)), idx]
+                i_out[mask] = idx.astype("int32")
+            return pd.DataFrame({"d": d_out, "i": i_out})
+
+        return _assign(F.col("__vm"))
 
     for it in range(iterations):
         stats = (
-            base.selectExpr("__vm", f"{assign_expr(centroids)} AS a")
+            base.select("__vm", assign_col(centroids).alias("a"))
             .groupBy(F.col("a.i").alias("cl"))
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -1768,7 +1804,7 @@ def kmeans_train_exact(
         ]
 
     return (
-        base.selectExpr(f"{assign_expr(centroids)} AS a")
+        base.select(assign_col(centroids).alias("a"))
         .groupBy(F.col("a.i").cast("long").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
