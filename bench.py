@@ -214,7 +214,18 @@ def main() -> None:
     from polars_pipe_spark import get_spark
 
     spark = get_spark(app_name="bench")
-    qmap = entry_mod.queries()
+    # SPARK_GRAFT_BENCH_REGISTRY=ladder times the full-fidelity TPC-H
+    # registry (r13 verdict task 1: those 9 queries had correctness but
+    # no measured scale point). Ladder runs REQUIRE a full-schema
+    # fixture (tools/gen_testdata.py) and are never the driver-
+    # comparable default artifact.
+    registry = os.environ.get("SPARK_GRAFT_BENCH_REGISTRY", "main")
+    if registry == "ladder":
+        qmap = entry_mod.ladder_queries()
+    elif registry == "main":
+        qmap = entry_mod.queries()
+    else:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_REGISTRY unknown: {registry}")
     # SPARK_GRAFT_BENCH_QUERIES overrides the HEADLINE selection:
     #   "all"      -> every registered query (the r9 non-headline sf1
     #                 sweep: no family left without a measured rung)
@@ -222,7 +233,7 @@ def main() -> None:
     # Default (unset) stays the HEADLINE list, so driver-round artifacts
     # remain comparable across rounds.
     sel = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
-    if sel == "all":
+    if sel == "all" or (registry == "ladder" and not sel):
         names = sorted(qmap)
     elif sel:
         names = [n.strip() for n in sel.split(",") if n.strip()]
@@ -391,6 +402,7 @@ def main() -> None:
     default_cpus = cpus_env is None or cpus_env == str(os.cpu_count() or 8)
     is_default_run = (
         os.path.normpath(sf_dir) == os.path.normpath("/root/testdata/sf0.1")
+        and registry == "main"
         and not sel
         and not skip
         and runs == 3

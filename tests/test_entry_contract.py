@@ -3,6 +3,8 @@ stable schema; oracle keys ⊆ query keys; entry() returns rows."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -107,6 +109,33 @@ def test_query_runs_and_is_stable(spark, name):
     assert n >= 0 and len(cols) > 0
     # schema stable across two invocations
     assert fn(spark, SF).columns == cols
+
+
+@pytest.fixture(scope="session")
+def ladder_sf(tmp_path_factory):
+    """Extended-schema sf0.001 fixture for the full-fidelity TPC-H
+    ladder plans (r13 verdict task 6: an API change that breaks only a
+    ladder plan must fail HERE, not at the next oracle run). Generated,
+    not read from /root/testdata — the driver fixtures lack partsupp /
+    commit-receipt dates / c_phone / p_container by design."""
+    import sys
+
+    out = tmp_path_factory.mktemp("ladder_sf0.001")
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from gen_testdata import generate
+
+    generate(0.001, str(out))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.ladder_queries()))
+def test_ladder_query_runs_and_is_stable(spark, ladder_sf, name):
+    fn = entry_mod.ladder_queries()[name]
+    df = fn(spark, ladder_sf)
+    cols = df.columns
+    n = df.count()
+    assert n >= 0 and len(cols) > 0
+    assert fn(spark, ladder_sf).columns == cols
 
 
 # the cap-sensitive family (r11 verdict task 4): queries whose Spark

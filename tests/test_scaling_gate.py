@@ -177,3 +177,80 @@ class TestSweepGate:
             "tools/scaling_report.py <sweep rungs> --write-summary "
             "scaling/SWEEP.json"
         )
+
+
+SWEEP_LADDER = os.path.join(REPO, "scaling", "SWEEP_LADDER.json")
+
+
+def _committed_ladder_sweeps() -> list[str]:
+    """Newest committed full-fidelity TPC-H ladder rungs (r13 verdict
+    task 1: the 9 ladder queries were the only registered queries with
+    correctness but no measured scale exponent). Measured with
+    ``SPARK_GRAFT_BENCH_REGISTRY=ladder`` on tools/gen_testdata.py
+    full-schema fixtures."""
+    paths = glob.glob(os.path.join(REPO, "scaling", "sweep_ladder_sf*_r*.json"))
+    assert paths, (
+        "no committed ladder sweep rungs under scaling/ — run "
+        "SPARK_GRAFT_BENCH_REGISTRY=ladder SPARK_GRAFT_SF_DIR=<full fixture> "
+        "python bench.py and copy scaling/bench_last_run_full.json aside"
+    )
+    rounds = {p.rsplit("_r", 1)[1].split(".json")[0] for p in paths}
+    newest = max(rounds, key=int)
+    return sorted(p for p in paths if p.endswith(f"_r{newest}.json"))
+
+
+class TestLadderSweepGate:
+    """The sweep-gate machinery applied to the full-fidelity TPC-H
+    registry: the 9 ladder queries get gated exponents like every
+    main-registry query."""
+
+    def test_committed_ladder_sweep_within_accepted_summary(self):
+        rungs = _committed_ladder_sweeps()
+        assert len(rungs) >= 2, f"need >=2 ladder sweep rungs: {rungs}"
+        _, rows = build_rows([load(p) for p in rungs], floor=1.0)
+        with open(SWEEP_LADDER) as f:
+            baseline = json.load(f)
+        violations = gate(rows, baseline)
+        assert not violations, "\n".join(violations)
+
+    def test_ladder_sweep_covers_every_ladder_query(self):
+        import __spark_entry__ as entry_mod
+
+        runs = [load(p) for p in _committed_ladder_sweeps()]
+        seen = set().union(*[set(qs) for _, qs in runs])
+        missing = set(entry_mod.ladder_queries()) - seen
+        assert not missing, f"ladder queries with no sweep rung: {sorted(missing)}"
+
+    def test_ladder_sweep_gate_is_red_on_worsened_artifact(self):
+        rungs = _committed_ladder_sweeps()
+        runs = [load(p) for p in rungs]
+        with open(SWEEP_LADDER) as f:
+            baseline = json.load(f)
+        scaled = [
+            n for n, b in baseline.items()
+            if b["exponent"] is not None
+            and b["label"].startswith(("sublinear", "linear"))
+        ]
+        assert scaled, baseline
+        victim = scaled[0]
+        sf_top = max(sf for sf, qs in runs if victim in qs)
+        worsened = [
+            (sf, {**qs, **({victim: qs[victim] * 8.0}
+                           if sf == sf_top and victim in qs else {})})
+            for sf, qs in runs
+        ]
+        _, rows = build_rows(worsened, floor=1.0)
+        violations = gate(rows, baseline)
+        assert any(victim in v and "exponent" in v for v in violations), violations
+
+    def test_ladder_sweep_summary_matches_committed_rungs(self):
+        rungs = _committed_ladder_sweeps()
+        _, rows = build_rows([load(p) for p in rungs], floor=1.0)
+        want = summarize(rows, 0.0)
+        with open(SWEEP_LADDER) as f:
+            got = json.load(f)
+        assert got == json.loads(json.dumps(want)), (
+            "scaling/SWEEP_LADDER.json is stale — regenerate with "
+            "tools/scaling_report.py <ladder rungs> --write-summary "
+            "scaling/SWEEP_LADDER.json"
+        )
