@@ -4539,15 +4539,24 @@ def _q180_compaction_report(spark, sf):
         )
         .collect()
     )
-    rows = sorted(
-        (
+    # r14: per-source compactions are INDEPENDENT Spark jobs on disjoint
+    # directories; running them from a small thread pool lets the next
+    # job's tasks back-fill executors left idle by the current job's
+    # tail (guide-standard concurrent-jobs pattern). Output is
+    # deterministic regardless of completion order: file counts derive
+    # from row counts, and the report is sorted after the fact.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def compact_one(r):
+        return (
             r["source"],
             r["n_rows"],
             r["n_files_before"],
             compact_parquet(spark, f"{root}/source={r['source']}"),
         )
-        for r in before
-    )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = sorted(pool.map(compact_one, before))
     return spark.createDataFrame(
         rows,
         "source string, n_rows long, n_files_before long, n_files_after long",

@@ -573,18 +573,22 @@ def dedup_clusters(
     # plan every round even when data is cached, and Catalyst re-analyzes
     # the whole history each iteration — minutes of driver time by round
     # ~10. Checkpointing truncates the lineage so every round plans
-    # against a flat scan.
+    # against a flat scan. eager=False (r14): lineage truncation and
+    # caching are identical, but materialisation folds into the FIRST
+    # job that reads each frame (the round's join for the labels, the
+    # fixpoint aggregate for the per-round update) instead of running as
+    # its own standalone job — one scheduled job per round, not two.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -605,7 +609,7 @@ def dedup_clusters(
                 upd.alias("label"),
                 (upd < F.col("label")).cast("int").alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("chg")).first()[0]
         labels = new_labels
@@ -862,6 +866,18 @@ def dup_span_stats(
     # Generate keeps the tokens expression materialised once per row
     grams = df.select(F.col(id_col).alias("id"), F.explode(F.array(gram)).alias("__g"))
     pos = grams.select("id", F.explode("__g").alias("g"))
+    # persist (r14): ``pos`` feeds BOTH the corpus-count aggregate and
+    # the join back, and with different column sets surviving pruning on
+    # the two branches the exchanges never reuse: the captured q94 plan
+    # ran the tokenize+md5+explode pipeline twice (3 documents scans).
+    # The cache holds the exploded (id, md5-gram) stream once; both
+    # consumers read it. A pre-aggregate to (id, gram, count) before the
+    # persist was A/B-tested and LOST (1.12x at sf0.1 — the extra
+    # aggregate costs more than the narrower cache saves on this data,
+    # where within-document gram repeats are rare), so the per-occurrence
+    # form stays. The counts join stays a JOIN (not a window) so AQE
+    # skew handling still covers a pathologically hot boilerplate gram.
+    pos = pos.persist()
     counts = pos.groupBy("g").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
         pos.join(counts, "g")
@@ -915,9 +931,18 @@ def span_dedup(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.array_join(F.slice(t, i * span_tokens + 1, span_tokens), " "),
     )).otherwise(F.array().cast("array<string>"))
-    ex = tok_df.select(
-        "id", F.posexplode(spans).alias("pos", "span")
-    ).withColumn("skey", F.md5("span"))
+    # persist (r14): ``ex`` feeds both the ownership aggregate and the
+    # join back, and the two branches prune to different columns (the
+    # aggregate needs no span text), so the exchanges never reuse — the
+    # captured q132 plan tokenized and re-sliced the corpus twice. The
+    # cache holds the exploded spans once; ownership and reassembly both
+    # read it. The ownership join stays a JOIN so AQE skew handling
+    # covers a hot boilerplate span.
+    ex = (
+        tok_df.select("id", F.posexplode(spans).alias("pos", "span"))
+        .withColumn("skey", F.md5("span"))
+        .persist()
+    )
     own = ex.groupBy("skey").agg(
         F.min(F.col("id") * 1000000 + F.col("pos")).alias("owner")
     )

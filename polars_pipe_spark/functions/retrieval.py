@@ -68,7 +68,21 @@ def bm25_scores(
     tok = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).join(F.broadcast(terms), "term")
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist the term-filtered tf frame (r14): it is consumed twice —
+    # the candidate-id derivation below and the feature join back — and
+    # WITHOUT the cache the whole tokenize+explode+aggregate pipeline
+    # plans (and runs) once per consumer: the captured q129 plan showed
+    # the documents scan + Generate + term-filter + two-stage aggregate
+    # duplicated wholesale (no exchange reuse: the two branches prune to
+    # different column sets, de-canonicalising the subtrees). The frame
+    # itself is tiny — one row per (candidate doc, matched term), already
+    # pruned by the broadcast term filter — so the cache fill is cheap
+    # and the second corpus-wide tokenizing pass disappears.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     # Late materialisation: tokenize-heavy per-doc features (dl + caller
     # doc_cols) run ONCE per *candidate* document — the semi-join prunes
     # the feature projection to docs matching ≥1 term, so non-candidates

@@ -398,13 +398,19 @@ def bpe_train(
     pairs created by a merge can occur at most as often as the merge
     itself) is the oracle-checkable property q169 asserts.
     """
+    # lazy checkpoints throughout the loop (r14): eager=False still
+    # truncates lineage and caches the partitions, but materialisation
+    # happens inside the FIRST job that reads the frame (the next
+    # round's pair-count aggregate) instead of as its own job — halving
+    # the per-round job count (8 rounds used to schedule 8 standalone
+    # checkpoint jobs on top of the 8 aggregate+argmax jobs).
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("seq", F.split(F.col("w"), ""))
         .select("w", "freq", "seq")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -446,7 +452,7 @@ def bpe_train(
                     ),
                 ).otherwise(F.concat(acc, F.array(x))),
             ),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     if return_word_table:
         return merges, words
     return merges

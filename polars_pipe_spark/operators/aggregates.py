@@ -300,20 +300,65 @@ def _exact_ranks(
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
+    # r14: resolve every rank whose target bucket already fits
+    # ``direct_threshold`` in ONE shared job (window row_number per
+    # bucket over the union of target buckets) instead of a
+    # stats+TakeOrdered job pair PER rank — the histogram told us each
+    # bucket's row count, so the per-rank "is it small enough yet?"
+    # probe jobs were pure overhead. Only oversized buckets (count >
+    # direct_threshold) still recurse. The window is bounded by
+    # construction: every partition is a single bucket whose row count
+    # the histogram measured at ≤ direct_threshold.
+    direct: dict[int, tuple[int, int]] = {}  # k -> (bucket, in-bucket rank)
     for k in ks:
         seen = 0
         for b, c in hist:
             if seen + c > k:
-                cond = (
-                    (F.col("__v") >= float(lo) + (b - 1) * width)
-                    & (F.col("__v") <= float(lo) + (b + 2) * width)
-                    & (b_expr == b)
-                )
-                out[k] = _select_rank(
-                    base.filter(cond), k - seen, n_buckets, direct_threshold
-                )
+                if c <= direct_threshold:
+                    direct[k] = (b, k - seen)
+                else:
+                    cond = (
+                        (F.col("__v") >= float(lo) + (b - 1) * width)
+                        & (F.col("__v") <= float(lo) + (b + 2) * width)
+                        & (b_expr == b)
+                    )
+                    out[k] = _select_rank(
+                        base.filter(cond), k - seen, n_buckets, direct_threshold
+                    )
                 break
             seen += c
+    if direct:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        bucket_ids = sorted({b for b, _ in direct.values()})
+        # range conjunct: superset of every target bucket (1-bucket slack
+        # each side) — exists only so parquet min/max row-group pruning
+        # applies; membership itself uses the IDENTICAL bucket expression
+        # the histogram counted with (float-boundary safety, see above).
+        range_cond = None
+        for b in bucket_ids:
+            rc = (F.col("__v") >= float(lo) + (b - 1) * width) & (
+                F.col("__v") <= float(lo) + (b + 2) * width
+            )
+            range_cond = rc if range_cond is None else (range_cond | rc)
+        wanted: dict[int, list[int]] = {}
+        for b, rk in direct.values():
+            wanted.setdefault(b, []).append(rk + 1)
+        rn_cond = None
+        for b, rns in wanted.items():
+            c = (F.col("__bk") == b) & F.col("__rn").isin(rns)
+            rn_cond = c if rn_cond is None else (rn_cond | c)
+        w = Window.partitionBy("__bk").orderBy("__v")
+        rows = (
+            base.filter(range_cond & b_expr.isin([int(b) for b in bucket_ids]))
+            .select("__v", b_expr.alias("__bk"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(rn_cond)
+            .collect()
+        )
+        vals = {(r["__bk"], r["__rn"]): r["__v"] for r in rows}
+        for k, (b, rk) in direct.items():
+            out[k] = vals[(b, rk + 1)]
     return out
 
 
@@ -494,10 +539,133 @@ def weighted_quantiles(
     W = base.agg(F.sum("__w")).first()[0]
     if not W:
         return {float(q): (0, None) for q in qs}
-    out: dict[float, tuple[int, int]] = {}
-    for q in qs:
-        k = int((W - 1) * q)
-        out[float(q)] = (k, _select_weighted_rank(base, k, n_buckets, direct_threshold))
+    # r14: share the selection rounds across ALL requested quantiles —
+    # the old form re-ran the full narrowing (stats job + histogram job
+    # + direct walk) from scratch PER q, recomputing identical
+    # first-round jobs nq times. One stats job + one weighted histogram
+    # now serve every rank, and every rank whose bucket already fits
+    # ``direct_threshold`` resolves in ONE shared cumulative-weight
+    # window job (same job-batching as :func:`_exact_ranks`). Only
+    # oversized buckets still recurse, one narrowing per rank.
+    ranks = sorted({int((W - 1) * q) for q in qs})
+    vals = _weighted_ranks(base, ranks, n_buckets, direct_threshold)
+    return {
+        float(q): (int((W - 1) * q), vals[int((W - 1) * q)]) for q in qs
+    }
+
+
+def _weighted_ranks(
+    base: DataFrame,
+    ks: list[int],
+    n_buckets: int,
+    direct_threshold: int,
+) -> dict[int, int]:
+    """Value at each 0-based WEIGHT rank in ``ks`` of the (__v, __w)
+    frame. One stats job + one weighted-histogram job serve every rank;
+    ranks whose bucket holds ≤ ``direct_threshold`` ROWS share one
+    cumulative-weight window job; oversized buckets fall back to the
+    per-rank narrowing loop (:func:`_select_weighted_rank`)."""
+    out: dict[int, int] = {}
+    n_rows, lo, hi = base.agg(
+        F.count(F.lit(1)), F.min("__v"), F.max("__v")
+    ).first()
+    if lo == hi:
+        return {k: lo for k in ks}
+    width = (float(hi) - float(lo)) / n_buckets
+    if n_rows <= direct_threshold or width <= 0.0:
+        # bounded direct walk, ONE sorted collect shared by every rank
+        rows = base.orderBy("__v").limit(n_rows).collect()
+        seen = 0
+        i = 0
+        remaining = list(ks)
+        for r in rows:
+            seen += r["__w"]
+            while i < len(remaining) and remaining[i] < seen:
+                out[remaining[i]] = r["__v"]
+                i += 1
+            if i == len(remaining):
+                break
+        for k in remaining[i:]:
+            out[k] = rows[-1]["__v"]
+        return out
+    b_expr = F.least(
+        F.floor((F.col("__v") - float(lo)) / width).cast("long"),
+        F.lit(n_buckets - 1).cast("long"),
+    )
+    hist = sorted(
+        (r["b"], r["w"], r["c"])
+        for r in base.groupBy(b_expr.alias("b"))
+        .agg(F.sum("__w").alias("w"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    direct: dict[int, tuple[int, int]] = {}  # k -> (bucket, in-bucket weight rank)
+    for k in ks:
+        seen = 0
+        for b, w, c in hist:
+            if seen + w > k:
+                cond = (
+                    (F.col("__v") >= float(lo) + (b - 1) * width)
+                    & (F.col("__v") <= float(lo) + (b + 2) * width)
+                    & (b_expr == b)
+                )
+                if c <= direct_threshold:
+                    direct[k] = (b, k - seen)
+                else:
+                    out[k] = _select_weighted_rank(
+                        base.filter(cond), k - seen, n_buckets, direct_threshold
+                    )
+                break
+            seen += w
+    if direct:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        bucket_ids = sorted({b for b, _ in direct.values()})
+        # range conjunct: superset of every target bucket (1-bucket
+        # slack each side) so parquet min/max row-group pruning applies;
+        # membership itself uses the IDENTICAL bucket expression the
+        # histogram counted with (float-boundary safety).
+        range_cond = None
+        for b in bucket_ids:
+            rc = (F.col("__v") >= float(lo) + (b - 1) * width) & (
+                F.col("__v") <= float(lo) + (b + 2) * width
+            )
+            range_cond = rc if range_cond is None else (range_cond | rc)
+        # per-row running weight: ROWS frame, NOT the default RANGE frame
+        # — RANGE includes all __v-tie peers in the cumulative, which can
+        # leave a target with no owning row (every peer's cum-w already
+        # past it). With a ROWS frame cum is strictly increasing (w > 0),
+        # so exactly one row owns each target: cum-w > t on the row whose
+        # weight span covers t. Tie order among equal __v is free — any
+        # order selects the same VALUE.
+        w = (
+            Window.partitionBy("__bk")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("__w").over(w)
+        tgt_cond = None
+        for k, (b, rk) in direct.items():
+            c = (
+                (F.col("__bk") == b)
+                & (F.col("__cw") > rk)
+                & ((F.col("__cw") - F.col("__w")) <= rk)
+            )
+            tgt_cond = c if tgt_cond is None else (tgt_cond | c)
+        rows = (
+            base.filter(range_cond & b_expr.isin([int(b) for b in bucket_ids]))
+            .select("__v", "__w", b_expr.alias("__bk"))
+            .withColumn("__cw", cum)
+            .filter(tgt_cond)
+            .collect()
+        )
+        found = [
+            (r["__bk"], r["__cw"], r["__w"], r["__v"]) for r in rows
+        ]
+        for k, (b, rk) in direct.items():
+            for fb, fcw, fw, fv in found:
+                if fb == b and fcw > rk and fcw - fw <= rk:
+                    out[k] = fv
+                    break
     return out
 
 

@@ -480,16 +480,21 @@ def bloom_prune(
     rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
     if len(lkeys) != len(rkeys):
         raise ValueError("left_on and right_on must pair up")
-    # one-shot collect_set agg: map-side partials are already ≤
-    # n_buckets longs each, so the single-reducer merge is bounded —
-    # no pre-distinct shuffle needed
-    bitmap = right.select(_bucket_expr(rkeys, n_buckets).alias("__b")).agg(
-        F.sort_array(F.collect_set("__b")).alias("__bloom")
-    )
-    return (
-        left.crossJoin(F.broadcast(bitmap))
-        .filter(F.array_contains(F.col("__bloom"), _bucket_expr(lkeys, n_buckets)))
-        .drop("__bloom")
+    # Broadcast LEFT-SEMI hash join on the bucket value (r14): the old
+    # form collected the buckets into ONE array column and probed with
+    # array_contains under a BroadcastNestedLoopJoin — an O(n_buckets)
+    # linear scan per probe row. The semi join builds the ≤ n_buckets
+    # distinct bucket values into a broadcast hash relation instead, so
+    # each probe row pays one hash lookup; membership semantics (and
+    # therefore every surviving row) are identical, and the probe side
+    # still sees no shuffle. The build side's distinct is a two-stage
+    # hash aggregate whose map-side partials are already ≤ n_buckets
+    # rows each.
+    buckets = right.select(_bucket_expr(rkeys, n_buckets).alias("__b")).distinct()
+    return left.join(
+        F.broadcast(buckets),
+        _bucket_expr(lkeys, n_buckets) == F.col("__b"),
+        "left_semi",
     )
 
 

@@ -276,6 +276,26 @@ class TestWeightedQuantiles:
         )
         assert direct == narrow
 
+    def test_batched_direct_buckets_match_model(self, spark):
+        """r14: several quantiles at once with a fine histogram (every
+        bucket under direct_threshold) resolve via ONE shared
+        cumulative-weight window job — values must match the expanded
+        multiset model, including targets landing inside a heavy
+        repeated-value run (the ROWS-frame tie case)."""
+        from polars_pipe_spark.operators.aggregates import weighted_quantiles
+
+        rows = [(i * 7 % 1000, 1 + i % 5) for i in range(500)] + [(400, 40)] * 6
+        df = spark.createDataFrame(rows, "v long, w long")
+        got = weighted_quantiles(
+            df, "v", "w", [0.1, 0.25, 0.5, 0.75, 0.9],
+            n_buckets=64, direct_threshold=60,
+        )
+        expanded = sorted(v for v, w in rows for _ in range(w))
+        W = len(expanded)
+        for q, (rank, val) in got.items():
+            assert rank == int((W - 1) * q)
+            assert val == expanded[rank], (q, rank, val)
+
     def test_empty_and_null(self, spark):
         from polars_pipe_spark.operators.aggregates import weighted_quantiles
 

@@ -309,6 +309,50 @@ def test_exact_quantiles_forces_histogram_rounds(spark):
     assert got[0.5] == (199, 199.0)
 
 
+def test_exact_quantiles_batched_direct_buckets(spark):
+    """r14: ranks whose target bucket already fits direct_threshold
+    resolve in ONE shared window job instead of per-rank TakeOrdered
+    probes. Force that path (fine histogram -> every bucket under the
+    threshold) for several ranks at once, including two ranks landing in
+    the SAME bucket, and pin to the sorted model."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    vals = [((i * 37) % 1000) / 7.0 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(
+        df, "x", [0.1, 0.25, 0.26, 0.5, 0.75, 0.9],
+        n_buckets=50, direct_threshold=20,
+    )
+    s = sorted(vals)
+    for q, (rank, val) in got.items():
+        want = int((len(s) - 1) * q)
+        assert rank == want
+        assert val == s[want], q
+
+
+def test_exact_quantiles_mixed_direct_and_recursive_buckets(spark):
+    """r14: a histogram whose target buckets straddle direct_threshold —
+    one rank lands in an under-threshold bucket (batched window path),
+    another in a giant constant-heavy bucket (recursive narrowing) —
+    must still return exact order statistics for both."""
+    from polars_pipe_spark.operators.aggregates import exact_quantiles
+
+    # bucket containing 5.x holds 300 rows (> 30); the tail values
+    # spread thinly (<= 30 per bucket)
+    vals = [5.0 + (i % 7) / 100.0 for i in range(300)] + [
+        100.0 + i for i in range(100)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_quantiles(
+        df, "x", [0.25, 0.95], n_buckets=40, direct_threshold=30
+    )
+    s = sorted(vals)
+    for q, (rank, val) in got.items():
+        want = int((len(s) - 1) * q)
+        assert rank == want
+        assert val == s[want], q
+
+
 def test_exact_quantiles_skewed_constant_bucket(spark):
     from polars_pipe_spark.operators.aggregates import exact_quantiles
 
