@@ -1348,31 +1348,32 @@ def _q55_length_histogram(spark, sf):
 
 
 def _q56_winsorize(spark, sf):
-    """Outlier clipping at exact p01/p99 (percentiles via one agg,
-    broadcast to every row, null-preserving clip)."""
-    from polars_pipe_spark.expressions import clip_expr
+    """Outlier clipping at exact p01/p99, null-preserving clip.
 
+    r14: the bounds used to come from ``F.percentile`` in one agg —
+    Spark's exact-percentile aggregate buffers EVERY value through a
+    single reducer (60M rows at sf10: 106 s, the banned one-reducer
+    sort in disguise). They now come from
+    ``operators.aggregates.percentile_cont`` — histogram-narrowing
+    selection (map-side-combinable aggregates only) + Spark's own
+    interpolation formula on the driver, verified BIT-IDENTICAL to
+    ``F.percentile`` on this column (test + oracle). The bounds join
+    becomes two literals, dropping the crossJoin."""
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
-    bounds = li.agg(
-        F.percentile("l_extendedprice", 0.01).alias("p01"),
-        F.percentile("l_extendedprice", 0.99).alias("p99"),
-    )
-    return (
-        li.crossJoin(F.broadcast(bounds))
-        .withColumn(
-            "price_winsorized",
-            F.round(
-                F.when(F.col("l_extendedprice").isNull(), F.lit(None)).otherwise(
-                    F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
-                ),
-                6,
+    from polars_pipe_spark.operators.aggregates import percentile_cont
+
+    pcs = percentile_cont(li, "l_extendedprice", [0.01, 0.99])
+    p01 = F.lit(pcs[0.01]).cast("double")
+    p99 = F.lit(pcs[0.99]).cast("double")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        F.round(p01, 6).alias("p01"), F.round(p99, 6).alias("p99"),
+        F.round(
+            F.when(F.col("l_extendedprice").isNull(), F.lit(None)).otherwise(
+                F.least(F.greatest(F.col("l_extendedprice"), p01), p99)
             ),
-        )
-        .select(
-            "l_orderkey", "l_linenumber", "l_extendedprice",
-            F.round("p01", 6).alias("p01"), F.round("p99", 6).alias("p99"),
-            "price_winsorized",
-        )
+            6,
+        ).alias("price_winsorized"),
     )
 
 
@@ -1575,12 +1576,45 @@ def _q61_fuzzy_join(spark, sf):
 
 def _q62_group_percentiles(spark, sf):
     """Exact per-group percentiles (median + p90) — the grouped form of
-    the describe statistics."""
+    the describe statistics.
+
+    r14: per-group ``F.percentile`` buffered every value of each group
+    in ONE reducer task (15M-row groups at sf10 → 68 s straggler).
+    ``grouped_percentile_cont`` fetches every group's two order
+    statistics through three shared map-side-combinable jobs and
+    interpolates with Spark's exact formula (bit-identical, see
+    operators/aggregates.py); n_rows (ALL rows, nulls included) comes
+    from one plain count aggregate, and ROUND stays in Spark so
+    HALF_UP semantics are unchanged."""
+    from polars_pipe_spark.operators.aggregates import grouped_percentile_cont
+
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+    counts = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    pcs = grouped_percentile_cont(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", [0.5, 0.9]
+    )
+    rows = [
+        (
+            r["l_returnflag"],
+            r["l_linestatus"],
+            pcs.get((r["l_returnflag"], r["l_linestatus"]), {}).get(0.5),
+            pcs.get((r["l_returnflag"], r["l_linestatus"]), {}).get(0.9),
+            r["n_rows"],
+        )
+        for r in counts
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_linestatus string, __m double, __p double, n_rows long",
+    ).select(
+        "l_returnflag", "l_linestatus",
+        F.round("__m", 6).alias("median_price"),
+        F.round("__p", 6).alias("p90_price"),
+        "n_rows",
     )
 
 
@@ -6299,7 +6333,12 @@ def _q231_embedding_norm_audit(spark, sf):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v * v,
     )
-    vecs = emb.select(F.col("vec_id"), n2.alias("n2"))
+    # persist (r14): n2 is a per-row reduction over the embedding array
+    # — by far the expensive part of this query — and every selection
+    # job below (stats, histogram, rank fetch) plus the final audit agg
+    # used to RE-DERIVE it from the parquet scan. The cached frame is
+    # two longs per vector; all consumers read it.
+    vecs = emb.select(F.col("vec_id"), n2.alias("n2")).persist()
     th = exact_quantiles(vecs, "n2", [0.01, 0.99])
     lo, hi = int(th[0.01][1]), int(th[0.99][1])
     return vecs.agg(

@@ -507,6 +507,249 @@ def grouped_ols(
     )
 
 
+def percentile_cont(
+    df: DataFrame,
+    col: str,
+    ps: list[float],
+    n_buckets: int = 10_000,
+    direct_threshold: int = 100_000,
+) -> dict[float, float | None]:
+    """EXACT interpolated (continuous) percentiles WITHOUT the
+    single-reducer ``F.percentile`` aggregate: Spark's exact percentile
+    buffers EVERY value of the column in ONE aggregation buffer (the
+    same one-reducer shape :func:`equidepth_histogram` banned in r9).
+    This form reduces each percentile to the TWO order statistics
+    around the interpolation position, fetches them through the shared
+    histogram-narrowing selection core (:func:`_exact_ranks` — every
+    job a map-side-combinable aggregate), and interpolates on the
+    driver with Spark's own formula::
+
+        h = (n - 1) * p;  lo = floor(h);  hi = ceil(h)
+        value = (hi - h) * v[lo] + (h - lo) * v[hi]     # v = sorted col
+
+    which is bit-for-bit what ``F.percentile`` computes (getPercentile
+    in Spark's Percentile aggregate), so swapping a call site cannot
+    change a query's output (pinned by
+    ``test_percentile_cont_bitwise_matches_spark``). NULLs excluded,
+    matching the aggregate.
+    """
+    import math
+
+    base = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n, lo, hi = base.agg(F.count(F.lit(1)), F.min("__v"), F.max("__v")).first()
+    if not n:
+        return {float(p): None for p in ps}
+    ranks: set[int] = set()
+    for p in ps:
+        h = (n - 1) * float(p)
+        ranks.add(int(math.floor(h)))
+        ranks.add(int(math.ceil(h)))
+    vals = _exact_ranks(
+        base, sorted(ranks), n, lo, hi, n_buckets, direct_threshold
+    )
+    out: dict[float, float | None] = {}
+    for p in ps:
+        h = (n - 1) * float(p)
+        lo_r, hi_r = int(math.floor(h)), int(math.ceil(h))
+        lv = float(vals[lo_r])
+        if hi_r == lo_r:
+            out[float(p)] = lv
+        else:
+            out[float(p)] = (hi_r - h) * lv + (h - lo_r) * float(vals[hi_r])
+    return out
+
+
+def grouped_percentile_cont(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    ps: list[float],
+    n_buckets: int = 10_000,
+    direct_threshold: int = 100_000,
+) -> dict[tuple, dict[float, float]]:
+    """Per-group interpolated percentiles with SHARED jobs across all
+    groups — the grouped escape from per-group ``F.percentile``, whose
+    aggregation buffer holds EVERY value of its group in one reducer
+    task (15M-row groups at sf10 made q62 a 68 s straggler).
+
+    Caller contract: group cardinality is BOUNDED (a stats row and a
+    histogram per group land on the driver) — no stricter than the
+    per-group ``F.percentile`` shape it replaces, where each group was
+    already a single reducer.
+
+    Job count is constant in group count and percentile count: one
+    per-group stats job; one per-(group, bucket) histogram job over the
+    groups big enough to need narrowing; one shared row_number window
+    job fetching EVERY group's target order statistics at once (small
+    groups resolve whole under a sentinel bucket id −1, large groups
+    through their located buckets; every window partition is bounded by
+    ``direct_threshold`` / the group size, known before the job runs).
+    A bucket still exceeding ``direct_threshold`` rows (extreme value
+    skew) recurses through :func:`_select_rank` per rank. Interpolation
+    uses Spark's ``F.percentile`` formula (see :func:`percentile_cont`)
+    so call sites produce bit-identical output.
+
+    Returns {group_key_tuple: {p: value}} over groups with ≥ 1 non-NULL
+    value (all-NULL groups are absent — the aggregate form returns NULL
+    there; callers reattach those rows from their own counts).
+    """
+    import math
+
+    g = list(group_cols)
+    base = df.select(
+        *[F.col(c) for c in g], F.col(val_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    stats = (
+        base.groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+        )
+        .collect()
+    )
+    info: dict[tuple, dict] = {}
+    for r in stats:
+        key = tuple(r[c] for c in g)
+        ranks: set[int] = set()
+        for p in ps:
+            h = (r["__n"] - 1) * float(p)
+            ranks.add(int(math.floor(h)))
+            ranks.add(int(math.ceil(h)))
+        info[key] = {
+            "n": r["__n"], "lo": r["__lo"], "hi": r["__hi"],
+            "ranks": sorted(ranks),
+        }
+
+    def key_cond(key: tuple):
+        c = None
+        for col_name, kv in zip(g, key):
+            e = F.col(col_name) == F.lit(kv)
+            c = e if c is None else (c & e)
+        return c
+
+    # vals[key][absolute_rank] = value; filled by (a) constant-range
+    # groups, (b) the shared window job, (c) per-bucket recursion.
+    vals: dict[tuple, dict[int, float]] = {k: {} for k in info}
+    # (key, bucket_id, [(absolute_rank, row_number_target)], row_cond)
+    window_parts: list[tuple[tuple, int, list[tuple[int, int]], object]] = []
+    # one CASE column gives every large group its OWN equi-width bucket
+    # id; small/whole groups fall through to the sentinel −1, so the
+    # same column also partitions the shared window job for them.
+    bk_expr = F.lit(-1).cast("long")
+    hist_groups: dict[tuple, float] = {}
+    for key, meta in info.items():
+        if meta["lo"] == meta["hi"]:
+            for k in meta["ranks"]:
+                vals[key][k] = meta["lo"]
+            continue
+        width = (float(meta["hi"]) - float(meta["lo"])) / n_buckets
+        if meta["n"] <= direct_threshold or width <= 0.0:
+            window_parts.append(
+                (key, -1, [(k, k + 1) for k in meta["ranks"]], key_cond(key))
+            )
+            continue
+        hist_groups[key] = width
+        bk_expr = F.when(
+            key_cond(key),
+            F.least(
+                F.floor((F.col("__v") - float(meta["lo"])) / width).cast("long"),
+                F.lit(n_buckets - 1).cast("long"),
+            ),
+        ).otherwise(bk_expr)
+    if hist_groups:
+        hg_cond = None
+        for key in hist_groups:
+            c = key_cond(key)
+            hg_cond = c if hg_cond is None else (hg_cond | c)
+        hist_rows = (
+            base.filter(hg_cond)
+            .groupBy(*g, bk_expr.alias("__bk"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        hists: dict[tuple, list[tuple[int, int]]] = {}
+        for r in hist_rows:
+            key = tuple(r[c] for c in g)
+            hists.setdefault(key, []).append((r["__bk"], r["__c"]))
+        for key, width in hist_groups.items():
+            hist = sorted(hists[key])
+            counts = dict(hist)
+            lo = float(info[key]["lo"])
+            offsets: dict[int, int] = {}
+            acc = 0
+            for b, c in hist:
+                offsets[b] = acc
+                acc += c
+            per_bucket: dict[int, list[tuple[int, int]]] = {}
+            for k in info[key]["ranks"]:
+                b = None
+                for bb, cc in hist:
+                    if offsets[bb] + cc > k:
+                        b = bb
+                        break
+                per_bucket.setdefault(b, []).append((k, k - offsets[b] + 1))
+            for b, targets in per_bucket.items():
+                cond = (
+                    key_cond(key)
+                    & (F.col("__v") >= lo + (b - 1) * width)
+                    & (F.col("__v") <= lo + (b + 2) * width)
+                    & (bk_expr == b)
+                )
+                if counts[b] <= direct_threshold:
+                    window_parts.append((key, b, targets, cond))
+                else:
+                    for abs_k, rn in targets:
+                        vals[key][abs_k] = _select_rank(
+                            base.filter(cond).select("__v"),
+                            abs_k - offsets[b],
+                            n_buckets,
+                            direct_threshold,
+                        )
+    if window_parts:
+        from pyspark.sql import Window  # noqa: PLC0415
+
+        part_cond = None
+        rn_cond = None
+        for key, b, targets, cond in window_parts:
+            part_cond = cond if part_cond is None else (part_cond | cond)
+            c = (
+                key_cond(key)
+                & (F.col("__bk") == b)
+                & F.col("__rn").isin([rn for _k, rn in targets])
+            )
+            rn_cond = c if rn_cond is None else (rn_cond | c)
+        w = Window.partitionBy(*g, "__bk").orderBy("__v")
+        rows = (
+            base.filter(part_cond)
+            .select(*g, "__v", bk_expr.alias("__bk"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(rn_cond)
+            .collect()
+        )
+        got: dict[tuple, dict[tuple[int, int], float]] = {}
+        for r in rows:
+            key = tuple(r[c] for c in g)
+            got.setdefault(key, {})[(r["__bk"], r["__rn"])] = r["__v"]
+        for key, b, targets, _cond in window_parts:
+            for abs_k, rn in targets:
+                vals[key][abs_k] = got[key][(b, rn)]
+    out: dict[tuple, dict[float, float]] = {}
+    for key, meta in info.items():
+        out[key] = {}
+        for p in ps:
+            h = (meta["n"] - 1) * float(p)
+            lo_r, hi_r = int(math.floor(h)), int(math.ceil(h))
+            lv = float(vals[key][lo_r])
+            if hi_r == lo_r:
+                out[key][float(p)] = lv
+            else:
+                out[key][float(p)] = (hi_r - h) * lv + (h - lo_r) * float(
+                    vals[key][hi_r]
+                )
+    return out
+
+
 def weighted_quantiles(
     df: DataFrame,
     val_col: str,

@@ -301,3 +301,68 @@ class TestWeightedQuantiles:
 
         df = spark.createDataFrame([(None, 3), (5, None)], "v long, w long")
         assert weighted_quantiles(df, "v", "w", [0.5]) == {0.5: (0, None)}
+
+
+class TestPercentileCont:
+    def test_percentile_cont_bitwise_matches_spark(self, spark):
+        """r14: percentile_cont replaces single-reducer F.percentile at
+        call sites (q56) — the driver-side interpolation must be
+        BIT-IDENTICAL to the aggregate, on both the direct path and the
+        forced histogram-narrowing path."""
+        from pyspark.sql import functions as F
+
+        from polars_pipe_spark.operators.aggregates import percentile_cont
+
+        vals = [((i * 37) % 997) / 7.0 for i in range(500)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        ps = [0.01, 0.25, 0.5, 0.9, 0.99]
+        want = df.agg(
+            *[F.percentile("x", p).alias(f"p{i}") for i, p in enumerate(ps)]
+        ).first()
+        got = percentile_cont(df, "x", ps)
+        narrow = percentile_cont(df, "x", ps, n_buckets=16, direct_threshold=30)
+        for i, p in enumerate(ps):
+            assert got[p] == want[f"p{i}"], p
+            assert narrow[p] == want[f"p{i}"], p
+
+    def test_percentile_cont_empty(self, spark):
+        from polars_pipe_spark.operators.aggregates import percentile_cont
+
+        empty = spark.createDataFrame([], "x double")
+        assert percentile_cont(empty, "x", [0.5]) == {0.5: None}
+
+    def test_grouped_percentile_cont_bitwise_matches_spark(self, spark):
+        """Grouped form (q62): shared-job selection must be bit-identical
+        to per-group F.percentile, across small groups (whole-group
+        window path), narrowing-forced groups, and a constant-valued
+        group."""
+        from pyspark.sql import functions as F
+
+        from polars_pipe_spark.operators.aggregates import (
+            grouped_percentile_cont,
+        )
+
+        rows = (
+            [("a", ((i * 37) % 997) / 7.0) for i in range(400)]
+            + [("b", float(i)) for i in range(57)]
+            + [("c", 5.0)] * 40
+        )
+        df = spark.createDataFrame(rows, "g string, x double")
+        ps = [0.5, 0.9]
+        want = {
+            r["g"]: (r["m"], r["p"])
+            for r in df.groupBy("g")
+            .agg(
+                F.percentile("x", 0.5).alias("m"),
+                F.percentile("x", 0.9).alias("p"),
+            )
+            .collect()
+        }
+        for kwargs in (
+            {},
+            {"n_buckets": 16, "direct_threshold": 30},
+        ):
+            got = grouped_percentile_cont(df, ["g"], "x", ps, **kwargs)
+            for gk, (m, p) in want.items():
+                assert got[(gk,)][0.5] == m, (gk, kwargs)
+                assert got[(gk,)][0.9] == p, (gk, kwargs)
