@@ -1496,33 +1496,6 @@ def _q60_trailing_window(spark, sf):
     )
 
 
-def _lev2_deletion_keys():
-    """array<string> of every ≤2-deletion variant of a name — the
-    SymSpell blocking signature: two strings within Levenshtein
-    distance 2 (ins/del/sub) ALWAYS share at least one ≤2-deletion
-    variant, so an equi-join on these keys is a LOSSLESS candidate
-    generator for a lev≤2 verify. Declared pandas-UDF seam (per-row
-    string-slice fan-out; ~1 + L + C(L,2) keys for length L)."""
-    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
-
-    @pandas_udf("array<string>")
-    def keys(names: pd.Series) -> pd.Series:
-        out = []
-        for s in names:
-            if s is None:
-                out.append([])
-                continue
-            ks = {s}
-            d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
-            ks.update(d1)
-            for t in d1:
-                ks.update(t[:j] + t[j + 1 :] for j in range(len(t)))
-            out.append(sorted(ks))
-        return pd.Series(out)
-
-    return keys
-
-
 def _q61_fuzzy_join(spark, sf):
     """Fuzzy record linkage: customer names against corrupted probe
     names by Levenshtein distance <= 2, blocked on ≤2-DELETION
@@ -1542,6 +1515,8 @@ def _q61_fuzzy_join(spark, sf):
     classic blocking pitfall; deletion signatures cannot degenerate
     that way (a key bucket only holds names within 2 deletions of one
     another)."""
+    from polars_pipe_spark.operators.joins import deletion_keys_expr
+
     cust = _t(spark, sf, "customer").select(
         F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
     )
@@ -1555,15 +1530,25 @@ def _q61_fuzzy_join(spark, sf):
             ).alias("probe_name"),
         )
     )
-    keys = _lev2_deletion_keys()
-    cust_k = cust.select(
-        "cust_id", "name", F.explode(keys(F.col("name"))).alias("k")
-    )
-    probe_k = probes.select(
-        "probe_id", "probe_name", F.explode(keys(F.col("probe_name"))).alias("k")
-    )
+
+    # r14 (guide §4.1, §2.3): the ~1+L+C(L,2) deletion keys per name
+    # used to come from a pandas UDF — every customer name shipped to a
+    # Python worker and an ~170-element array<string> shipped back
+    # (ArrowEvalPython dominated this query at sf10). deletion_keys_expr
+    # builds the same key SET with JVM higher-order functions inside
+    # WholeStageCodegen, and the equi-join runs on xxhash64(key) longs
+    # instead of ~17-char strings — lossless, because SymSpell already
+    # guarantees every true lev≤2 pair shares a key (hash collisions can
+    # only ADD candidates, and the exact levenshtein verify drops them).
+    def keyed(name_col):
+        return F.explode(
+            F.transform(deletion_keys_expr(name_col, 2), lambda k: F.xxhash64(k))
+        ).alias("kh")
+
+    cust_k = cust.select("cust_id", "name", keyed("name"))
+    probe_k = probes.select("probe_id", "probe_name", keyed("probe_name"))
     cand = (
-        cust_k.join(F.broadcast(probe_k), "k")
+        cust_k.join(F.broadcast(probe_k), "kh")
         .select("cust_id", "name", "probe_id", "probe_name")
         .distinct()
     )

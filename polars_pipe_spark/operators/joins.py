@@ -233,6 +233,63 @@ def deletion_keys_udf(max_dist: int):
     return keys
 
 
+def deletion_keys_expr(col, max_dist: int):
+    """array<string> of every ≤max_dist-deletion variant of a string —
+    the pure-JVM form of :func:`deletion_keys_udf`. The fan-out is
+    nothing but substring slicing, so it compiles to higher-order
+    functions inside WholeStageCodegen (guide §4.1: prefer built-ins)
+    instead of shipping every name to a Python worker and an
+    ~L²/2-element array<string> back per row (the ArrowEvalPython
+    round-trip dominated q61 at sf10). Key SET identical to the UDF's
+    — dedup via array_distinct here vs a Python set there; element
+    ORDER may differ (sorted there, generation order here), which is
+    immaterial to every caller (all explode + equi-join). NULL input
+    yields an empty array, matching the UDF.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"deletion_keys_expr: max_dist={max_dist} not in 1/2")
+    s = F.col(col) if isinstance(col, str) else col
+    length = F.length(s)
+    empty = F.array().cast("array<string>")
+
+    def del1(i):
+        # drop character i (1-based)
+        return F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, length))
+
+    def del2(i, j):
+        # drop characters i < j (1-based)
+        return F.concat(
+            s.substr(F.lit(1), i - 1),
+            s.substr(i + 1, j - i - 1),
+            s.substr(j + 1, length),
+        )
+
+    # sequence(a, b) counts DOWN when a > b, so every range is guarded
+    parts = [F.array(s)]
+    parts.append(
+        F.when(
+            length >= 1, F.transform(F.sequence(F.lit(1), length), del1)
+        ).otherwise(empty)
+    )
+    if max_dist >= 2:
+        parts.append(
+            F.when(
+                length >= 2,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), length - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, length), lambda j: del2(i, j)
+                        ),
+                    )
+                ),
+            ).otherwise(empty)
+        )
+    return F.when(s.isNull(), empty).otherwise(
+        F.array_distinct(F.concat(*parts))
+    )
+
+
 def assert_blocked_join_budget(
     left: DataFrame,
     right: DataFrame | None,
@@ -356,26 +413,38 @@ def fuzzy_join(
         )
     )
     if max_dist <= 2:
-        keys = deletion_keys_udf(max_dist)
+        # r14 (guide §4.1, §2.3): deletion keys come from JVM
+        # higher-order functions (deletion_keys_expr) instead of the
+        # pandas UDF — no Python boundary for the ~1+L+C(L,2)-element
+        # fan-out — and the join carries xxhash64(key) longs instead of
+        # key strings. Hashing is LOSSLESS here: SymSpell guarantees
+        # every true lev≤max_dist pair already shares a key, collisions
+        # can only ADD candidates, and the levenshtein verify drops
+        # them; the guard's distinct-count estimate is unaffected
+        # (64-bit collisions are negligible at any feasible key count).
+        def dk(name_col):
+            return F.explode(
+                F.transform(
+                    deletion_keys_expr(name_col, max_dist),
+                    lambda k: F.xxhash64(k),
+                )
+            ).alias("__dk")
+
         n_shuffle = shuffle_partitions(left.sparkSession)
-        # round-robin the COMPACT input before the deletion-key UDF: the
-        # explode needs the UDF, so with a single-file input the whole
-        # fan-out would otherwise run on ONE task (the r9 q61 lesson
-        # applied one operator earlier — the old code only repartitioned
-        # AFTER the explode, parallelizing the verify but not the UDF)
+        # round-robin the COMPACT input before the deletion-key fan-out:
+        # with a single-file input the whole explode (and the verify it
+        # feeds) would otherwise run on ONE task (the r9 q61 lesson)
         l_in = left.select(
             bl.alias("__blk"), F.col(left_col).alias("__lk")
         ).repartition(n_shuffle)
-        l_raw = l_in.select(
-            "__blk", "__lk", F.explode(keys(F.col("__lk"))).alias("__dk")
-        )
+        l_raw = l_in.select("__blk", "__lk", dk("__lk"))
         if max_candidate_pairs is not None:
-            # the guard would otherwise re-run the deletion-key pandas
-            # UDF (the dominant cost) once per side: checkpoint the
-            # exploded frame lazily so guard + join — and BOTH sides of
-            # a self-join — share one materialization.
-            # max_candidate_pairs=None keeps the fully-lazy unstored
-            # plan for callers who can't afford the explode storage.
+            # the guard would otherwise re-run the ~170x explode once
+            # per consumer: checkpoint the exploded frame lazily so
+            # guard + join — and BOTH sides of a self-join — share one
+            # materialization. max_candidate_pairs=None keeps the
+            # fully-lazy unstored plan for callers who can't afford the
+            # explode storage.
             l_raw = l_raw.localCheckpoint(eager=False)
         if same_side and max_candidate_pairs is not None:
             r = l_raw.select(
@@ -385,9 +454,7 @@ def fuzzy_join(
             r_in = right.select(
                 br.alias("__blk"), F.col(right_col).alias("__rk")
             ).repartition(n_shuffle)
-            r = r_in.select(
-                "__blk", "__rk", F.explode(keys(F.col("__rk"))).alias("__dk")
-            )
+            r = r_in.select("__blk", "__rk", dk("__rk"))
             if max_candidate_pairs is not None and not same_side:
                 r = r.localCheckpoint(eager=False)
         if max_candidate_pairs is not None:

@@ -193,6 +193,33 @@ def test_fuzzy_join_deletion_signatures_lossless(spark):
         assert got == want, (k, got ^ want)
 
 
+def test_deletion_keys_expr_matches_udf(spark):
+    """r14: fuzzy_join's deletion-key fan-out moved from the pandas UDF
+    to JVM higher-order functions — the key SET must be identical (the
+    SymSpell losslessness proof rides on it). Edge cases: empty string,
+    1/2-char strings (collapse to ''), non-ASCII codepoints, NULL."""
+    from pyspark.sql import functions as F
+
+    from polars_pipe_spark.operators.joins import (
+        deletion_keys_expr,
+        deletion_keys_udf,
+    )
+
+    rows = [
+        ("",), ("a",), ("ab",), ("abc",), ("customer#000000001",),
+        (None,), ("héllo wörld",), ("xx",), ("a b a b",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    for max_dist in (1, 2):
+        got = df.select(
+            F.sort_array(deletion_keys_expr("s", max_dist)).alias("k")
+        ).collect()
+        want = df.select(
+            F.sort_array(deletion_keys_udf(max_dist)(F.col("s"))).alias("k")
+        ).collect()
+        assert [r.k for r in got] == [r.k for r in want], max_dist
+
+
 def test_quality_bins_edges(spark):
     from polars_pipe_spark.functions.sampling import quality_bins
 
