@@ -422,13 +422,16 @@ def simhash(col: str | Column, bits: int = 16) -> Column:
     nib_count = bits // 4
     t = tokens(col)
     n = F.size(t)
-    # per-token integer from the first `nib_count` md5 nibbles
+    # per-token integer from the first `nib_count` md5 nibbles.
+    # r14: ONE md5 + one conv(hex, 16, 10) per token — the previous
+    # nibble fold re-evaluated F.md5(x) on every of its `nib_count`
+    # iterations (HOF lambdas re-evaluate their body per element; the
+    # md5 was the expensive part). conv of the leading nibbles is the
+    # same integer by definition.
     tok_val = F.transform(
         t,
-        lambda x: F.aggregate(
-            F.sequence(F.lit(1), F.lit(nib_count)),
-            F.lit(0).cast("long"),
-            lambda acc, i: acc * 16 + _hex_nibble_value(F.substring(F.md5(x), i, 1)),
+        lambda x: F.conv(F.substring(F.md5(x), 1, nib_count), 16, 10).cast(
+            "long"
         ),
     )
     # ONE fold over the token values accumulating all `bits` counters at
@@ -506,24 +509,32 @@ def simhash_near_dups(
     sig_df = df.select(
         F.col(id_col).alias("id"), simhash(text_col, bits).alias("sig")
     )
+    # r14 (guide §2.3/§2.4/§5): three structural fixes, result identical —
+    #   - the band key is an INTEGER (band_index << band_bits | value,
+    #     bijective with the old "idx:value" string), so the self-join
+    #     shuffles and probes 8-byte longs instead of strings;
+    #   - the old ``.distinct()`` was a full exchange doing NOTHING:
+    #     explode emits exactly one row per band index, the key embeds
+    #     the index, and ids are unique — (id, band) can never repeat;
+    #   - the frame is persisted: the cap-check aggregate and BOTH
+    #     self-join sides consumed it, so the signature pipeline (the
+    #     per-token md5 fold — the expensive part) used to run 3×.
     banded = sig_df.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(b)),
+                    (
                         F.shiftright("sig", b * band_bits)
                         .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .cast("string"),
-                    )
+                        + F.lit(b << band_bits)
+                    ).cast("long")
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).distinct()
+    ).persist()
     # finite band-value space (2^band_bits values) CAN uniformly
     # saturate the cap — run the collapse check (raise, don't silently
     # return nothing)
