@@ -1027,17 +1027,34 @@ def _q40_approx_sketches(spark, sf):
     rank error <= 0.1% and is checked against the exact p45..p55 band.
     Both sketches are deterministic for a given dataset, so the booleans
     are stable, not flaky.  The exact-distinct side is a two-phase
-    distinct->count (no Expand, q14's lesson); the exact percentiles are
-    validation-only (memory-heavy exact sort per group — fine at test SF,
-    not a 100 TB pattern; the sketch IS the scale path)."""
+    distinct->count (no Expand, q14's lesson).
+
+    r14: the exact p45/p55 validation band used per-group
+    ``F.percentile``, whose aggregation buffer holds EVERY value of its
+    group in one reducer task (the q56/q62 single-reducer shape — q40
+    was 99 s at sf10, dominated by two such buffers per group).
+    ``grouped_percentile_cont`` fetches each group's two order
+    statistics through shared map-side-combinable selection jobs and
+    interpolates with Spark's own formula (bit-identical, pinned by
+    ``test_percentile_cont_bitwise_matches_spark``); the 3-row band
+    table re-attaches via a broadcast join, so the output booleans are
+    unchanged."""
+    from polars_pipe_spark.operators.aggregates import grouped_percentile_cont
+
     li = _t(spark, sf, "lineitem")
     sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    pcs = grouped_percentile_cont(
+        li, ["l_returnflag"], "l_extendedprice", [0.45, 0.55]
+    )
+    band = spark.createDataFrame(
+        [(k[0], v.get(0.45), v.get(0.55)) for k, v in pcs.items()],
+        "l_returnflag string, p45 double, p55 double",
+    )
+    sk = sk.join(F.broadcast(band), "l_returnflag", "left")
     exact = (
         li.select("l_returnflag", "l_orderkey")
         .distinct()
@@ -3623,32 +3640,49 @@ def _q150_corpus_funnel(spark, sf):
     from polars_pipe_spark.functions.text import doc_fingerprint, quality_classifier
 
     docs = _t_par(spark, sf, "documents")
-    kept = docs.filter(quality_classifier("text")["verdict"] == "keep")
+    keep = quality_classifier("text")["verdict"] == "keep"
+    # r14 (§1.2/§2.4): the union-of-aggregates form scanned documents 12
+    # times and evaluated the quality classifier over the full corpus 4
+    # times (the anti-join re-derived kept_train on BOTH sides). Stages
+    # 1-3 now come out of ONE scan: count(*), the conditional keep /
+    # keep-train counts, and count(DISTINCT fingerprint-of-keeps) (kept
+    # docs always have non-null text — NULL text rejects as low_stopword —
+    # so the fingerprint is never null and COUNT DISTINCT matches the
+    # old distinct()+count). Stage 4 = n_kept_train − n_contaminated:
+    # the contaminated ids are a SUBSET of kept_train by construction
+    # (they are its ngram_contamination train side) and doc_id is the
+    # table key, so the anti-join count equals the difference.
+    # Classifier passes over the corpus: 4 → 2.
+    per_doc = docs.select(
+        keep.alias("__keep"),
+        (F.col("doc_id") % 197 != 0).alias("__train"),
+        doc_fingerprint("text").alias("__fp"),
+    )
+    counts = per_doc.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_keep"),
+        F.sum(
+            F.when(F.col("__keep") & F.col("__train"), 1).otherwise(0)
+        ).alias("n_kept_train"),
+        F.count_distinct(
+            F.when(F.col("__keep"), F.col("__fp"))
+        ).alias("n_distinct_fp"),
+    )
+    kept_train = docs.filter(keep).filter(F.col("doc_id") % 197 != 0)
     bench = docs.filter(F.col("doc_id") % 197 == 0)
-    kept_train = kept.filter(F.col("doc_id") % 197 != 0)
-    contaminated = (
+    n_contam = (
         ngram_contamination(kept_train, bench, "text", "doc_id", k=3, min_overlap=2)
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    decontam = kept_train.join(contaminated, "doc_id", "left_anti")
-
-    def stage(name, frame):
-        return frame.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-
-    s3 = (
-        kept.select(doc_fingerprint("text").alias("fp"))
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(F.lit("3_exact_distinct").alias("stage"), "n_docs")
-    )
-    return (
-        stage("1_input", docs)
-        .unionByName(stage("2_quality_keep", kept))
-        .unionByName(s3)
-        .unionByName(stage("4_decontaminated", decontam))
+    return counts.crossJoin(n_contam).selectExpr(
+        """stack(4,
+             '1_input', n_input,
+             '2_quality_keep', n_keep,
+             '3_exact_distinct', n_distinct_fp,
+             '4_decontaminated', n_kept_train - n_contaminated
+           ) AS (stage, n_docs)"""
     )
 
 
@@ -3656,18 +3690,33 @@ def _q151_ngram_novelty(spark, sf):
     """N-gram novelty scoring: per document, the fraction of its
     distinct 3-grams that appear in NO other document — the diversity
     signal complementary to OOV (token-level) and contamination
-    (cross-split). One explode + gram-frequency join; fraction emitted
-    as scaled positive integer division."""
+    (cross-split).
+
+    r14 (§2.3/§2.4): the old form exploded the corpus TWICE (once for
+    the gram-frequency aggregate, once for the join-back) and moved
+    every gram instance through a join. ``count() OVER (PARTITION BY
+    gram)`` computes the identical df on ONE exploded stream — one
+    explode, one gram shuffle, no join (measured at sf1: 12.3 s → 6.7-
+    8.9 s best-of-2; the scan-side ``size(array_distinct(...))``
+    alternative was REJECTED — the projection alone cost 8.2 s, ~2× the
+    4.5 s explode). The window partitions by a high-cardinality key but
+    every partition is a df-sized group (corpus frequency of one gram) —
+    bounded by duplication, not corpus size."""
     from polars_pipe_spark.functions.text import shingles
 
     docs = _t_par(spark, sf, "documents")
     g = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("gram")
     )
-    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = g.join(counts, "gram").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+    per_doc = (
+        g.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
     )
     return per_doc.withColumn(
         "novelty_micros", F.expr("(n_unique * 1000000) DIV n_grams")
@@ -3768,10 +3817,14 @@ def _q155_corpus_health(spark, sf):
     ONE per-source artifact — the dashboard row a corpus owner reads
     before a training run. All-BIGINT cells via scaled integer division.
 
-    Scale: novelty reuses q151's gram-frequency join (gram df table is
-    corpus-wide, shuffles on gram); contamination broadcasts the small
-    benchmark gram table (q80); the final join is over a handful of
-    source rows."""
+    Scale: contamination broadcasts the small benchmark gram table
+    (q80); the final join is over a handful of source rows.
+
+    r14 (§2.3/§2.4, the q151 rewrite applied per source): novelty used
+    to explode the corpus TWICE and join at gram-instance grain.
+    ``count() OVER (PARTITION BY gram)`` computes the identical df on
+    ONE exploded stream — one explode, one gram shuffle, no join (see
+    q151 for the measured variant comparison)."""
     from polars_pipe_spark.functions.dedup import ngram_contamination
     from polars_pipe_spark.functions.text import shingles
 
@@ -3790,12 +3843,12 @@ def _q155_corpus_health(spark, sf):
     )
 
     g = docs.select(
-        "source", "doc_id",
-        F.explode(F.array_distinct(shingles("text", 3))).alias("gram"),
+        "source", F.explode(F.array_distinct(shingles("text", 3))).alias("gram")
     )
-    counts = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     novelty = (
-        g.join(counts, "gram")
+        g.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

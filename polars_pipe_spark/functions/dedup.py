@@ -1136,7 +1136,7 @@ def incremental_near_dups(
         return sets, bands.withColumn("side", F.lit(tag))
 
     b_sets, b_bands = _prep(batch, "batch")
-    i_sets, i_bands = _prep(index, "index")
+    _i_sets_unused, i_bands = _prep(index, "index")
     # persist the BATCH side only (r8 plan-sweep multi-scan rule):
     # b_bands feeds both the candidate probe and union_bands, b_sets
     # both the verify join and all_sets — without persist the batch's
@@ -1145,6 +1145,14 @@ def incremental_near_dups(
     # corpus size; the INDEX side stays single-use and unpinned.
     b_sets, b_bands = b_sets.persist(), b_bands.persist()
     union_bands = b_bands.unionByName(i_bands)
+    # r14 (§2.3/§8): cands is persisted (narrow id-pair rows) because it
+    # now has TWO consumers — the verify join and the index-set pruning
+    # below — and recomputing it would re-run the full index banding
+    # pass. The verify join is INNER on pid, so the index's shingle SETS
+    # only matter for candidate pids: instead of shingling the WHOLE
+    # index a second time and shuffling every set array into the join,
+    # semi-join the raw index rows down to candidate pids first and
+    # shingle only those (AQE broadcasts the pid list when it is small).
     cands = (
         b_bands.select(F.col("id").alias("bid"), "band")
         .join(
@@ -1158,6 +1166,16 @@ def incremental_near_dups(
         )
         .select("bid", "pid", "side")
         .distinct()
+        .persist()
+    )
+    index_pids = (
+        cands.filter(F.col("side") == "index")
+        .select(F.col("pid").alias(id_col))
+        .distinct()
+    )
+    i_sets = index.join(index_pids, id_col, "leftsemi").select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, shingle_k)).alias("sh"),
     )
     all_sets = b_sets.unionByName(i_sets)
     verified = (

@@ -120,31 +120,85 @@ def quality_classifier(
     the only transcendental is one exp(), rounded to 6 decimals before
     any comparison. Weights are binary-exact floats, additions mirror
     the oracle's left-associative order.
-    """
-    ntok = token_count(col).cast("double")
-    sr = stopword_ratio(col)
+
+    r14 (guide §1.2/§4.1): the token array is LET-BOUND once per row via
+    ``transform(array(tokens(col)), t -> struct(...))[0]``. The naive
+    inlined form repeated the split/regexp tokenization ~25 times inside
+    one expression tree; a PROJECT de-duplicates that via whole-stage
+    codegen subexpression elimination, but a FILTER does not, and the
+    higher-order sub-expressions are CodegenFallback (interpreted, no
+    CSE) — ``docs.filter(verdict == 'keep')`` alone measured 19.3 s at
+    sf1 vs 1.9 s for the identical expression in a Project. Binding the
+    array as a lambda argument makes the single tokenization structural
+    (a lambda variable is evaluated once wherever the expression sits).
+    Every sub-formula is unchanged with the lambda variable substituted
+    for ``tokens(col)``, so all three outputs are value-identical
+    (pinned by the q128/q144/q150 oracles and the threshold tests)."""
+    c = _c(col)
     pr = punct_ratio(col)
-    awl = avg_word_len(col)
-    z = (
-        F.lit(-1.5)
-        + F.least(ntok / 200.0, F.lit(1.0)) * 2.5
-        + F.least(sr * 5.0, F.lit(1.0)) * 3.0
-        - F.least(pr * 10.0, F.lit(1.0)) * 2.0
-        + F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-        + F.when(lang_id(col) == "en", F.lit(0.5)).otherwise(F.lit(0.0))
-    )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    reason = (
-        F.when(ntok < 10, F.lit("too_short"))
-        .when(sr < 0.01, F.lit("low_stopword"))
-        .when(pr > 0.2, F.lit("high_punct"))
-        .when((awl < 2.0) | (awl > 12.0), F.lit("weird_word_len"))
-        .otherwise(F.lit("ok"))
-    )
-    verdict = F.when(
-        (reason == "ok") & (prob >= threshold), F.lit("keep")
-    ).otherwise(F.lit("drop"))
-    return {"quality_prob": prob, "reject_reason": reason, "verdict": verdict}
+
+    def _in_markers(markers: list[str]):
+        return lambda x: x.isin(*markers)
+
+    def _fields(t: Column) -> Column:
+        ntok = F.size(t).cast("double")
+        hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+        sr = F.when(
+            F.size(t) > 0, hits.cast("double") / F.size(t)
+        ).otherwise(F.lit(0.0))
+        total_chars = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        awl = F.when(
+            F.size(t) > 0, total_chars.cast("double") / F.size(t)
+        ).otherwise(F.lit(0.0))
+        scores = {
+            lang: F.size(F.filter(t, _in_markers(markers)))
+            for lang, markers in LANG_MARKERS.items()
+        }
+        pairs = F.array(
+            *[
+                F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+                for lang in sorted(LANG_MARKERS)
+            ]
+        )
+        best = F.aggregate(
+            pairs,
+            F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang")),
+            lambda acc, p: F.when(p.score > acc.score, p).otherwise(acc),
+        )
+        lang_pred = F.when(best.score > 0, best.lang).otherwise(F.lit("unknown"))
+        z = (
+            F.lit(-1.5)
+            + F.least(ntok / 200.0, F.lit(1.0)) * 2.5
+            + F.least(sr * 5.0, F.lit(1.0)) * 3.0
+            - F.least(pr * 10.0, F.lit(1.0)) * 2.0
+            + F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+            + F.when(lang_pred == "en", F.lit(0.5)).otherwise(F.lit(0.0))
+        )
+        prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        reason = (
+            F.when(ntok < 10, F.lit("too_short"))
+            .when(sr < 0.01, F.lit("low_stopword"))
+            .when(pr > 0.2, F.lit("high_punct"))
+            .when((awl < 2.0) | (awl > 12.0), F.lit("weird_word_len"))
+            .otherwise(F.lit("ok"))
+        )
+        verdict = F.when(
+            (reason == "ok") & (prob >= threshold), F.lit("keep")
+        ).otherwise(F.lit("drop"))
+        return F.struct(
+            prob.alias("quality_prob"),
+            reason.alias("reject_reason"),
+            verdict.alias("verdict"),
+        )
+
+    packed = F.transform(F.array(tokens(c)), _fields)[0]
+    return {
+        "quality_prob": packed.getField("quality_prob"),
+        "reject_reason": packed.getField("reject_reason"),
+        "verdict": packed.getField("verdict"),
+    }
 
 
 def clean_text(col: str | Column) -> Column:

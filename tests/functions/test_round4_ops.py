@@ -636,6 +636,30 @@ def test_incremental_near_dups_statuses(spark):
     assert got[13] == "dup_within_batch"
 
 
+def test_incremental_near_dups_no_candidates(spark):
+    """r14: the verify side now shingles only candidate-pid index rows
+    (semi-join pruning). A batch with ZERO band collisions exercises the
+    empty-candidate path — empty pid list, empty verified frame — and
+    must still tag every batch doc novel, not error or drop rows."""
+    from polars_pipe_spark.functions.dedup import incremental_near_dups
+
+    batch = spark.createDataFrame(
+        [(10, "completely different words about spark distributed joins")],
+        "doc_id long, text string",
+    )
+    index = spark.createDataFrame(
+        [(1, "some other indexed document entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["neardup_status"]
+        for r in incremental_near_dups(
+            batch, index, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert got == {10: "novel"}
+
+
 def test_bpe_encode_stats_hand_computed(spark):
     from polars_pipe_spark.functions.text import bpe_encode_stats
 

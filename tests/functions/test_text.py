@@ -238,6 +238,38 @@ class TestQualityClassifier:
         assert df.select(lax["verdict"].alias("v")).first().v == "keep"
         assert df.select(strict["verdict"].alias("v")).first().v == "drop"
 
+    def test_filter_usage_and_null_text(self, spark):
+        """r14: the classifier let-binds the token array via a HOF
+        lambda; this pins (a) the FILTER call-site shape (the hot path
+        the rewrite targets — a lambda binding must survive predicate
+        position) and (b) NULL-text semantics: the ntok reason gate
+        NULLs out but stopword_ratio's otherwise(0.0) fires →
+        'low_stopword'; least() IGNORES the NULL ntok term so
+        z = -1.5 + 2.5 = 1.0 → prob sigmoid(1) = 0.731059; verdict
+        'drop'. All three verified bit-equal to the pre-r14 inline form
+        on (NULL, empty, 1-token) inputs when this was written."""
+        from polars_pipe_spark.functions.text import quality_classifier
+
+        good = ("the quick brown fox jumps over the lazy dog and then it "
+                "runs to the forest where it is happy and the day is long "
+                "and the sun is warm in the sky over the green hills")
+        df = spark.createDataFrame(
+            [(1, good), (2, None), (3, "tiny")], "doc_id long, text string"
+        )
+        cls = quality_classifier("text")
+        kept = [
+            r.doc_id for r in df.filter(cls["verdict"] == "keep").collect()
+        ]
+        assert kept == [1]
+        row2 = (
+            df.filter("doc_id = 2")
+            .select(*[e.alias(n) for n, e in cls.items()])
+            .first()
+        )
+        assert row2.verdict == "drop"
+        assert row2.reject_reason == "low_stopword"
+        assert row2.quality_prob == 0.731059
+
 
 class TestCleanText:
     def test_cleaning_battery(self, spark):
