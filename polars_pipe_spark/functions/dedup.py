@@ -198,7 +198,18 @@ def _minhash_banded(
     would re-run the whole shingle+md5+sort pipeline once per reference
     (no CSE through F.get). The explode (Generate) node keeps the
     projects from collapsing back together — signature runs once per
-    row."""
+    row.
+
+    r14: the trailing ``.distinct()`` is a LOGICAL no-op — every element
+    of the ``lsh_bands`` array carries a distinct band-index prefix, so
+    (id, band) rows are unique by construction — but it is KEPT
+    deliberately: its exchange is the reuse point every downstream
+    consumer shares (the cap count, both self-join sides). Removing it
+    was A/B-tested and REJECTED: q25 at sf1 went 11.2 s → 77.2 s because
+    each consumer then re-ran the whole shingle+md5+sort+band pipeline
+    instead of reading the distinct's shuffle via ReusedExchange. (The
+    simhash twin dropped its distinct ONLY by persisting the banded
+    frame in the same change.)"""
     rows_per_band = sig_k // n_bands
     sig_df = df.select(
         F.col(id_col).alias("id"),
@@ -374,6 +385,9 @@ def minhash_near_dups(
         "id",
         F.slice(F.array_sort(F.transform("sh", lambda s: F.md5(s))), 1, sig_k).alias("sig"),
     )
+    # the .distinct() is a logical no-op but the shared-exchange reuse
+    # point for the cap count and both self-join sides — see
+    # _minhash_banded's r14 note (removal A/B-rejected: q25 7x slower)
     banded = sig_df.select(
         "id", F.explode(lsh_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
     ).distinct()
@@ -1127,12 +1141,14 @@ def incremental_near_dups(
                 sig_k,
             ).alias("sig"),
         )
+        # no .distinct(): (id, band) rows are unique by construction —
+        # see _minhash_banded
         bands = sig.select(
             "id",
             F.explode(
                 lsh_bands(F.col("sig"), n_bands, rows_per_band)
             ).alias("band"),
-        ).distinct()
+        )
         return sets, bands.withColumn("side", F.lit(tag))
 
     b_sets, b_bands = _prep(batch, "batch")
