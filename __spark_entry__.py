@@ -7277,7 +7277,16 @@ def _q254_phrase_search(spark, sf):
     the output CROSS-VALIDATES two independent derivations — adjacency-
     explode bigram counts vs positional-join occurrence counts — which
     must agree exactly; `agree` is computed, not asserted. Joins are
-    token-then-(doc,pos) keyed; the probe side is 3 rows, broadcast."""
+    token-then-(doc,pos) keyed; the probe side is 3 rows, broadcast.
+
+    r14 (§2.3): the 3-row top3 frame is collected (bounded driver
+    action, the q62/q236 pattern) and re-enters as literals, so BOTH
+    posting probes become scan-side `isin` filters on the persisted
+    posting list — the positional join used to shuffle the ENTIRE
+    posting list on (doc, pos+1, token) keys when only rows whose token
+    is one of 3 literal words can survive its t2 == w2 conjunct. The
+    surviving join input is the filtered slice; result rows identical
+    (the filter is implied by the join condition)."""
     from polars_pipe_spark.functions.text import shingles, tokens
 
     docs = _t_par(spark, sf, "documents")
@@ -7285,7 +7294,7 @@ def _q254_phrase_search(spark, sf):
         "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
     ).persist()
     bigrams = docs.select(F.explode(shingles("text", 2)).alias("bg"))
-    top3 = (
+    top3_rows = (
         bigrams.groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n_occ_bigram"))
         .orderBy(F.col("n_occ_bigram").desc(), F.col("bg").asc())
@@ -7296,12 +7305,26 @@ def _q254_phrase_search(spark, sf):
             F.split("bg", " ")[0].alias("w1"),
             F.split("bg", " ")[1].alias("w2"),
         )
+        .collect()
     )
-    p1 = post.join(F.broadcast(top3), post.token == top3.w1).select(
-        "bg", "n_occ_bigram", "doc_id", "pos", "w2"
+    if not top3_rows:
+        schema = (
+            "bg string, n_occ_bigram long, n_occ_positional long, "
+            "n_docs long, agree boolean"
+        )
+        return spark.createDataFrame([], schema)
+    top3 = spark.createDataFrame(
+        top3_rows, "bg string, n_occ_bigram long, w1 string, w2 string"
+    )
+    w1s = [r["w1"] for r in top3_rows]
+    w2s = [r["w2"] for r in top3_rows]
+    p1 = (
+        post.filter(F.col("token").isin(*w1s))
+        .join(F.broadcast(top3), post.token == top3.w1)
+        .select("bg", "n_occ_bigram", "doc_id", "pos", "w2")
     )
     hits = p1.join(
-        post.select(
+        post.filter(F.col("token").isin(*w2s)).select(
             F.col("doc_id").alias("d2"),
             F.col("pos").alias("p2"),
             F.col("token").alias("t2"),
