@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 import pytest
@@ -26,13 +27,25 @@ from scaling_report import build_rows, gate, load, summarize  # noqa: E402
 LADDER = os.path.join(REPO, "scaling", "LADDER.json")
 
 
-def _committed_rungs() -> list[str]:
-    """The newest committed ladder: highest-numbered round's rungs."""
-    paths = glob.glob(os.path.join(REPO, "scaling", "bench_sf*_r*.json"))
-    assert paths, "no committed ladder rungs under scaling/"
-    rounds = {p.rsplit("_r", 1)[1].split(".json")[0] for p in paths}
+def _newest_round_rungs(pattern: str) -> list[str]:
+    """The newest committed rungs for a glob: highest INTEGER round.
+
+    Non-integer round suffixes (e.g. ``sweep_sf0.1_r14_opt_after.json``,
+    a same-window A/B probe artifact, not a gated sweep rung) are
+    ignored rather than crashing ``int()`` (r14 verdict item 1)."""
+    paths = glob.glob(os.path.join(REPO, "scaling", pattern))
+    rounds = {
+        tok for p in paths
+        if re.fullmatch(r"\d+", tok := p.rsplit("_r", 1)[1].split(".json")[0])
+    }
+    assert rounds, f"no committed integer-round rungs matching {pattern}"
     newest = max(rounds, key=int)
     return sorted(p for p in paths if p.endswith(f"_r{newest}.json"))
+
+
+def _committed_rungs() -> list[str]:
+    """The newest committed ladder: highest-numbered round's rungs."""
+    return _newest_round_rungs("bench_sf*_r*.json")
 
 
 class TestScalingGate:
@@ -107,11 +120,7 @@ def _committed_sweeps() -> list[str]:
     the 280-query sweeps were the instrument that caught q61/q160/q176/
     q250/q90/q230, but only the headline ladder was gated — a future
     round could silently re-introduce a non-headline scale defect)."""
-    paths = glob.glob(os.path.join(REPO, "scaling", "sweep_sf*_r*.json"))
-    assert paths, "no committed sweep rungs under scaling/"
-    rounds = {p.rsplit("_r", 1)[1].split(".json")[0] for p in paths}
-    newest = max(rounds, key=int)
-    return sorted(p for p in paths if p.endswith(f"_r{newest}.json"))
+    return _newest_round_rungs("sweep_sf*_r*.json")
 
 
 class TestSweepGate:
@@ -188,15 +197,7 @@ def _committed_ladder_sweeps() -> list[str]:
     correctness but no measured scale exponent). Measured with
     ``SPARK_GRAFT_BENCH_REGISTRY=ladder`` on tools/gen_testdata.py
     full-schema fixtures."""
-    paths = glob.glob(os.path.join(REPO, "scaling", "sweep_ladder_sf*_r*.json"))
-    assert paths, (
-        "no committed ladder sweep rungs under scaling/ — run "
-        "SPARK_GRAFT_BENCH_REGISTRY=ladder SPARK_GRAFT_SF_DIR=<full fixture> "
-        "python bench.py and copy scaling/bench_last_run_full.json aside"
-    )
-    rounds = {p.rsplit("_r", 1)[1].split(".json")[0] for p in paths}
-    newest = max(rounds, key=int)
-    return sorted(p for p in paths if p.endswith(f"_r{newest}.json"))
+    return _newest_round_rungs("sweep_ladder_sf*_r*.json")
 
 
 class TestLadderSweepGate:
