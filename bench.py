@@ -60,6 +60,41 @@ CALIB_IDLE_BOUND_S = 0.75
 # CALIB_IDLE_BOUND_S.
 IO_CALIB_IDLE_BOUND_S = 1.0
 
+# r15 (r14 verdict item 5): the idle CEILINGS above are too loose to
+# catch a moderately slow window — the r14 driver run read calib
+# 0.551/0.574 vs the committed clean r13 0.442/0.422 (1.28x slower on
+# constant work), stayed under the 0.75 s bound, tagged "ok", and the
+# whole 39-query headline read 0.77x "regressed" purely from the host.
+# So every run now ALSO self-reports its window against the committed
+# clean-reference probe values: calib_shift = [cpu, io] ratios of this
+# run's best probe to the reference, and regime_shifted = true when
+# either exceeds CALIB_SHIFT_FACTOR. A shifted-but-under-the-ceiling
+# run still executes and prints normally — the field exists so the
+# next round's comparison can normalise or discard the window without
+# hand-adjudication.
+CALIB_REF_S = 0.422  # min(calib_s) of the committed clean r13 artifact
+IO_CALIB_REF_S = 0.509  # min(io_calib_s) of the same artifact
+CALIB_SHIFT_FACTOR = 1.15
+
+
+def regime_shift_verdict(
+    calib: tuple[float, float], io_calib: tuple[float, float]
+) -> dict:
+    """Window-shift verdict vs the committed clean-reference probes.
+
+    Uses min(pre, post) — the run's BEST view of the window — so a
+    one-off post-loop spike can't flag a clean run; a genuinely slow
+    window degrades both samples of both probes."""
+    cpu = round(min(calib) / CALIB_REF_S, 3)
+    io = round(min(io_calib) / IO_CALIB_REF_S, 3)
+    return {
+        "calib_shift": [cpu, io],
+        "regime_shifted": bool(
+            cpu > CALIB_SHIFT_FACTOR or io > CALIB_SHIFT_FACTOR
+        ),
+    }
+
+
 # fixture spec — bump IO_PROBE_VERSION if any knob changes so stale
 # fixtures regenerate instead of silently measuring different work
 IO_PROBE_VERSION = 1
@@ -363,6 +398,9 @@ def main() -> None:
         "io_calib_bound_s": IO_CALIB_IDLE_BOUND_S,
         "regime": regime,
         **({"regime_src": regime_src} if regime_src else {}),
+        **regime_shift_verdict(
+            (calib_pre, calib_post), (io_calib_pre, io_calib_post)
+        ),
     }
     line = json.dumps(payload)
     if len(line) > 1900:
@@ -410,12 +448,15 @@ def main() -> None:
     )
     # r13 bench policy (BASELINE.md): the driver-comparable artifact must
     # carry a clean regime from BOTH probes — a degraded-regime run is
-    # sidecar-only evidence, never the committed headline
-    if is_default_run and regime == "ok":
+    # sidecar-only evidence, never the committed headline. r15: a
+    # regime_shifted window (slow vs the committed reference, even if
+    # under the ceiling) is likewise sidecar-only.
+    if is_default_run and regime == "ok" and not payload["regime_shifted"]:
         _write(os.path.join(repo_dir, "scaling", "bench_latest.json"))
     elif is_default_run:
         sys.stderr.write(
-            f"bench: regime={regime} (src={regime_src}) — degraded run is "
+            f"bench: regime={regime} (src={regime_src}, "
+            f"shift={payload['calib_shift']}) — degraded/shifted run is "
             "sidecar-only; scaling/bench_latest.json NOT overwritten\n"
         )
     else:

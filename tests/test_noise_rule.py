@@ -306,3 +306,39 @@ def test_committed_bench_latest_carries_clean_regime():
     assert "io_calib_s" in d, "bench_latest predates the IO probe — re-run bench.py"
     assert max(d["io_calib_s"]) <= bench.IO_CALIB_IDLE_BOUND_S
     assert d["io_calib_bound_s"] == bench.IO_CALIB_IDLE_BOUND_S
+
+
+class TestRegimeShiftVerdict:
+    """r15 (r14 verdict item 5): the fixed ceiling missed a 1.28x-slow
+    window (calib 0.551/0.574 under the 0.75 bound); every run now also
+    self-reports its probes against the committed clean r13 reference."""
+
+    def test_clean_reference_window_is_not_shifted(self):
+        import bench
+
+        v = bench.regime_shift_verdict((0.442, 0.422), (0.573, 0.509))
+        assert v["calib_shift"] == [1.0, 1.0]
+        assert v["regime_shifted"] is False
+
+    def test_r14_driver_window_is_flagged_shifted(self):
+        # the exact probe values of the r14 driver artifact, which the
+        # old ceiling-only rule tagged "ok"
+        import bench
+
+        v = bench.regime_shift_verdict((0.551, 0.574), (0.706, 0.567))
+        assert v["calib_shift"][0] > bench.CALIB_SHIFT_FACTOR
+        assert v["regime_shifted"] is True
+
+    def test_uses_best_probe_so_one_spike_does_not_flag(self):
+        # post-loop CPU spike, pre-loop clean: min() keeps the run clean
+        import bench
+
+        v = bench.regime_shift_verdict((0.43, 1.9), (0.52, 0.55))
+        assert v["regime_shifted"] is False
+
+    def test_io_only_shift_flags(self):
+        import bench
+
+        v = bench.regime_shift_verdict((0.43, 0.43), (0.75, 0.80))
+        assert v["calib_shift"][1] > bench.CALIB_SHIFT_FACTOR
+        assert v["regime_shifted"] is True
