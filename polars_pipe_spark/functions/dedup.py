@@ -598,16 +598,25 @@ def dedup_clusters(
     # plan every round even when data is cached, and Catalyst re-analyzes
     # the whole history each iteration — minutes of driver time by round
     # ~10. Checkpointing truncates the lineage so every round plans
-    # against a flat scan. eager=False (r14): lineage truncation and
-    # caching are identical, but materialisation folds into the FIRST
-    # job that reads each frame (the round's join for the labels, the
-    # fixpoint aggregate for the per-round update) instead of running as
-    # its own standalone job — one scheduled job per round, not two.
+    # against a flat scan.
+    #
+    # `edges` is EAGER (r15, fixing the r14 sf10 regression): round 1's
+    # join job reads it through TWO branches — directly, and via the
+    # lazy `labels` init — so with eager=False both branches race to
+    # materialise it inside one job and the whole upstream pair pipeline
+    # (typically an expensive near-dup candidate generator behind an
+    # unfilled persist) can run twice ("Block rdd_N already exists"
+    # warnings). Measured at sf10 (tools/ab_q63.py, paired, best-of-2):
+    # all-lazy 77.5 s vs edges-eager 58.8 s (0.76x) vs all-eager 59.3 s
+    # — eager `edges` restores the r13 time; the per-round label
+    # checkpoints below keep eager=False (single first consumer, the
+    # fixpoint aggregate, so no duplication — and one scheduled job per
+    # round instead of two, the r14 win).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))

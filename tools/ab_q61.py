@@ -56,7 +56,10 @@ def udf_keys():
 
 
 def build(spark, sf_dir, variant):
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    # read through the entry helper so the scan matches the real q61
+    import __spark_entry__ as entry_mod
+
+    cust = entry_mod._t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
     )
     probes = cust.filter(F.col("cust_id") % 97 == 0).select(

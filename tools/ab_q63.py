@@ -35,13 +35,35 @@ from polars_pipe_spark.functions.dedup import minhash_near_dups  # noqa: E402
 
 
 def dedup_clusters_ab(pairs, eager_edges, eager_labels, eager_rounds,
-                      max_iterations=10):
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=eager_edges)
-    )
+                      max_iterations=10, explode_edges=False):
+    if explode_edges:
+        # both directions from ONE scan of pairs: the unionByName form
+        # reads the (unfilled) pairs persist through two branches that
+        # race to compute the whole upstream near-dup pipeline
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+            .localCheckpoint(eager=eager_edges)
+        )
+    else:
+        edges = (
+            pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+            .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+            .distinct()
+            .localCheckpoint(eager=eager_edges)
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -72,9 +94,10 @@ def dedup_clusters_ab(pairs, eager_edges, eager_labels, eager_rounds,
 
 
 VARIANTS = {
-    "all_lazy": (False, False, False),
-    "all_eager": (True, True, True),
-    "edges_eager": (True, False, False),
+    "all_lazy": ((False, False, False), False),
+    "all_eager": ((True, True, True), False),
+    "edges_eager": ((True, False, False), False),
+    "explode_eager": ((True, False, False), True),
 }
 
 
@@ -87,9 +110,13 @@ def main():
     calibration_probe(spark)
     print("calib_pre", min(calibration_probe(spark), calibration_probe(spark)))
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # read through the entry helper (gated round-robin repartition) so
+    # the measured pipeline parallelism matches the real q63 exactly
+    import __spark_entry__ as entry_mod
+
+    docs = entry_mod._t_par(spark, sf_dir, "documents")
     for variant in variants:
-        flags = VARIANTS[variant]
+        flags, explode_edges = VARIANTS[variant]
         samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
@@ -99,7 +126,7 @@ def main():
                 docs, "text", "doc_id",
                 shingle_k=3, sig_k=8, n_bands=4, threshold=0.2,
             ).select("id_a", "id_b").persist()
-            out = dedup_clusters_ab(pairs, *flags)
+            out = dedup_clusters_ab(pairs, *flags, explode_edges=explode_edges)
             out.select(F.col("node").alias("doc_id"), "cluster_id").write.format(
                 "noop"
             ).mode("overwrite").save()
