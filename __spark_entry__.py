@@ -1532,9 +1532,20 @@ def _q61_fuzzy_join(spark, sf):
     classic blocking pitfall; deletion signatures cannot degenerate
     that way (a key bucket only holds names within 2 deletions of one
     another)."""
-    from polars_pipe_spark.operators.joins import deletion_keys_expr
+    from polars_pipe_spark.operators.joins import deletion_key_hashes_expr
 
-    cust = _t(spark, sf, "customer").select(
+    # _t_par (r15, THE r14-regression fix): the sf10 customer fixture is
+    # one 42.7 MB file with TWO parquet row groups, so of the ~11
+    # byte-range splits only two contain a row-group midpoint and one
+    # task read 1.05M of 1.5M rows — the keygen fan-out (the dominant
+    # stage, ~0.2 ms/row) ran nearly SERIAL (guide §2.5 input skew; the
+    # pandas-UDF form had partly hidden this by overlapping Python
+    # keygen with JVM join work). The gated round-robin repartition
+    # restores full parallelism at small scale and passes through
+    # untouched once the scan has enough real splits (the 100 TB case).
+    # Measured sf10 full-query (tools/ab_q61.py, same window): shipped
+    # r14 form 285 s → 18.2 s; r13 pandas-UDF form 207 s.
+    cust = _t_par(spark, sf, "customer").select(
         F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
     )
     probes = (
@@ -1550,17 +1561,18 @@ def _q61_fuzzy_join(spark, sf):
 
     # r14 (guide §4.1, §2.3): the ~1+L+C(L,2) deletion keys per name
     # used to come from a pandas UDF — every customer name shipped to a
-    # Python worker and an ~170-element array<string> shipped back
-    # (ArrowEvalPython dominated this query at sf10). deletion_keys_expr
-    # builds the same key SET with JVM higher-order functions inside
-    # WholeStageCodegen, and the equi-join runs on xxhash64(key) longs
-    # instead of ~17-char strings — lossless, because SymSpell already
-    # guarantees every true lev≤2 pair shares a key (hash collisions can
-    # only ADD candidates, and the exact levenshtein verify drops them).
+    # Python worker and an ~170-element array<string> shipped back. The
+    # JVM form builds the same key SET with higher-order functions, and
+    # the equi-join runs on xxhash64(key) longs instead of ~17-char
+    # strings — lossless, because SymSpell already guarantees every true
+    # lev≤2 pair shares a key (hash collisions can only ADD candidates,
+    # and the exact levenshtein verify drops them).
+    # r15: hash BEFORE the per-name dedup (deletion_key_hashes_expr) —
+    # dedup on longs takes the O(n) hashset path instead of the O(n²)
+    # string fallback (0.94× at sf10, probed hash set identical — see
+    # the operator docstring; the big q61 win is the _t_par above).
     def keyed(name_col):
-        return F.explode(
-            F.transform(deletion_keys_expr(name_col, 2), lambda k: F.xxhash64(k))
-        ).alias("kh")
+        return F.explode(deletion_key_hashes_expr(name_col, 2)).alias("kh")
 
     cust_k = cust.select("cust_id", "name", keyed("name"))
     probe_k = probes.select("probe_id", "probe_name", keyed("probe_name"))

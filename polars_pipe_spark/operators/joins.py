@@ -233,21 +233,13 @@ def deletion_keys_udf(max_dist: int):
     return keys
 
 
-def deletion_keys_expr(col, max_dist: int):
-    """array<string> of every ≤max_dist-deletion variant of a string —
-    the pure-JVM form of :func:`deletion_keys_udf`. The fan-out is
-    nothing but substring slicing, so it compiles to higher-order
-    functions inside WholeStageCodegen (guide §4.1: prefer built-ins)
-    instead of shipping every name to a Python worker and an
-    ~L²/2-element array<string> back per row (the ArrowEvalPython
-    round-trip dominated q61 at sf10). Key SET identical to the UDF's
-    — dedup via array_distinct here vs a Python set there; element
-    ORDER may differ (sorted there, generation order here), which is
-    immaterial to every caller (all explode + equi-join). NULL input
-    yields an empty array, matching the UDF.
-    """
+def _deletion_variants_expr(col, max_dist: int):
+    """array<string> of every ≤max_dist-deletion variant, WITH
+    duplicates (deleting different positions of a repeated-character
+    run yields the same string). Shared raw builder for the two public
+    forms below. NULL input yields an empty array."""
     if max_dist not in (1, 2):
-        raise ValueError(f"deletion_keys_expr: max_dist={max_dist} not in 1/2")
+        raise ValueError(f"deletion keys: max_dist={max_dist} not in 1/2")
     s = F.col(col) if isinstance(col, str) else col
     length = F.length(s)
     empty = F.array().cast("array<string>")
@@ -285,8 +277,53 @@ def deletion_keys_expr(col, max_dist: int):
                 ),
             ).otherwise(empty)
         )
-    return F.when(s.isNull(), empty).otherwise(
-        F.array_distinct(F.concat(*parts))
+    return F.when(s.isNull(), empty).otherwise(F.concat(*parts))
+
+
+def deletion_keys_expr(col, max_dist: int):
+    """array<string> of every ≤max_dist-deletion variant of a string —
+    the pure-JVM form of :func:`deletion_keys_udf`. The fan-out is
+    nothing but substring slicing, so it compiles to higher-order
+    functions inside WholeStageCodegen (guide §4.1: prefer built-ins)
+    instead of shipping every name to a Python worker and an
+    ~L²/2-element array<string> back per row (the ArrowEvalPython
+    round-trip dominated q61 at sf10). Key SET identical to the UDF's
+    — dedup via array_distinct here vs a Python set there; element
+    ORDER may differ (sorted there, generation order here), which is
+    immaterial to every caller (all explode + equi-join). NULL input
+    yields an empty array, matching the UDF.
+
+    Prefer :func:`deletion_key_hashes_expr` when the consumer joins on
+    hashed keys anyway: ``array_distinct`` over STRINGS is the O(n²)
+    pairwise-equality fallback (~15k UTF8String compares for the ~172
+    lev-2 variants of an 18-char name), over longs the O(n) hashset
+    path — measured at sf10, 32-way (tools/ab_q61.py): keygen+explode
+    15.99 s strings vs 14.99 s longs (0.94×, a constant-factor win; the
+    per-row cost is ~0.2 ms either way, so PARALLELISM of this stage is
+    what matters — see q61's _t_par note).
+    """
+    return F.array_distinct(_deletion_variants_expr(col, max_dist))
+
+
+def deletion_key_hashes_expr(col, max_dist: int):
+    """array<bigint>: xxhash64 of every DISTINCT ≤max_dist-deletion
+    variant — hash FIRST, dedup on longs (r15, guide §1.2/§4.1).
+
+    Value-identical to ``transform(deletion_keys_expr(col, d),
+    xxhash64)`` as a SET: hashing is applied per variant either way, so
+    the distinct hash set is the same whether duplicates are removed
+    before or after hashing (two variants colliding in xxhash64 would
+    collapse to one array element here, but an equi-join probes the
+    same hash VALUE set regardless). Dedup on LongType takes Spark's
+    O(n) OpenHashSet fast path instead of the O(n²) string fallback;
+    measured at sf10, 32-way (tools/ab_q61.py): keygen 15.99 → 14.99 s
+    (0.94×) and the array rows carry 8-byte longs instead of ~17-char
+    strings into the explode.
+    """
+    return F.array_distinct(
+        F.transform(
+            _deletion_variants_expr(col, max_dist), lambda k: F.xxhash64(k)
+        )
     )
 
 
@@ -422,12 +459,12 @@ def fuzzy_join(
         # can only ADD candidates, and the levenshtein verify drops
         # them; the guard's distinct-count estimate is unaffected
         # (64-bit collisions are negligible at any feasible key count).
+        # r15: hash BEFORE the per-name dedup (deletion_key_hashes_expr)
+        # so array_distinct runs on longs (O(n) hashset path, 0.94× the
+        # string form at sf10) — the probed hash SET is identical.
         def dk(name_col):
             return F.explode(
-                F.transform(
-                    deletion_keys_expr(name_col, max_dist),
-                    lambda k: F.xxhash64(k),
-                )
+                deletion_key_hashes_expr(name_col, max_dist)
             ).alias("__dk")
 
         n_shuffle = shuffle_partitions(left.sparkSession)

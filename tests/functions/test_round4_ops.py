@@ -220,6 +220,37 @@ def test_deletion_keys_expr_matches_udf(spark):
         assert [r.k for r in got] == [r.k for r in want], max_dist
 
 
+def test_deletion_key_hashes_expr_matches_hashed_keys(spark):
+    """r15: fuzzy_join/q61 dedup the deletion keys AFTER hashing
+    (array_distinct on longs, the O(n) path) — the distinct hash SET
+    must equal xxhash64 over the string-deduped key set, or the
+    SymSpell candidate join changes."""
+    from pyspark.sql import functions as F
+
+    from polars_pipe_spark.operators.joins import (
+        deletion_key_hashes_expr,
+        deletion_keys_expr,
+    )
+
+    rows = [
+        ("",), ("a",), ("ab",), ("abc",), ("customer#000000001",),
+        (None,), ("héllo wörld",), ("xx",), ("a b a b",),
+    ]
+    df = spark.createDataFrame(rows, "s string")
+    for max_dist in (1, 2):
+        got = df.select(
+            F.sort_array(deletion_key_hashes_expr("s", max_dist)).alias("h")
+        ).collect()
+        want = df.select(
+            F.sort_array(
+                F.transform(
+                    deletion_keys_expr("s", max_dist), lambda k: F.xxhash64(k)
+                )
+            ).alias("h")
+        ).collect()
+        assert [r.h for r in got] == [r.h for r in want], max_dist
+
+
 def test_quality_bins_edges(spark):
     from polars_pipe_spark.functions.sampling import quality_bins
 

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bench import calibration_probe  # noqa: E402
 from polars_pipe_spark import get_spark  # noqa: E402
-from polars_pipe_spark.operators.joins import deletion_keys_expr  # noqa: E402
+from polars_pipe_spark.operators.joins import (  # noqa: E402
+    deletion_key_hashes_expr,
+    deletion_keys_expr,
+)
 
 
 def udf_keys():
@@ -59,7 +62,10 @@ def build(spark, sf_dir, variant):
     # read through the entry helper so the scan matches the real q61
     import __spark_entry__ as entry_mod
 
-    cust = entry_mod._t(spark, sf_dir, "customer").select(
+    reader = (
+        entry_mod._t_par if variant.startswith(("repart", "fix")) else entry_mod._t
+    )
+    cust = reader(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust_id"), F.lower(F.col("c_name")).alias("name")
     )
     probes = cust.filter(F.col("cust_id") % 97 == 0).select(
@@ -69,11 +75,14 @@ def build(spark, sf_dir, variant):
         ),
     )
 
-    if variant == "expr_hash":
+    if variant in ("expr_hash", "repart_hash"):
         def keyed(c):
             return F.explode(
                 F.transform(deletion_keys_expr(c, 2), lambda k: F.xxhash64(k))
             ).alias("kh")
+    elif variant == "fix":
+        def keyed(c):
+            return F.explode(deletion_key_hashes_expr(c, 2)).alias("kh")
     elif variant == "expr_str":
         def keyed(c):
             return F.explode(deletion_keys_expr(c, 2)).alias("kh")
